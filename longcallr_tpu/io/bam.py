@@ -1,0 +1,455 @@
+"""BAM container reader/writer (pure Python + numpy; no htslib).
+
+Replaces the rust-htslib BAM layer the reference uses
+(``longcallR/src/util.rs:636``, ``src/fragment.rs:19``, ``src/thread.rs:326``).
+The design keeps the uncompressed BAM image in memory and exposes reads as
+lightweight views with lazily decoded seq/qual/cigar; per-record header fields
+(refID/pos/flag/mapq/...) are bulk-extracted into numpy arrays during the
+initial scan so region grouping and QC filtering are vectorised.
+
+The phased-BAM writer copies raw record bytes and appends aux tags in place,
+so round-tripping never re-encodes sequences.
+"""
+
+from __future__ import annotations
+
+import struct
+from typing import Dict, Iterator, List, Optional, Tuple
+
+import numpy as np
+
+from .bgzf import BgzfWriter, decompress_file
+
+BAM_MAGIC = b"BAM\x01"
+
+# CIGAR operation characters, indexed by the 4-bit op code (SAM spec 4.2).
+CIGAR_OPS = "MIDNSHP=X"
+_OP_M, _OP_I, _OP_D, _OP_N, _OP_S, _OP_H, _OP_P, _OP_EQ, _OP_X = range(9)
+# ops that consume reference / query
+CONSUMES_REF = np.array([1, 0, 1, 1, 0, 0, 0, 1, 1], dtype=bool)
+CONSUMES_QUERY = np.array([1, 1, 0, 0, 1, 0, 0, 1, 1], dtype=bool)
+
+# 4-bit encoded base → ASCII (SAM spec: =ACMGRSVTWYHKDBN)
+SEQ_NIBBLE_ASCII = np.frombuffer(b"=ACMGRSVTWYHKDBN", dtype=np.uint8)
+_NIB_HI = SEQ_NIBBLE_ASCII[np.arange(256) >> 4]
+_NIB_LO = SEQ_NIBBLE_ASCII[np.arange(256) & 0xF]
+# ASCII → 4-bit code for the writer
+ASCII_TO_NIBBLE = np.zeros(256, dtype=np.uint8)
+for _i, _c in enumerate(b"=ACMGRSVTWYHKDBN"):
+    ASCII_TO_NIBBLE[_c] = _i
+    ASCII_TO_NIBBLE[_c | 0x20] = _i  # lowercase
+
+FLAG_PAIRED = 0x1
+FLAG_UNMAPPED = 0x4
+FLAG_REVERSE = 0x10
+FLAG_SECONDARY = 0x100
+FLAG_QCFAIL = 0x200
+FLAG_DUP = 0x400
+FLAG_SUPPLEMENTARY = 0x800
+
+_FIXED = struct.Struct("<iii2B3H4i")  # block_size + 32-byte fixed record prefix
+
+_AUX_SIZES = {"c": 1, "C": 1, "s": 2, "S": 2, "i": 4, "I": 4, "f": 4, "A": 1}
+_AUX_FMT = {"c": "<b", "C": "<B", "s": "<h", "S": "<H", "i": "<i", "I": "<I", "f": "<f"}
+
+
+def decode_seq(packed: memoryview, l_seq: int) -> np.ndarray:
+    """Decode 4-bit packed bases into an ASCII uint8 array."""
+    raw = np.frombuffer(packed, dtype=np.uint8)
+    out = np.empty(raw.size * 2, dtype=np.uint8)
+    out[0::2] = _NIB_HI[raw]
+    out[1::2] = _NIB_LO[raw]
+    return out[:l_seq]
+
+
+def _scan_aux(buf: memoryview, start: int, end: int) -> Iterator[Tuple[str, str, int]]:
+    """Yield (tag, type, value_offset) for each aux field in buf[start:end)."""
+    q = start
+    while q + 3 <= end:
+        tag = chr(buf[q]) + chr(buf[q + 1])
+        typ = chr(buf[q + 2])
+        q += 3
+        yield tag, typ, q
+        if typ in _AUX_SIZES:
+            q += _AUX_SIZES[typ]
+        elif typ in "ZH":
+            while q < end and buf[q] != 0:
+                q += 1
+            q += 1
+        elif typ == "B":
+            st = chr(buf[q])
+            cnt = struct.unpack_from("<i", buf, q + 1)[0]
+            q += 5 + cnt * _AUX_SIZES[st]
+        else:
+            raise ValueError(f"unknown aux type {typ!r}")
+
+
+class BamRead:
+    """Lazy view over one alignment record inside the uncompressed BAM image."""
+
+    __slots__ = ("_buf", "_off", "_end", "ref_id", "pos", "flag", "mapq",
+                 "l_seq", "_n_cigar", "_l_read_name")
+
+    def __init__(self, buf: memoryview, off: int, end: int, ref_id: int, pos: int,
+                 flag: int, mapq: int, l_seq: int, n_cigar: int, l_read_name: int):
+        self._buf = buf
+        self._off = off          # offset of the fixed 32-byte record prefix
+        self._end = end          # one past the last aux byte
+        self.ref_id = ref_id
+        self.pos = pos
+        self.flag = flag
+        self.mapq = mapq
+        self.l_seq = l_seq
+        self._n_cigar = n_cigar
+        self._l_read_name = l_read_name
+
+    # --- layout offsets ---
+    @property
+    def _name_off(self) -> int:
+        return self._off + 32
+
+    @property
+    def _cigar_off(self) -> int:
+        return self._name_off + self._l_read_name
+
+    @property
+    def _seq_off(self) -> int:
+        return self._cigar_off + 4 * self._n_cigar
+
+    @property
+    def _qual_off(self) -> int:
+        return self._seq_off + (self.l_seq + 1) // 2
+
+    @property
+    def _aux_off(self) -> int:
+        return self._qual_off + self.l_seq
+
+    # --- decoded fields ---
+    @property
+    def qname(self) -> str:
+        return bytes(self._buf[self._name_off:self._name_off + self._l_read_name - 1]).decode()
+
+    @property
+    def cigar(self) -> np.ndarray:
+        """Raw uint32 cigar words (len<<4 | op)."""
+        return np.frombuffer(self._buf[self._cigar_off:self._seq_off], dtype="<u4")
+
+    @property
+    def cigar_ops(self) -> np.ndarray:
+        return (self.cigar & 0xF).astype(np.uint8)
+
+    @property
+    def cigar_lens(self) -> np.ndarray:
+        return (self.cigar >> 4).astype(np.int64)
+
+    @property
+    def seq(self) -> np.ndarray:
+        """ASCII uint8 base array."""
+        return decode_seq(self._buf[self._seq_off:self._qual_off], self.l_seq)
+
+    @property
+    def qual(self) -> np.ndarray:
+        return np.frombuffer(self._buf[self._qual_off:self._aux_off], dtype=np.uint8)
+
+    @property
+    def is_unmapped(self) -> bool:
+        return bool(self.flag & FLAG_UNMAPPED)
+
+    @property
+    def is_secondary(self) -> bool:
+        return bool(self.flag & FLAG_SECONDARY)
+
+    @property
+    def is_supplementary(self) -> bool:
+        return bool(self.flag & FLAG_SUPPLEMENTARY)
+
+    @property
+    def is_reverse(self) -> bool:
+        return bool(self.flag & FLAG_REVERSE)
+
+    @property
+    def strand(self) -> int:
+        """0 = forward, 1 = reverse (matches reference util.rs:672)."""
+        return 1 if self.flag & FLAG_REVERSE else 0
+
+    def reference_end(self) -> int:
+        """0-based exclusive end on the reference."""
+        ops = self.cigar_ops
+        lens = self.cigar_lens
+        return self.pos + int(lens[CONSUMES_REF[ops]].sum())
+
+    def leading_softclips(self) -> int:
+        c = self.cigar
+        if c.size == 0:
+            return 0
+        # hard clips precede soft clips; scan from the front
+        for w in c:
+            op = w & 0xF
+            if op == _OP_H:
+                continue
+            return int(w >> 4) if op == _OP_S else 0
+        return 0
+
+    def trailing_softclips(self) -> int:
+        c = self.cigar
+        if c.size == 0:
+            return 0
+        for w in c[::-1]:
+            op = w & 0xF
+            if op == _OP_H:
+                continue
+            return int(w >> 4) if op == _OP_S else 0
+        return 0
+
+    def get_tag(self, name: str):
+        """Return decoded aux tag value or None."""
+        buf = self._buf
+        for tag, typ, voff in _scan_aux(buf, self._aux_off, self._end):
+            if tag != name:
+                continue
+            if typ in _AUX_FMT:
+                return struct.unpack_from(_AUX_FMT[typ], buf, voff)[0]
+            if typ == "A":
+                return chr(buf[voff])
+            if typ in "ZH":
+                q = voff
+                while buf[q] != 0:
+                    q += 1
+                return bytes(buf[voff:q]).decode()
+            if typ == "B":
+                st = chr(buf[voff])
+                cnt = struct.unpack_from("<i", buf, voff + 1)[0]
+                dt = {"c": "<i1", "C": "<u1", "s": "<i2", "S": "<u2",
+                      "i": "<i4", "I": "<u4", "f": "<f4"}[st]
+                return np.frombuffer(buf[voff + 5:voff + 5 + cnt * _AUX_SIZES[st]], dtype=dt)
+            return None
+        return None
+
+    def tags(self) -> Dict[str, object]:
+        return {tag: self.get_tag(tag) for tag, _, _ in
+                _scan_aux(self._buf, self._aux_off, self._end)}
+
+    def raw_record(self) -> bytes:
+        """Record bytes (without the leading block_size word)."""
+        return bytes(self._buf[self._off:self._end])
+
+
+class BamFile:
+    """An indexed-in-memory BAM file.
+
+    The constructor decompresses the whole BGZF stream and bulk-scans record
+    boundaries, producing numpy columns (ref_id, pos, flag, mapq, l_seq) used
+    for vectorised filtering and region grouping.
+    """
+
+    def __init__(self, path: str, threads: int = 4):
+        self.path = path
+        data = decompress_file(path, threads=threads)
+        self._data = data
+        self._buf = memoryview(data)
+        if data[:4] != BAM_MAGIC:
+            raise ValueError(f"{path}: not a BAM file")
+        l_text = struct.unpack_from("<i", data, 4)[0]
+        self.header_text = data[8:8 + l_text].rstrip(b"\x00").decode()
+        p = 8 + l_text
+        n_ref = struct.unpack_from("<i", data, p)[0]
+        p += 4
+        self.references: List[str] = []
+        self.lengths: List[int] = []
+        for _ in range(n_ref):
+            l_name = struct.unpack_from("<i", data, p)[0]
+            p += 4
+            self.references.append(data[p:p + l_name - 1].decode())
+            p += l_name
+            self.lengths.append(struct.unpack_from("<i", data, p)[0])
+            p += 4
+        self._ref_index = {name: i for i, name in enumerate(self.references)}
+        self._records_start = p
+        self._scan_records(p)
+
+    def _scan_records(self, p: int) -> None:
+        data = self._data
+        n = len(data)
+        offs: List[int] = []
+        ends: List[int] = []
+        ref_ids: List[int] = []
+        poss: List[int] = []
+        flags: List[int] = []
+        mapqs: List[int] = []
+        lseqs: List[int] = []
+        ncigs: List[int] = []
+        lnames: List[int] = []
+        unpack = _FIXED.unpack_from
+        while p + 4 <= n:
+            (block_size, ref_id, pos, l_read_name, mapq, _bin, n_cigar, flag,
+             l_seq, _nref, _npos, _tlen) = unpack(data, p)
+            rec_off = p + 4
+            offs.append(rec_off)
+            ends.append(rec_off + block_size)
+            ref_ids.append(ref_id)
+            poss.append(pos)
+            flags.append(flag)
+            mapqs.append(mapq)
+            lseqs.append(l_seq)
+            ncigs.append(n_cigar)
+            lnames.append(l_read_name)
+            p = rec_off + block_size
+        self.n_records = len(offs)
+        self.rec_off = np.asarray(offs, dtype=np.int64)
+        self.rec_end = np.asarray(ends, dtype=np.int64)
+        self.ref_id = np.asarray(ref_ids, dtype=np.int32)
+        self.pos = np.asarray(poss, dtype=np.int64)
+        self.flag = np.asarray(flags, dtype=np.uint16)
+        self.mapq = np.asarray(mapqs, dtype=np.uint8)
+        self.l_seq = np.asarray(lseqs, dtype=np.int32)
+        self.n_cigar = np.asarray(ncigs, dtype=np.int32)
+        self.l_read_name = np.asarray(lnames, dtype=np.int32)
+
+    def read(self, i: int) -> BamRead:
+        return BamRead(self._buf, int(self.rec_off[i]), int(self.rec_end[i]),
+                       int(self.ref_id[i]), int(self.pos[i]), int(self.flag[i]),
+                       int(self.mapq[i]), int(self.l_seq[i]),
+                       int(self.n_cigar[i]), int(self.l_read_name[i]))
+
+    def __len__(self) -> int:
+        return self.n_records
+
+    def __iter__(self) -> Iterator[BamRead]:
+        for i in range(self.n_records):
+            yield self.read(i)
+
+    def tid(self, chrom: str) -> int:
+        return self._ref_index[chrom]
+
+    def contig_record_range(self, chrom: str) -> Tuple[int, int]:
+        """[lo, hi) record index range of a contig (file is coordinate sorted)."""
+        t = self._ref_index.get(chrom)
+        if t is None:
+            return 0, 0
+        lo = int(np.searchsorted(self.ref_id, t, side="left"))
+        hi = int(np.searchsorted(self.ref_id, t, side="right"))
+        return lo, hi
+
+    def fetch(self, chrom: str, start: Optional[int] = None,
+              end: Optional[int] = None) -> Iterator[BamRead]:
+        """Yield reads overlapping [start, end) (0-based half-open).
+
+        Mirrors htslib fetch semantics used by the reference
+        (``util.rs:637`` fetches with 1-based Region coords; callers convert).
+        """
+        lo, hi = self.contig_record_range(chrom)
+        if lo == hi:
+            return
+        if end is not None:
+            hi = lo + int(np.searchsorted(self.pos[lo:hi], end, side="left"))
+        for i in range(lo, hi):
+            r = self.read(i)
+            if start is not None and r.reference_end() <= start:
+                continue
+            yield r
+
+
+class BamWriter:
+    """BGZF-backed BAM writer.
+
+    Supports both raw record pass-through with appended aux tags (phased-BAM
+    path, mirroring ``thread.rs:350-357`` push_aux of HP:i/PS:i) and
+    from-scratch record synthesis (used by test fixtures / simulators).
+    """
+
+    def __init__(self, path: str, references: List[str], lengths: List[int],
+                 header_text: Optional[str] = None, level: int = 6, threads: int = 4):
+        self._f = open(path, "wb")
+        self._w = BgzfWriter(self._f, level=level, threads=threads)
+        text = header_text if header_text is not None else self._default_header(
+            references, lengths)
+        tb = text.encode()
+        self._w.write(BAM_MAGIC + struct.pack("<i", len(tb)) + tb)
+        self._w.write(struct.pack("<i", len(references)))
+        for name, ln in zip(references, lengths):
+            nb = name.encode() + b"\x00"
+            self._w.write(struct.pack("<i", len(nb)) + nb + struct.pack("<i", ln))
+
+    @staticmethod
+    def _default_header(references: List[str], lengths: List[int]) -> str:
+        lines = ["@HD\tVN:1.6\tSO:coordinate"]
+        for name, ln in zip(references, lengths):
+            lines.append(f"@SQ\tSN:{name}\tLN:{ln}")
+        return "\n".join(lines) + "\n"
+
+    def write_raw(self, record: bytes, extra_tags: bytes = b"") -> None:
+        self._w.write(struct.pack("<i", len(record) + len(extra_tags)))
+        self._w.write(record)
+        if extra_tags:
+            self._w.write(extra_tags)
+
+    def write_record(self, *, qname: str, flag: int, ref_id: int, pos: int,
+                     mapq: int, cigar: np.ndarray, seq: bytes, qual: np.ndarray,
+                     tags: bytes = b"", next_ref_id: int = -1, next_pos: int = -1,
+                     tlen: int = 0) -> None:
+        name = qname.encode() + b"\x00"
+        l_seq = len(seq)
+        seq_arr = np.frombuffer(seq, dtype=np.uint8)
+        nib = ASCII_TO_NIBBLE[seq_arr]
+        if l_seq % 2:
+            nib = np.concatenate([nib, np.zeros(1, dtype=np.uint8)])
+        packed = ((nib[0::2] << 4) | nib[1::2]).tobytes()
+        cigar32 = np.asarray(cigar, dtype="<u4").tobytes()
+        # reg2bin over the alignment span (SAM spec 5.3)
+        ref_span = int(np.sum((np.asarray(cigar, dtype=np.uint64) >> 4)
+                              * CONSUMES_REF[np.asarray(cigar, dtype=np.uint64) & 0xF]))
+        bin_ = _reg2bin(pos, pos + max(1, ref_span))
+        fixed = struct.pack("<ii2B3H4i", ref_id, pos, len(name), mapq, bin_,
+                            len(cigar), flag, l_seq, next_ref_id, next_pos, tlen)
+        body = fixed + name + cigar32 + packed + \
+            np.asarray(qual, dtype=np.uint8).tobytes() + tags
+        self._w.write(struct.pack("<i", len(body)) + body)
+
+    def close(self) -> None:
+        self._w.close()
+        self._f.close()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+
+def _reg2bin(beg: int, end: int) -> int:
+    end -= 1
+    if beg >> 14 == end >> 14:
+        return ((1 << 15) - 1) // 7 + (beg >> 14)
+    if beg >> 17 == end >> 17:
+        return ((1 << 12) - 1) // 7 + (beg >> 17)
+    if beg >> 20 == end >> 20:
+        return ((1 << 9) - 1) // 7 + (beg >> 20)
+    if beg >> 23 == end >> 23:
+        return ((1 << 6) - 1) // 7 + (beg >> 23)
+    if beg >> 26 == end >> 26:
+        return ((1 << 3) - 1) // 7 + (beg >> 26)
+    return 0
+
+
+def encode_cigar(ops_lens: List[Tuple[int, str]]) -> np.ndarray:
+    """Build a cigar array from (length, op_char) pairs."""
+    out = np.empty(len(ops_lens), dtype=np.uint32)
+    for i, (ln, ch) in enumerate(ops_lens):
+        out[i] = (ln << 4) | CIGAR_OPS.index(ch)
+    return out
+
+
+def make_tag_bytes(tag: str, typ: str, value) -> bytes:
+    """Encode one aux tag (e.g. HP:i, PS:i, de:f, ts:A)."""
+    head = tag.encode()
+    if typ == "i":
+        return head + b"i" + struct.pack("<i", int(value))
+    if typ == "I":
+        return head + b"I" + struct.pack("<I", int(value))
+    if typ == "f":
+        return head + b"f" + struct.pack("<f", float(value))
+    if typ == "A":
+        return head + b"A" + value.encode()
+    if typ == "Z":
+        return head + b"Z" + value.encode() + b"\x00"
+    raise ValueError(f"unsupported tag type {typ}")

@@ -1,0 +1,197 @@
+"""BGZF (blocked gzip) codec.
+
+Stand-in for the htslib BGZF layer that the reference links through rust-htslib
+(``longcallR/Cargo.toml:13``). Pure Python + zlib; block decompression is
+parallelised across a thread pool (zlib releases the GIL) and is replaced by
+the C++ decoder in :mod:`longcallr_tpu.native` on the hot path.
+"""
+
+from __future__ import annotations
+
+import io
+import struct
+import zlib
+from concurrent.futures import ThreadPoolExecutor
+from typing import BinaryIO, Iterator, List, Optional, Tuple
+
+# gzip magic + method/flags prelude of every BGZF block
+_BGZF_HEADER = b"\x1f\x8b\x08\x04"
+# Standard 28-byte BGZF EOF marker block (SAM spec section 4.1.2)
+BGZF_EOF = bytes.fromhex(
+    "1f8b08040000000000ff0600424302001b0003000000000000000000"
+)
+
+MAX_BLOCK_SIZE = 65536
+
+
+class BgzfError(ValueError):
+    pass
+
+
+def _block_size_at(data: bytes, off: int) -> int:
+    """Parse the BSIZE extra subfield of the BGZF block starting at ``off``."""
+    if data[off:off + 4] != _BGZF_HEADER:
+        raise BgzfError(f"not a BGZF block at offset {off}")
+    xlen = struct.unpack_from("<H", data, off + 10)[0]
+    i = off + 12
+    end = i + xlen
+    while i < end:
+        si1, si2 = data[i], data[i + 1]
+        slen = struct.unpack_from("<H", data, i + 2)[0]
+        if si1 == 66 and si2 == 67:  # 'B','C'
+            return struct.unpack_from("<H", data, i + 4)[0] + 1
+        i += 4 + slen
+    raise BgzfError(f"BGZF block at {off} missing BSIZE subfield")
+
+
+def iter_block_spans(data: bytes) -> Iterator[Tuple[int, int]]:
+    """Yield (offset, block_size) for each BGZF block in ``data``."""
+    off = 0
+    n = len(data)
+    while off < n:
+        bsize = _block_size_at(data, off)
+        yield off, bsize
+        off += bsize
+
+
+def decompress_block(data: bytes, off: int, bsize: int, check_crc: bool = False) -> bytes:
+    xlen = struct.unpack_from("<H", data, off + 10)[0]
+    cstart = off + 12 + xlen
+    cend = off + bsize - 8
+    out = zlib.decompress(data[cstart:cend], -15)
+    if check_crc:
+        crc, isize = struct.unpack_from("<II", data, off + bsize - 8)
+        if isize != len(out) or (zlib.crc32(out) & 0xFFFFFFFF) != crc:
+            raise BgzfError(f"BGZF CRC/ISIZE mismatch in block at {off}")
+    return out
+
+
+def decompress_all(data: bytes, threads: int = 4, check_crc: bool = False) -> bytes:
+    """Decompress a whole BGZF byte string (e.g. an entire BAM file)."""
+    spans = list(iter_block_spans(data))
+    if threads > 1 and len(spans) > 8:
+        with ThreadPoolExecutor(max_workers=threads) as ex:
+            parts = list(
+                ex.map(lambda s: decompress_block(data, s[0], s[1], check_crc), spans)
+            )
+    else:
+        parts = [decompress_block(data, o, b, check_crc) for o, b in spans]
+    return b"".join(parts)
+
+
+def decompress_file(path: str, threads: int = 4, check_crc: bool = False) -> bytes:
+    with open(path, "rb") as f:
+        return decompress_all(f.read(), threads=threads, check_crc=check_crc)
+
+
+class BgzfDecompressor:
+    """Random-access BGZF reader over an in-memory file image.
+
+    Supports virtual-offset addressing (coffset << 16 | uoffset) as used by
+    BAI/TBI indexes.
+    """
+
+    def __init__(self, data: bytes):
+        self._data = data
+        self._cache_off: int = -1
+        self._cache: bytes = b""
+
+    def block_at(self, coffset: int) -> Tuple[bytes, int]:
+        """Return (uncompressed block, compressed size) at file offset."""
+        if coffset == self._cache_off:
+            return self._cache, self._cache_size
+        bsize = _block_size_at(self._data, coffset)
+        out = decompress_block(self._data, coffset, bsize)
+        self._cache_off = coffset
+        self._cache = out
+        self._cache_size = bsize
+        return out, bsize
+
+    def read_from(self, voffset: int, nbytes: int) -> bytes:
+        """Read ``nbytes`` of uncompressed data starting at a virtual offset."""
+        coffset = voffset >> 16
+        uoffset = voffset & 0xFFFF
+        chunks: List[bytes] = []
+        got = 0
+        while got < nbytes and coffset < len(self._data):
+            block, bsize = self.block_at(coffset)
+            part = block[uoffset:]
+            chunks.append(part)
+            got += len(part)
+            coffset += bsize
+            uoffset = 0
+        return b"".join(chunks)[:nbytes]
+
+
+def compress_block(chunk: bytes, level: int = 6) -> bytes:
+    """Compress ≤64KiB of data into one or more BGZF blocks.
+
+    Incompressible payloads can deflate to >64KiB; like htslib we shrink the
+    input chunk until the block fits, emitting the remainder as extra blocks.
+    """
+    if len(chunk) > MAX_BLOCK_SIZE:
+        raise BgzfError("BGZF block payload exceeds 64KiB")
+    take = len(chunk)
+    while True:
+        part = chunk[:take]
+        co = zlib.compressobj(level, zlib.DEFLATED, -15)
+        cdata = co.compress(part) + co.flush()
+        bsize = len(cdata) + 26  # header(12) + extra(6) + crc(4) + isize(4)
+        if bsize <= MAX_BLOCK_SIZE:
+            break
+        take -= 1024
+    header = _BGZF_HEADER + b"\x00\x00\x00\x00\x00\xff" + struct.pack(
+        "<HHHH", 6, 0x4342, 2, bsize - 1
+    )
+    footer = struct.pack("<II", zlib.crc32(part) & 0xFFFFFFFF, len(part))
+    block = header + cdata + footer
+    if take < len(chunk):
+        block += compress_block(chunk[take:], level)
+    return block
+
+
+class BgzfWriter:
+    """Streaming BGZF writer (used by the phased-BAM emitter)."""
+
+    def __init__(self, fileobj: BinaryIO, level: int = 6, threads: int = 4):
+        self._f = fileobj
+        self._level = level
+        self._buf = bytearray()
+        self._threads = threads
+        self._pending: List[bytes] = []
+
+    def write(self, data: bytes) -> None:
+        self._buf += data
+        while len(self._buf) >= MAX_BLOCK_SIZE:
+            self._pending.append(bytes(self._buf[:MAX_BLOCK_SIZE]))
+            del self._buf[:MAX_BLOCK_SIZE]
+            if len(self._pending) >= 64:
+                self._flush_pending()
+
+    def _flush_pending(self) -> None:
+        if not self._pending:
+            return
+        if self._threads > 1 and len(self._pending) > 2:
+            with ThreadPoolExecutor(max_workers=self._threads) as ex:
+                blocks = list(
+                    ex.map(lambda c: compress_block(c, self._level), self._pending)
+                )
+        else:
+            blocks = [compress_block(c, self._level) for c in self._pending]
+        for b in blocks:
+            self._f.write(b)
+        self._pending.clear()
+
+    def close(self) -> None:
+        if self._buf:
+            self._pending.append(bytes(self._buf))
+            self._buf.clear()
+        self._flush_pending()
+        self._f.write(BGZF_EOF)
+        self._f.flush()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()

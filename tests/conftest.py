@@ -1,0 +1,33 @@
+"""Test harness: force a virtual 8-device CPU mesh so sharding paths compile
+and execute without TPU hardware, and enable x64 (the reference math is f64).
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8").strip()
+os.environ.setdefault("JAX_ENABLE_X64", "1")
+
+import jax  # noqa: E402
+
+jax.config.update("jax_enable_x64", True)
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+DEMO_BAM = "/root/reference/demo/demo.bam"
+
+
+@pytest.fixture(scope="session")
+def demo_bam_path():
+    if not os.path.exists(DEMO_BAM):
+        pytest.skip("demo.bam not available")
+    return DEMO_BAM
+
+
+@pytest.fixture(scope="session")
+def rng():
+    return np.random.default_rng(2025)

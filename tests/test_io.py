@@ -1,0 +1,131 @@
+"""I/O substrate tests: BGZF codec round-trip, BAM parse of the real demo file,
+BAM write/read round-trip, FASTA round-trip."""
+
+import os
+
+import numpy as np
+import pytest
+
+from longcallr_tpu.io import bam as bamio
+from longcallr_tpu.io import bgzf, fasta
+
+
+def test_bgzf_roundtrip(tmp_path):
+    payload = os.urandom(300_000) + b"compressible" * 10_000
+    p = tmp_path / "x.bgzf"
+    with open(p, "wb") as f:
+        with bgzf.BgzfWriter(f) as w:
+            w.write(payload)
+    back = bgzf.decompress_file(str(p), check_crc=True)
+    assert back == payload
+
+
+def test_bgzf_virtual_offsets(tmp_path):
+    payload = bytes(range(256)) * 1024  # 256 KiB, multiple blocks
+    p = tmp_path / "x.bgzf"
+    with open(p, "wb") as f:
+        with bgzf.BgzfWriter(f) as w:
+            w.write(payload)
+    data = open(p, "rb").read()
+    d = bgzf.BgzfDecompressor(data)
+    # read across a block boundary from uoffset 100 of the first block
+    got = d.read_from(100, 70_000)
+    assert got == payload[100:100 + 70_000]
+
+
+def test_demo_bam_parse(demo_bam_path):
+    bf = bamio.BamFile(demo_bam_path)
+    assert "chr20" in bf.references
+    assert bf.lengths[bf.tid("chr20")] == 64_444_167
+    assert bf.n_records > 0
+    # all demo reads are on chr20
+    assert set(bf.ref_id.tolist()) == {bf.tid("chr20")}
+    # coordinate sorted
+    assert np.all(np.diff(bf.pos) >= 0)
+    r = bf.read(0)
+    assert r.l_seq == len(r.seq) == len(r.qual)
+    assert r.qname.startswith("m84036")
+    # cigar query length must equal l_seq for mapped reads with seq
+    qlen = int(r.cigar_lens[bamio.CONSUMES_QUERY[r.cigar_ops]].sum())
+    assert qlen == r.l_seq
+    assert isinstance(r.get_tag("de"), float)
+    assert r.get_tag("ts") in ("+", "-")
+    assert r.get_tag("NM") is not None
+    # reference_end sane
+    assert r.reference_end() > r.pos
+
+
+def test_demo_bam_full_scan_consistency(demo_bam_path):
+    bf = bamio.BamFile(demo_bam_path)
+    total_qlen = 0
+    for r in bf:
+        qlen = int(r.cigar_lens[bamio.CONSUMES_QUERY[r.cigar_ops]].sum())
+        assert qlen == r.l_seq, r.qname
+        total_qlen += qlen
+    assert total_qlen > 1_000_000
+
+
+def test_bam_write_roundtrip(tmp_path):
+    path = str(tmp_path / "t.bam")
+    cigar = bamio.encode_cigar([(3, "S"), (10, "M"), (2, "D"), (5, "M"), (4, "N"), (6, "M")])
+    seq = b"ACGTACGTACGTACGTACGTACGT"
+    qual = np.arange(len(seq)) % 40
+    tags = bamio.make_tag_bytes("de", "f", 0.01) + bamio.make_tag_bytes("ts", "A", "+")
+    with bamio.BamWriter(path, ["chrT"], [1000]) as w:
+        w.write_record(qname="read1", flag=0, ref_id=0, pos=100, mapq=60,
+                       cigar=cigar, seq=seq, qual=qual, tags=tags)
+        w.write_record(qname="read2", flag=16, ref_id=0, pos=150, mapq=60,
+                       cigar=bamio.encode_cigar([(24, "M")]), seq=seq, qual=qual)
+    bf = bamio.BamFile(path)
+    assert bf.n_records == 2
+    r = bf.read(0)
+    assert r.qname == "read1"
+    assert r.pos == 100
+    assert bytes(r.seq) == seq
+    assert np.array_equal(r.qual, qual)
+    assert r.leading_softclips() == 3
+    assert r.trailing_softclips() == 0
+    assert r.reference_end() == 100 + 10 + 2 + 5 + 4 + 6
+    assert abs(r.get_tag("de") - 0.01) < 1e-6
+    assert r.get_tag("ts") == "+"
+    r2 = bf.read(1)
+    assert r2.strand == 1
+    # raw pass-through with appended tag
+    path2 = str(tmp_path / "t2.bam")
+    with bamio.BamWriter(path2, ["chrT"], [1000]) as w:
+        w.write_raw(bf.read(0).raw_record(),
+                    extra_tags=bamio.make_tag_bytes("HP", "i", 2))
+    bf2 = bamio.BamFile(path2)
+    rr = bf2.read(0)
+    assert rr.get_tag("HP") == 2
+    assert rr.get_tag("de") is not None
+    assert bytes(rr.seq) == seq
+
+
+def test_bam_fetch(tmp_path):
+    path = str(tmp_path / "f.bam")
+    with bamio.BamWriter(path, ["chrT"], [10000]) as w:
+        for i, pos in enumerate([100, 200, 300, 400]):
+            w.write_record(qname=f"r{i}", flag=0, ref_id=0, pos=pos, mapq=60,
+                           cigar=bamio.encode_cigar([(50, "M")]),
+                           seq=b"A" * 50, qual=np.full(50, 30))
+    bf = bamio.BamFile(path)
+    # r0 spans [100,150) which overlaps [120,310): included
+    got = [r.qname for r in bf.fetch("chrT", 120, 310)]
+    assert got == ["r0", "r1", "r2"]
+    got = [r.qname for r in bf.fetch("chrT", 150, 200)]
+    assert got == []  # r0 ends exactly at 150 (exclusive), r1 starts at 200
+    got = [r.qname for r in bf.fetch("chrT")]
+    assert got == ["r0", "r1", "r2", "r3"]
+
+
+def test_fasta_roundtrip(tmp_path):
+    path = str(tmp_path / "r.fa")
+    seqs = {"chrA": b"ACGT" * 100 + b"GG", "chrB": b"ttnnACGT" * 33}
+    fasta.write_fasta(path, seqs, line_width=37)
+    fa = fasta.FastaFile(path)
+    assert fa.references == ["chrA", "chrB"]
+    assert fa.length("chrA") == 402
+    assert bytes(fa.fetch("chrA")) == seqs["chrA"]
+    assert bytes(fa.fetch("chrB")) == seqs["chrB"].upper()
+    assert fasta.parse_fai(path + ".fai") == [("chrA", 402), ("chrB", 264)]
