@@ -65,7 +65,13 @@ class FastaFile:
         return self._fai[contig].length
 
     def fetch(self, contig: str) -> np.ndarray:
-        """Whole-contig sequence, uppercased, as ASCII uint8 array."""
+        """Whole-contig sequence as ASCII uint8 array.
+
+        Case is preserved: the reference loads raw bytes (util.rs:214-222),
+        and soft-masked lowercase reference bases intentionally fall through
+        its candidate loop via the "unknown ref base" branch
+        (candidate.rs:255-265).
+        """
         seq = self._cache.get(contig)
         if seq is not None:
             return seq
@@ -84,9 +90,6 @@ class FastaFile:
             seq = np.concatenate([body.ravel(), tail])
         else:
             seq = raw[:rec.length].copy()
-        # uppercase in place (a-z → A-Z)
-        lower = (seq >= 97) & (seq <= 122)
-        seq = np.where(lower, seq - 32, seq).astype(np.uint8)
         self._cache[contig] = seq
         return seq
 

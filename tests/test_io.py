@@ -127,5 +127,5 @@ def test_fasta_roundtrip(tmp_path):
     assert fa.references == ["chrA", "chrB"]
     assert fa.length("chrA") == 402
     assert bytes(fa.fetch("chrA")) == seqs["chrA"]
-    assert bytes(fa.fetch("chrB")) == seqs["chrB"].upper()
+    assert bytes(fa.fetch("chrB")) == seqs["chrB"]  # case preserved
     assert fasta.parse_fai(path + ".fai") == [("chrA", 402), ("chrB", 264)]
