@@ -4,15 +4,18 @@ and execute without TPU hardware, and enable x64 (the reference math is f64).
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# hard-set: the environment presets JAX_PLATFORMS=axon (tunneled TPU), which
+# must never be used for unit tests
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8").strip()
-os.environ.setdefault("JAX_ENABLE_X64", "1")
+os.environ["JAX_ENABLE_X64"] = "1"
 
 import jax  # noqa: E402
 
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
 
 import numpy as np  # noqa: E402

@@ -10,7 +10,9 @@ from longcallr_tpu.tiles.pileup import LOG10_ERR, LOG10_1MERR, PileupTensors, _e
 _BASE_IDX = {65: 0, 97: 0, 67: 1, 99: 1, 71: 2, 103: 2, 84: 3, 116: 3}
 
 
-def scalar_add_read(acc: PileupTensors, read, cfg: CallerConfig):
+def scalar_add_read(acc: PileupTensors, read, cfg: CallerConfig, qual_lists=None):
+    """qual_lists: optional dict[(col, allele_idx)] -> list of capped baseqs,
+    collected in read order (the BaseFreq.baseq Vec equivalent)."""
     region = acc.region
     vec_size = acc.length
     freq_vec_start_pos = region.start - 1
@@ -97,6 +99,8 @@ def scalar_add_read(acc: PileupTensors, read, cfg: CallerConfig):
                         acc.s_1merr[p, bi] += LOG10_1MERR[baseq]
                         if baseq >= cfg.min_baseq:
                             acc.bq_pass[p, bi] += 1
+                        if qual_lists is not None:
+                            qual_lists.setdefault((p, bi), []).append(baseq)
                     if strand == 0:
                         acc.fwd[p] += 1
                     else:
@@ -135,7 +139,7 @@ def scalar_add_read(acc: PileupTensors, read, cfg: CallerConfig):
             raise ValueError(ch)
 
 
-def scalar_pileup(bam, region, ref_seq, cfg: CallerConfig) -> PileupTensors:
+def scalar_pileup(bam, region, ref_seq, cfg: CallerConfig, qual_lists=None) -> PileupTensors:
     start0 = region.start - 1
     acc = _empty_tensors(region, ref_seq[start0:region.end - 1].copy())
     for r in bam.fetch(region.chr, region.start, region.end):
@@ -145,5 +149,5 @@ def scalar_pileup(bam, region, ref_seq, cfg: CallerConfig) -> PileupTensors:
         de = r.get_tag("de")
         if isinstance(de, float) and de >= cfg.divergence:
             continue
-        scalar_add_read(acc, r, cfg)
+        scalar_add_read(acc, r, cfg, qual_lists)
     return acc
