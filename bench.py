@@ -1,0 +1,85 @@
+#!/usr/bin/env python
+"""Benchmark: full pipeline (region discovery → pileup → candidates →
+phasing → assignment → VCF + phased BAM) on the reference repo's real demo
+reads (chr20 HiFi MAS-seq, preset hifi-masseq), against a cached consensus
+pseudo-reference (demo/chr20.fa is not vendored — see
+longcallr_tpu/utils/demo.py).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Baseline: the reference publishes no numbers and the Rust toolchain is not
+available in this image (BASELINE.md), so vs_baseline is measured against
+the round-1 recording of this same benchmark (BASELINE_READS_PER_S below);
+values > 1.0 are speedups over round 1.
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+# Round-1 recorded throughput (reads/s) of this benchmark on one TPU v5
+# litepod chip host. Updated when the baseline is re-recorded.
+BASELINE_READS_PER_S = 104.0
+
+
+def main() -> int:
+    os.environ.setdefault("JAX_ENABLE_X64", "1")
+    import jax
+
+    jax.config.update("jax_enable_x64", True)
+
+    from longcallr_tpu.config import preset
+    from longcallr_tpu.io.bam import BamFile
+    from longcallr_tpu.pipeline.caller import run
+    from longcallr_tpu.utils import malloc_tune
+    from longcallr_tpu.utils.demo import DEMO_BAM, make_consensus_reference
+
+    malloc_tune.tune()
+    here = os.path.dirname(os.path.abspath(__file__))
+    data_dir = os.path.join(here, "data")
+    os.makedirs(data_dir, exist_ok=True)
+    try:  # persistent XLA compile cache across bench runs
+        jax.config.update("jax_compilation_cache_dir",
+                          os.path.join(data_dir, "jax_cache"))
+    except Exception:
+        pass
+    ref_fa = os.path.join(data_dir, "demo_chr20_consensus.fa")
+    make_consensus_reference(DEMO_BAM, ref_fa)
+
+    cfg = preset("hifi-masseq").replace(threads=os.cpu_count() or 4)
+    out_prefix = os.path.join(data_dir, "bench_out")
+
+    bam = BamFile(DEMO_BAM, threads=cfg.threads)
+    n_reads = bam.n_records
+    # warmup run: pays jit compiles / device tunnel setup once, so the
+    # measured run reflects steady-state throughput
+    run(DEMO_BAM, ref_fa, out_prefix, cfg)
+    t0 = time.monotonic()
+    out = run(DEMO_BAM, ref_fa, out_prefix, cfg)
+    wall = time.monotonic() - t0
+    reads_per_s = n_reads / wall
+
+    result = {
+        "metric": "demo_pipeline_reads_per_s",
+        "value": round(reads_per_s, 3),
+        "unit": "reads/s",
+        "vs_baseline": round(reads_per_s / BASELINE_READS_PER_S, 3),
+    }
+    extra = {
+        "wall_s": round(wall, 3),
+        "n_reads": n_reads,
+        "n_regions": out.n_regions,
+        "n_records": out.n_records,
+        "stages": {k: round(v, 3) for k, v in out.stage_seconds.items()},
+        "platform": jax.devices()[0].platform,
+    }
+    print(json.dumps(result))
+    print(json.dumps(extra), file=sys.stderr)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,126 @@
+"""Command-line interface, mirroring the reference CLI
+(``longcallR/src/main.rs:39-185``) flag-for-flag with identical presets."""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import sys
+from typing import List, Optional
+
+from .config import PRESET_NAMES, preset
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="longcallr-tpu",
+        description="TPU-native SNP calling and phasing from long-read RNA-seq")
+    p.add_argument("-b", "--bam-path", required=True,
+                   help="Input BAM file (must be sorted)")
+    p.add_argument("-f", "--ref-path", required=True,
+                   help="Reference FASTA file (requires .fai)")
+    p.add_argument("-a", "--annotation", help="Annotation file, GFF3 or GTF")
+    p.add_argument("-o", "--output", required=True, help="Output file prefix")
+    p.add_argument("-r", "--region",
+                   help="Region chr:start-end (1-based, left-closed right-open)")
+    p.add_argument("-x", "--contigs", nargs="*", help="Contigs to process")
+    p.add_argument("-v", "--input-vcf", help="Input VCF of candidate SNPs")
+    p.add_argument("-t", "--threads", type=int, default=None)
+    p.add_argument("-p", "--preset", required=True, choices=PRESET_NAMES)
+    # tunables (None → preset default)
+    for name, typ in [
+        ("min-allele-freq", float), ("min-allele-freq-include-intron", float),
+        ("low-allele-frac-cutoff", float), ("low-allele-cnt-cutoff", int),
+        ("min-read-length", int), ("min-mapq", int), ("min-baseq", int),
+        ("divergence", float), ("min-depth", int), ("max-depth", int),
+        ("min-qual", int), ("distance-to-read-end", int),
+        ("polya-tail-length", int), ("dense-win-size", int),
+        ("min-dense-cnt", int), ("min-linkers", int), ("max-enum-snps", int),
+        ("min-phase-score", float), ("min-read-assignment-diff", float),
+        ("truncation-coverage", int), ("downsample-depth", int),
+    ]:
+        p.add_argument(f"--{name}", type=typ, default=None)
+    p.add_argument("--strand-bias", type=lambda s: s.lower() == "true",
+                   default=None)
+    p.add_argument("--truncation", action="store_true")
+    p.add_argument("--downsample", action="store_true")
+    p.add_argument("--exon-only", action="store_true")
+    p.add_argument("--no-bam-output", action="store_true")
+    p.add_argument("--get-blocks", action="store_true",
+                   help="Show all regions to be processed and exit")
+    p.add_argument("--log-level", default="INFO")
+    return p
+
+
+def config_from_args(args) -> "CallerConfig":
+    overrides = dict(
+        threads=args.threads,
+        min_allele_freq=args.min_allele_freq,
+        min_allele_freq_include_intron=args.min_allele_freq_include_intron,
+        low_allele_frac_cutoff=args.low_allele_frac_cutoff,
+        low_allele_cnt_cutoff=args.low_allele_cnt_cutoff,
+        min_read_length=args.min_read_length,
+        min_mapq=args.min_mapq, min_baseq=args.min_baseq,
+        divergence=args.divergence, min_depth=args.min_depth,
+        max_depth=args.max_depth, min_qual=args.min_qual,
+        distance_to_read_end=args.distance_to_read_end,
+        polya_tail_length=args.polya_tail_length,
+        dense_win_size=args.dense_win_size, min_dense_cnt=args.min_dense_cnt,
+        min_linkers=args.min_linkers, max_enum_snps=args.max_enum_snps,
+        min_phase_score=args.min_phase_score,
+        min_read_assignment_diff=args.min_read_assignment_diff,
+        truncation_coverage=args.truncation_coverage,
+        downsample_depth=args.downsample_depth,
+        strand_bias=args.strand_bias,
+    )
+    cfg = preset(args.preset, **overrides)
+    return cfg.replace(truncation=args.truncation, downsample=args.downsample,
+                       exon_only=args.exon_only,
+                       no_bam_output=args.no_bam_output,
+                       threads=args.threads or 1)
+
+
+def main(argv: Optional[List[str]] = None) -> int:
+    args = build_parser().parse_args(argv)
+    logging.basicConfig(level=args.log_level,
+                        format="%(asctime)s %(levelname)s %(message)s")
+    from .utils import malloc_tune
+    malloc_tune.tune()
+    cfg = config_from_args(args)
+    print(f"Preset: {args.preset}")
+
+    from .io.bam import BamFile
+    from .io.fasta import FastaFile
+    from .pipeline.caller import build_regions, run
+
+    if args.get_blocks:
+        bam = BamFile(args.bam_path, threads=max(1, cfg.threads))
+        fasta = FastaFile(args.ref_path)
+        regions, _ = build_regions(bam, fasta, cfg, args.region, args.contigs,
+                                   args.annotation)
+        for reg in regions:
+            if reg.gene_id is None:
+                print(f"{reg.chr}:{reg.start}-{reg.end} {reg.max_coverage}")
+            else:
+                print(f'{reg.chr}:{reg.start}-{reg.end} {reg.max_coverage} '
+                      f'"{reg.gene_id}"')
+        return 0
+
+    if cfg.exon_only and not args.annotation:
+        print("error: exon_only is set, but annotation file is not provided",
+              file=sys.stderr)
+        return 2
+
+    out = run(args.bam_path, args.ref_path, args.output, cfg,
+              input_vcf=args.input_vcf, input_region=args.region,
+              contigs=args.contigs, anno_path=args.annotation)
+    print(f"wrote {out.n_records} records to {out.vcf_path}")
+    if out.phased_bam_path:
+        print(f"wrote phased BAM to {out.phased_bam_path}")
+    for k, v in out.stage_seconds.items():
+        print(f"  stage {k}: {v:.2f}s")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -453,3 +453,50 @@ def make_tag_bytes(tag: str, typ: str, value) -> bytes:
     if typ == "Z":
         return head + b"Z" + value.encode() + b"\x00"
     raise ValueError(f"unsupported tag type {typ}")
+
+
+def aligned_bases_at(read: BamRead, positions: np.ndarray
+                     ) -> Tuple[np.ndarray, np.ndarray]:
+    """For sorted 0-based reference positions, return (covered_mask, bases):
+    bases[j] is the read base (ASCII) aligned at positions[j] under an
+    M/=/X op; uncovered (D/N/outside) positions have covered_mask False."""
+    positions = np.asarray(positions, dtype=np.int64)
+    n = positions.shape[0]
+    covered = np.zeros(n, dtype=bool)
+    bases = np.zeros(n, dtype=np.uint8)
+    if n == 0:
+        return covered, bases
+    seg_r: List[int] = []
+    seg_q: List[int] = []
+    seg_l: List[int] = []
+    rpos = read.pos
+    qpos = read.leading_softclips()
+    for w in read.cigar:
+        op = int(w) & 0xF
+        ln = int(w) >> 4
+        if op in (4, 5, 6):  # S,H,P
+            continue
+        if op in (0, 7, 8):  # M,=,X
+            seg_r.append(rpos)
+            seg_q.append(qpos)
+            seg_l.append(ln)
+            rpos += ln
+            qpos += ln
+        elif op == 1:        # I
+            qpos += ln
+        elif op in (2, 3):   # D,N
+            rpos += ln
+    if not seg_r:
+        return covered, bases
+    sr = np.asarray(seg_r)
+    sl = np.asarray(seg_l)
+    sq = np.asarray(seg_q)
+    si = np.searchsorted(sr, positions, side="right") - 1
+    sic = np.clip(si, 0, len(seg_r) - 1)
+    inside = (si >= 0) & (positions < sr[sic] + sl[sic])
+    if inside.any():
+        hit = np.nonzero(inside)[0]
+        qidx = sq[sic[hit]] + (positions[hit] - sr[sic[hit]])
+        covered[hit] = True
+        bases[hit] = read.seq[qidx]
+    return covered, bases

@@ -1,0 +1,274 @@
+"""VCF emission and input-candidate loading.
+
+Emission mirrors ``longcallR/src/vcf.rs:27-306`` (output_phased_vcf) and the
+header/serialisation in ``src/thread.rs:224-305`` byte-for-byte: the same
+FILTER/INFO/FORMAT branches, ``{:.2}`` float formatting, and ``as i32``
+truncation of QUAL/GQ. One deliberate deviation: the reference appends
+records in rayon completion order (nondeterministic across runs,
+thread.rs:215-221); we emit regions in deterministic (contig, start) order.
+
+The input-candidate loader replaces ``get_genotype_quality_phase_from_vcf``
+(vcf.rs:400-462, rust-htslib bcf) with a text VCF parser (plain or bgzf).
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional, Sequence, TextIO, Tuple
+
+import numpy as np
+
+from .bgzf import decompress_file
+
+VCF_HEADER_LINES = [
+    "##fileformat=VCFv4.3",
+]
+
+_FILTER_META = [
+    '##FILTER=<ID=PASS,Description="All filters passed">',
+    '##FILTER=<ID=LowQual,Description="Low phasing quality">',
+    '##FILTER=<ID=HomRef,Description="Homo reference">',
+    '##FILTER=<ID=RnaEdit,Description="RNA editing">',
+    '##FILTER=<ID=Multiallelic,Description="Multiallelic SNP">',
+    '##FILTER=<ID=dn,Description="Dense cluster of variants">',
+    '##INFO=<ID=RDS,Number=1,Type=String,Description="RNA editing or Dense SNP or Single SNP.">',
+    '##FORMAT=<ID=GT,Number=1,Type=String,Description="Genotype">',
+    '##FORMAT=<ID=PS,Number=1,Type=Integer,Description="Phase Set">',
+    '##FORMAT=<ID=GQ,Number=1,Type=Integer,Description="Genotype Quality">',
+    '##FORMAT=<ID=DP,Number=1,Type=Integer,Description="Read Depth">',
+    '##FORMAT=<ID=AF,Number=A,Type=Float,Description="Allele Frequency">',
+    '##FORMAT=<ID=PQ,Number=1,Type=Float,Description="Phasing Quality">',
+    '##FORMAT=<ID=AE,Number=A,Type=Integer,Description="Haplotype expression of two alleles">',
+    '##FORMAT=<ID=SQ,Number=1,Type=Float,Description="Somatic Score">',
+    "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\tSample",
+]
+
+
+def write_vcf_header(f: TextIO, contig_lengths: Sequence[Tuple[str, int]]) -> None:
+    """thread.rs:224-263."""
+    f.write("##fileformat=VCFv4.3\n")
+    for chrom, ln in contig_lengths:
+        f.write(f"##contig=<ID={chrom},length={ln}>\n")
+    f.write("\n".join(_FILTER_META) + "\n")
+
+
+def _as_i32(x: float) -> int:
+    """Rust `as i32`: truncation toward zero, saturating (inf → i32::MAX)."""
+    if math.isnan(x):
+        return 0
+    if x >= 2147483647.0:
+        return 2147483647
+    if x <= -2147483648.0:
+        return -2147483648
+    return int(x)
+
+
+def _f2(x) -> str:
+    """Rust `{:.2}` formatting."""
+    return f"{float(x):.2f}"
+
+
+def format_region_records(cands, min_phase_score: float) -> List[str]:
+    """output_phased_vcf (vcf.rs:27-306) for one region's CandidateSet.
+
+    Returns complete tab-joined VCF data lines. Records that end up with no
+    ALT allele are dropped, mirroring the writer loop (thread.rs:265-304)
+    which only serialises records with 1 or 2 alternatives.
+    """
+    out_lines: List[str] = []
+
+    def emit(fields):
+        if fields[4]:  # non-empty ALT
+            out_lines.append("\t".join(fields))
+    lines = None  # guard against accidental use
+    n = cands.n
+    for i in range(n):
+        chrom = cands.chrom
+        pos1 = int(cands.pos[i]) + 1
+        refb = chr(cands.ref_base[i])
+        a1 = chr(cands.alleles[i, 0])
+        a2 = chr(cands.alleles[i, 1])
+        f1 = cands.allele_freqs[i, 0]
+        f2 = cands.allele_freqs[i, 1]
+        vt = int(cands.variant_type[i])
+        geno = int(cands.genotype[i])
+        qual = _as_i32(float(cands.variant_quality[i]))
+        gq = _as_i32(float(cands.genotype_quality[i]))
+        depth = int(cands.depth[i])
+        ps = float(cands.phase_score[i])
+        pset = int(cands.phase_set[i])
+
+        def alt_single():
+            if a1 != refb:
+                return a1, f1
+            if a2 != refb:
+                return a2, f2
+            return "", 0.0
+
+        if cands.dense[i]:
+            # FILTER=dn branch (vcf.rs:31-78)
+            if vt in (1, 2):
+                alt, af0 = alt_single()
+                alt_field = alt
+            elif vt == 3:
+                alt_field = f"{a1},{a2}"
+                af0, af1 = f1, f2
+            else:
+                alt_field = ""
+            if vt == 1:
+                gt = "0/1"
+            elif vt == 2:
+                gt = "1/1"
+            elif vt == 3:
+                gt = "1/2"
+            else:
+                continue
+            if vt == 3:
+                sample = f"{gt}:{gq}:{depth}:{_f2(af0)},{_f2(af1)}"
+            else:
+                sample = f"{gt}:{gq}:{depth}:{_f2(af0)}"
+            emit([chrom, str(pos1), ".", refb, alt_field,
+                  str(qual), "dn", "RDS=dense_snp", "GT:GQ:DP:AF", sample])
+            continue
+
+        if cands.non_selected[i]:
+            # RDS=noselect branch (vcf.rs:80-174)
+            if cands.rna_editing[i]:
+                if vt in (1, 2):
+                    alt, af0 = alt_single()
+                else:
+                    continue
+                gt = "0/1" if vt == 1 else ("1/1" if vt == 2 else "0/0")
+                sample = f"{gt}:{gq}:{depth}:{_f2(af0)}"
+                emit([chrom, str(pos1), ".", refb, alt,
+                      str(qual), "RnaEdit", "RDS=noselect",
+                      "GT:GQ:DP:AF", sample])
+                continue
+            if vt in (0, 1, 2):
+                alt, af0 = alt_single()
+                if vt == 0:
+                    gt, filt = "0/0", "HomRef"
+                elif vt == 1:
+                    gt, filt = "0/1", "LowQual"
+                else:
+                    gt, filt = "1/1", "PASS"
+                alt_field = alt
+                two = False
+            else:
+                if geno in (-1, 1):
+                    alt, af0 = alt_single()
+                    alt_field = alt
+                    gt, filt = ("1/1", "PASS") if geno == -1 else ("0/0", "HomRef")
+                    two = False
+                elif geno == 0:
+                    alt_field = f"{a1},{a2}"
+                    af0, af1 = f1, f2
+                    gt, filt = "1/2", "Multiallelic"
+                    two = True
+                else:
+                    alt_field, gt, filt, af0, two = "", "0/0", "", 0.0, False
+            if two:
+                sample = f"{gt}:{gq}:{depth}:{_f2(af0)},{_f2(af1)}"
+            else:
+                sample = f"{gt}:{gq}:{depth}:{_f2(af0)}"
+            emit([chrom, str(pos1), ".", refb, alt_field,
+                  str(qual), filt, "RDS=noselect", "GT:GQ:DP:AF", sample])
+            continue
+
+        # selected branch, RDS=select (vcf.rs:175-303)
+        gt = "0/0"
+        filt = ""
+        alt_field = ""
+        af0 = af1 = 0.0
+        two = False
+        if ps >= min_phase_score:
+            if vt == 1:
+                alt_field, af0 = alt_single()
+                gt = "0|1" if int(cands.haplotype[i]) == 1 else "1|0"
+                filt = "PASS"
+        else:
+            if vt == 0:
+                alt_field, af0 = alt_single()
+                gt, filt = "0/0", "HomRef"
+            elif vt == 1:
+                alt_field, af0 = alt_single()
+                gt, filt = "0/1", "LowQual"
+            elif vt == 2:
+                alt_field, af0 = alt_single()
+                gt, filt = "1/1", "PASS"
+            else:
+                if geno in (-1, 1):
+                    alt_field, af0 = alt_single()
+                    gt, filt = ("1/1", "PASS") if geno == -1 else ("0/0", "HomRef")
+                elif geno == 0:
+                    alt_field = f"{a1},{a2}"
+                    af0, af1 = f1, f2
+                    gt, filt = "1/2", "Multiallelic"
+                    two = True
+        ps_field = str(pset) if pset != 0 else "."
+        if gt in ("0/0", "0/1", "1/1", "0|1", "1|0"):
+            sample = f"{gt}:{gq}:{ps_field}:{depth}:{_f2(af0)}:{_f2(ps)}"
+        else:
+            sample = f"{gt}:{gq}:{ps_field}:{depth}:{_f2(af0)},{_f2(af1)}:{_f2(ps)}"
+        emit([chrom, str(pos1), ".", refb, alt_field,
+              str(qual), filt, "RDS=select", "GT:GQ:PS:DP:AF:PQ", sample])
+    return out_lines
+
+
+@dataclass
+class GenotypeAndQuality:
+    genotype: int  # 0: 0/0, 1: 0/1, 2: 1/1, 3: 1/2, 4: other
+    quality: float
+    phased: bool
+
+
+def load_input_candidates(vcf_path: str) -> Dict[str, Dict[int, GenotypeAndQuality]]:
+    """get_genotype_quality_phase_from_vcf (vcf.rs:400-462): chr → 0-based
+    pos → genotype code + quality. Text VCF, plain or bgzipped."""
+    if vcf_path.endswith(".gz") or vcf_path.endswith(".bgz"):
+        text = decompress_file(vcf_path).decode()
+    else:
+        text = open(vcf_path).read()
+    out: Dict[str, Dict[int, GenotypeAndQuality]] = {}
+    for line in text.splitlines():
+        if not line or line.startswith("#"):
+            continue
+        parts = line.split("\t")
+        if len(parts) < 10:
+            continue
+        chrom = parts[0]
+        pos0 = int(parts[1]) - 1
+        try:
+            qual = float(parts[5])
+        except ValueError:
+            qual = 0.0
+        fmt = parts[8].split(":")
+        try:
+            gt_idx = fmt.index("GT")
+        except ValueError:
+            continue
+        gt = parts[9].split(":")[gt_idx]
+        phased = "|" in gt
+        sep = "|" if phased else "/"
+        al = gt.replace("|", "/").split("/")
+        if len(al) != 2:
+            continue
+        try:
+            g0 = 3 if al[0] == "." else int(al[0])
+            g1 = 3 if al[1] == "." else int(al[1])
+        except ValueError:
+            continue
+        pair = (g0, g1)
+        if pair == (0, 0):
+            code = 0
+        elif pair in ((0, 1), (1, 0)):
+            code = 1
+        elif pair == (1, 1):
+            code = 2
+        elif pair in ((1, 2), (2, 1)):
+            code = 3
+        else:
+            code = 4
+        out.setdefault(chrom, {})[pos0] = GenotypeAndQuality(code, qual, phased)
+    return out

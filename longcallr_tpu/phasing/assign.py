@@ -1,0 +1,356 @@
+"""Read/SNP assignment, rescue passes, and phase sets.
+
+Vectorised redesign of ``longcallR/src/snpfrags.rs``:
+  * assign_reads_haplotype (snpfrags.rs:548-625): per-read surrogate q vs
+    flipped q over {for_phasing, haplotyped, het} columns, with the
+    read-assignment-diff cutoff;
+  * assign_snp_haplotype_genotype (snpfrags.rs:378-546): per-SNP 4-way
+    (δ, η) re-argmax with variant-type-dependent read gathers, phase score
+    with the 0.19940219 sentinel;
+  * eval_rna_edit_var_phase / eval_low_frac_var_phase (snpfrags.rs:191-376):
+    rescue of edit/low-frac candidates at a relaxed threshold;
+  * assign_phase_set (snpfrags.rs:628-733): consistency graph + connected
+    components; PS id = 1-based position of the smallest-position SNP in the
+    component (the reference takes the first node of the kosaraju component,
+    whose order is unspecified — see SURVEY.md §4).
+
+State lives in the CandidateSet / FragmentMatrix numpy arrays; the masked
+sums reuse the phasing kernels (CPU or TPU backend).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Dict, List, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import CallerConfig
+from ..ops.candidates import CandidateSet
+from .fragments import FragmentMatrix
+from .kernels import CellTables, f64, make_cell_tables
+
+PHASE_SCORE_SENTINEL = 0.19940219  # snpfrags.rs:486
+
+
+def _cell_terms(ct: CellTables):
+    p = np.asarray(ct.p)
+    l1m = np.asarray(ct.l1m)
+    lerr = np.asarray(ct.lerr)
+    return p, l1m, lerr
+
+
+def assign_reads_haplotype(frags: FragmentMatrix, cands: CandidateSet,
+                           cfg: CallerConfig, ct: CellTables,
+                           apply_downsampling: bool) -> Dict[str, int]:
+    """snpfrags.rs:548-625. Mutates frags.{haplotag, assignment,
+    assignment_score}; returns read_id → 0/1/2."""
+    K, I = frags.p.shape
+    p, l1m, lerr = _cell_terms(ct)
+    col = (cands.for_phasing & (cands.haplotype != 0)
+           & (cands.genotype == 0))
+    delta = cands.haplotype.astype(np.float64)
+    # all gathered cells have eta==0 → x = σ·δ
+    m = (frags.p != 0) & col[None, :]
+    x_plus = delta[None, :]          # σ=+1
+    tp = np.where(m, np.where(p == x_plus, l1m, lerr), 0.0).sum(axis=1)
+    tm = np.where(m, np.where(p == -x_plus, l1m, lerr), 0.0).sum(axis=1)
+    ncells = m.sum(axis=1)
+    d = tp + tm
+
+    ds = frags.downsampled if apply_downsampling else np.ones(K, bool)
+    out: Dict[str, int] = {}
+    for k in np.nonzero(frags.for_phasing & ds)[0]:
+        sigma_k = int(frags.haplotag[k])
+        if sigma_k == 0 or ncells[k] == 0:
+            frags.assignment[k] = 0
+            frags.haplotag[k] = 0
+            frags.assignment_score[k] = 0.0
+            out[frags.qnames[k]] = 0
+            continue
+        lcur = tp[k] if sigma_k == 1 else tm[k]
+        lflip = tm[k] if sigma_k == 1 else tp[k]
+        q = 1.0 - lcur / d[k]
+        qn = 1.0 - lflip / d[k]
+        if abs(q - qn) >= cfg.min_read_assignment_diff:
+            if q >= qn:
+                frags.assignment[k] = 1 if sigma_k == 1 else 2
+                frags.assignment_score[k] = q
+            else:
+                frags.assignment[k] = 2 if sigma_k == 1 else 1
+                frags.assignment_score[k] = qn
+                frags.haplotag[k] = -sigma_k
+            out[frags.qnames[k]] = int(frags.assignment[k])
+        else:
+            frags.assignment[k] = 0
+            frags.haplotag[k] = 0
+            frags.assignment_score[k] = 0.0
+            out[frags.qnames[k]] = 0
+    return out
+
+
+def _column_sums(frags: FragmentMatrix, ct: CellTables, read_mask: np.ndarray,
+                 delta: np.ndarray):
+    """Per-SNP masked sums over cells of reads in read_mask[K] (or [K,I]):
+    returns (S_match(δ), S_flip, S_refe, S_alte, cov, n_hap1, n_hap2)."""
+    p, l1m, lerr = _cell_terms(ct)
+    if read_mask.ndim == 1:
+        read_mask = read_mask[:, None]
+    m = (frags.p != 0) & read_mask
+    sigma = frags.haplotag.astype(np.float64)
+    x = sigma[:, None] * delta[None, :]
+    s_match = np.where(m, np.where(p == x, l1m, lerr), 0.0).sum(axis=0)
+    s_flip = np.where(m, np.where(p == -x, l1m, lerr), 0.0).sum(axis=0)
+    s_refe = np.where(m, np.where(p == 1.0, l1m, lerr), 0.0).sum(axis=0)
+    s_alte = np.where(m, np.where(p == -1.0, l1m, lerr), 0.0).sum(axis=0)
+    cov = m.sum(axis=0)
+    n_h1 = (m & (frags.assignment == 1)[:, None]).sum(axis=0)
+    n_h2 = (m & (frags.assignment == 2)[:, None]).sum(axis=0)
+    return s_match, s_flip, s_refe, s_alte, cov, n_h1, n_h2
+
+
+def _snp_qs_np(s_match, s_flip, s_refe, s_alte, cov):
+    ph = np.where(cov == 0, math.log10(0.001),
+                  math.log10(0.001) - cov * math.log10(2.0))
+    p_homref = math.log10(1.0 - 1.5 * 0.001)
+    p_homvar = math.log10(0.5 * 0.001)
+    n1 = s_match + ph
+    n2 = s_flip + ph
+    n3 = s_refe + p_homref
+    n4 = s_alte + p_homvar
+    d = n4 + n1 + n3 + n2
+    with np.errstate(invalid="ignore"):
+        return 1.0 - n1 / d, 1.0 - n2 / d, 1.0 - n3 / d, 1.0 - n4 / d
+
+
+def _phase_score_cols(frags: FragmentMatrix, ct: CellTables,
+                      read_mask, delta_sign: np.ndarray) -> np.ndarray:
+    """-10·log10(1 - cal_phase_score_log(δ, 0, ...)) per column
+    (snpfrags.rs:483, phase.rs:238-255)."""
+    p, l1m, lerr = _cell_terms(ct)
+    if read_mask.ndim == 1:
+        read_mask = read_mask[:, None]
+    m = (frags.p != 0) & read_mask
+    sigma = frags.haplotag.astype(np.float64)
+    xs = sigma[:, None] * np.ones_like(p)
+    lp = np.where(m, np.where(p == xs, l1m, lerr), 0.0).sum(axis=0)
+    lm = np.where(m, np.where(p == -xs, l1m, lerr), 0.0).sum(axis=0)
+    lcur = np.where(delta_sign > 0, lp, lm)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        q = 1.0 - lcur / (lp + lm)
+        return -10.0 * np.log10(1.0 - q)
+
+
+def assign_snp_haplotype_genotype(frags: FragmentMatrix, cands: CandidateSet,
+                                  cfg: CallerConfig, ct: CellTables,
+                                  apply_downsampling: bool) -> None:
+    """snpfrags.rs:378-546. Mutates cands haplotype/genotype/variant_type/
+    phase_score/non_selected/single."""
+    K, I = frags.p.shape
+    if I == 0:
+        return
+    ds = frags.downsampled if apply_downsampling else np.ones(K, bool)
+    base = frags.for_phasing & (frags.num_hete_links >= cfg.min_linkers) & ds
+    # two gather variants: vt==1 requires assignment != 0 (snpfrags.rs:417)
+    mask_a = base & (frags.assignment != 0)
+    mask_b = base
+    delta = cands.haplotype.astype(np.float64)
+    sm_a, sf_a, sr_a, sa_a, cov_a, h1_a, h2_a = _column_sums(frags, ct, mask_a, delta)
+    sm_b, sf_b, sr_b, sa_b, cov_b, h1_b, h2_b = _column_sums(frags, ct, mask_b, delta)
+    vt1 = cands.variant_type == 1  # gather choice fixed BEFORE updates
+    pick = lambda a, b: np.where(vt1, a, b)
+    s_match, s_flip, s_refe, s_alte = (pick(sm_a, sm_b), pick(sf_a, sf_b),
+                                       pick(sr_a, sr_b), pick(sa_a, sa_b))
+    cov = pick(cov_a, cov_b)
+    n_h1 = pick(h1_a, h1_b)
+    n_h2 = pick(h2_a, h2_b)
+    q1, q2, q3, q4 = _snp_qs_np(s_match, s_flip, s_refe, s_alte, cov)
+    # phase-score column log-sums for both gather variants (δ-independent)
+    lp_a, lm_a = _phase_lp_lm(frags, ct, mask_a)
+    lp_b, lm_b = _phase_lp_lm(frags, ct, mask_b)
+    lp = pick(lp_a, lp_b)
+    lm = pick(lm_a, lm_b)
+
+    has_cover = (frags.p != 0).any(axis=0) if K else np.zeros(I, bool)
+    for i in range(I):
+        if not cands.for_phasing[i]:
+            cands.non_selected[i] = True
+            continue
+        if not has_cover[i]:
+            cands.single[i] = True
+            continue
+        if cov[i] == 0:
+            cands.non_selected[i] = True
+            continue
+        qs = (q1[i], q2[i], q3[i], q4[i])
+        mx = max(qs)
+        if q1[i] == mx:
+            cands.genotype[i] = 0
+            cands.variant_type[i] = 1
+        elif q2[i] == mx:
+            cands.haplotype[i] = -cands.haplotype[i]
+            cands.genotype[i] = 0
+            cands.variant_type[i] = 1
+        elif q3[i] == mx:
+            cands.genotype[i] = 1
+            cands.variant_type[i] = 0
+        else:
+            cands.genotype[i] = -1
+            if cands.variant_type[i] not in (2, 3):
+                cands.variant_type[i] = 2
+        if cands.genotype[i] != 0:
+            cands.non_selected[i] = True
+            continue
+        if cov[i] > 0 and n_h1[i] >= 1 and n_h2[i] >= 1:
+            lcur = lp[i] if cands.haplotype[i] > 0 else lm[i]
+            # exact reference expression: -10·log10(1 - (1 - lcur/Σ))
+            q = 1.0 - lcur / (lp[i] + lm[i])
+            cands.phase_score[i] = -10.0 * math.log10(1.0 - q)
+        else:
+            cands.phase_score[i] = PHASE_SCORE_SENTINEL
+
+
+def _phase_lp_lm(frags: FragmentMatrix, ct: CellTables, read_mask: np.ndarray):
+    """Column sums L(+1), L(-1) for cal_phase_score_log (x = σ·δ, η=0)."""
+    p, l1m, lerr = _cell_terms(ct)
+    if read_mask.ndim == 1:
+        read_mask = read_mask[:, None]
+    m = (frags.p != 0) & read_mask
+    sigma = frags.haplotag.astype(np.float64)
+    xs = sigma[:, None] * np.ones_like(p)
+    lp = np.where(m, np.where(p == xs, l1m, lerr), 0.0).sum(axis=0)
+    lm = np.where(m, np.where(p == -xs, l1m, lerr), 0.0).sum(axis=0)
+    return lp, lm
+
+
+def _eval_rescue(frags: FragmentMatrix, cands: CandidateSet,
+                 cfg: CallerConfig, ct: CellTables, idx: np.ndarray,
+                 min_phase_score: float, apply_downsampling: bool,
+                 rng: np.random.Generator, kind: str) -> None:
+    """Shared body of eval_rna_edit_var_phase (snpfrags.rs:191-281) and
+    eval_low_frac_var_phase (snpfrags.rs:283-376)."""
+    K, I = frags.p.shape
+    if idx.size == 0 or K == 0:
+        return
+    ds = frags.downsampled if apply_downsampling else np.ones(K, bool)
+    gmask = (frags.for_phasing & (frags.assignment != 0)
+             & (frags.num_hete_links >= cfg.min_linkers) & ds)
+    m = (frags.p != 0) & gmask[:, None]
+    cov = m.sum(axis=0)
+    n_h1 = (m & (frags.assignment == 1)[:, None]).sum(axis=0)
+    n_h2 = (m & (frags.assignment == 2)[:, None]).sum(axis=0)
+    ps1 = _phase_score_cols(frags, ct, gmask, np.ones(I))
+    ps2 = _phase_score_cols(frags, ct, gmask, -np.ones(I))
+    has_cover = (frags.p != 0).any(axis=0)
+    for i in idx.tolist():
+        if not has_cover[i]:
+            cands.single[i] = True
+            continue
+        if cands.variant_type[i] != 1:
+            cands.non_selected[i] = True
+            continue
+        if cov[i] == 0 or n_h1[i] < 2 or n_h2[i] < 2:
+            cands.single[i] = True
+            continue
+        cands.single[i] = False
+        best = max(ps1[i], ps2[i])
+        if best >= min_phase_score:
+            # in-phase: rescue (snpfrags.rs:250-274, 342-368)
+            cands.non_selected[i] = False
+            cands.rna_editing[i] = False
+            if kind == "somatic":
+                cands.cand_somatic[i] = False
+            cands.for_phasing[i] = True
+            covers = np.nonzero(frags.p[:, i] != 0)[0]
+            for k in covers:
+                frags.for_phasing[k] = True
+                if frags.haplotag[k] == 0 or frags.assignment[k] == 0:
+                    frags.haplotag[k] = -1 if rng.random() < 0.5 else 1
+            cands.haplotype[i] = 1 if ps1[i] >= ps2[i] else -1
+            cands.genotype[i] = 0
+            cands.variant_type[i] = 1
+            cands.phase_score[i] = best
+        else:
+            cands.non_selected[i] = True
+            if kind == "edit":
+                cands.rna_editing[i] = True
+            else:
+                cands.cand_somatic[i] = True
+                cands.for_phasing[i] = False
+
+
+def eval_rna_edit_var_phase(frags, cands, cfg, ct, min_phase_score,
+                            apply_downsampling, rng) -> None:
+    _eval_rescue(frags, cands, cfg, ct, np.nonzero(cands.rna_editing)[0],
+                 min_phase_score, apply_downsampling, rng, "edit")
+
+
+def eval_low_frac_var_phase(frags, cands, cfg, ct, min_phase_score,
+                            apply_downsampling, rng) -> None:
+    _eval_rescue(frags, cands, cfg, ct, np.nonzero(cands.cand_somatic)[0],
+                 min_phase_score, apply_downsampling, rng, "somatic")
+
+
+def assign_phase_set(frags: FragmentMatrix, cands: CandidateSet,
+                     min_phase_score: float) -> Dict[str, int]:
+    """snpfrags.rs:628-733: consistency graph over confident phased hets,
+    connected components → PS ids; reads inherit the PS of their edges
+    (first-wins). Mutates cands.phase_set; returns read_id → PS."""
+    K, I = frags.p.shape
+    node_mask = ((cands.genotype == 0) & (cands.variant_type == 1)
+                 & ~cands.dense & ~cands.rna_editing
+                 & (cands.phase_score >= min_phase_score))
+    nodes = np.nonzero(node_mask)[0]
+    phase_sets: Dict[str, int] = {}
+    if nodes.size == 0:
+        return phase_sets
+    parent = {int(i): int(i) for i in nodes}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    # edges: per active frag, consistent ordered node pairs (snpfrags.rs:674-693)
+    hap = cands.haplotype.astype(np.int64)
+    edge_frags: Dict[Tuple[int, int], List[int]] = {}
+    active = np.nonzero(frags.for_phasing & (frags.assignment != 0))[0]
+    for k in active.tolist():
+        cols = np.nonzero((frags.p[k] != 0) & node_mask)[0]
+        if cols.size == 1:
+            i = int(cols[0])
+            edge_frags.setdefault((i, i), []).append(k)  # self loop
+        elif cols.size >= 2:
+            pvals = frags.p[k, cols].astype(np.int64)
+            for a in range(cols.size):
+                for b in range(cols.size):
+                    if a == b:
+                        continue
+                    i, j = int(cols[a]), int(cols[b])
+                    if hap[i] * hap[j] != pvals[a] * pvals[b]:
+                        continue
+                    union(i, j)
+                    key = (i, j) if i < j else (j, i)
+                    edge_frags.setdefault(key, []).append(k)
+    # components → PS id = 1-based pos of smallest-position member
+    comp_nodes: Dict[int, List[int]] = {}
+    for i in nodes.tolist():
+        comp_nodes.setdefault(find(int(i)), []).append(int(i))
+    node_ps = {}
+    for root, members in sorted(comp_nodes.items()):
+        ps_id = int(cands.pos[min(members)]) + 1
+        for i in members:
+            cands.phase_set[i] = ps_id
+            node_ps[i] = ps_id
+    for (i, j), ks in sorted(edge_frags.items()):
+        ps_id = node_ps[i]
+        for k in ks:
+            phase_sets.setdefault(frags.qnames[k], ps_id)
+    return phase_sets

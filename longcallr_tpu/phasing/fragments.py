@@ -1,0 +1,234 @@
+"""Fragment extraction: reads × candidate-SNPs allele matrices.
+
+TPU-first redesign of ``longcallR/src/fragment.rs:10-309``
+(SNPFrag::get_fragments). The reference builds per-read Vec<FragElem> lists
+plus HashMap LD-pair counts; here each region produces a dense
+``[K reads × I candidates]`` cell matrix (int8 p-allele, uint8 capped baseq)
+that feeds the batched phasing kernels directly, plus vectorised LD pair
+counts.
+
+Replicated semantics:
+  * p = +1 if base == reference, -1 if base in {allele1, allele2} and != ref,
+    else 0 (fragment.rs:134-143); only p != 0 cells at non-dense candidates
+    enter the fragment (fragment.rs:148-152);
+  * baseq capped at 30; prob = 10^(-q/10) (fragment.rs:127-133);
+  * num_hete_links counts phase-site cells; for_phasing = links >=
+    min_linkers (fragment.rs:242-254);
+  * LD pair counts: for LD-consumed pairs (both SNPs biallelic-with-ref,
+    candidate.rs:640-665) the base→{ref,alt} mapping is a bijection of p, so
+    counts are accumulated directly as 2×2 (ref/alt)² tables — exactly the
+    entries ``calculate_ld`` (snp.rs:158-188) reads.
+
+The reference also accumulates ``SNPFrag.edges`` (fragment.rs:266-292), but
+no live code path consumes them — not materialised here.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+from ..config import CallerConfig, MAX_BASE_QUALITY
+from ..io.bam import BamFile
+from ..ops.candidates import CandidateSet
+from ..tiles.regions import Region
+
+_M, _I, _D, _N, _S, _H, _P, _EQ, _X = range(9)
+
+
+@dataclass
+class FragmentMatrix:
+    """Dense fragment/candidate incidence data for one region."""
+
+    region: Region
+    # cells: exists iff the read has a p!=0 base at a non-dense candidate
+    p: np.ndarray            # [K,I] int8 in {-1,0,+1}; 0 == no cell
+    baseq: np.ndarray        # [K,I] uint8 (capped at 30), valid where p != 0
+    qnames: List[str]
+    num_hete_links: np.ndarray   # [K] int32
+    for_phasing: np.ndarray      # [K] bool
+    downsampled: np.ndarray      # [K] bool (all True unless downsampling)
+    # haplotag sigma: 0 unassigned, ±1 (fragment.haplotag equivalent)
+    haplotag: np.ndarray         # [K] int8
+    assignment: np.ndarray       # [K] int8 (0/1/2)
+    assignment_score: np.ndarray  # [K] float64
+    # LD pair counts: key (i, j) with i < j (candidate indices), value 2x2
+    # int32 [a_i in {ref=0, alt=1}][a_j] — only pairs where both SNPs have
+    # ref among alleles (the only pairs calculate_ld consumes)
+    ld_counts: Dict[Tuple[int, int], np.ndarray] = field(default_factory=dict)
+
+    @property
+    def n_frags(self) -> int:
+        return self.p.shape[0]
+
+    @property
+    def n_snps(self) -> int:
+        return self.p.shape[1]
+
+    def exists(self) -> np.ndarray:
+        return self.p != 0
+
+
+def _read_cells(read, cand_pos: np.ndarray, start_idx: int, end_idx: int,
+                ref_alleles: np.ndarray, alleles: np.ndarray
+                ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Return (cand_indices, p, baseq) for candidate SNPs under M-ops of this
+    read. cand_pos[start_idx:end_idx] are the candidates in the read span."""
+    if start_idx >= end_idx:
+        return (np.empty(0, np.int64),) * 3
+    sub_pos = cand_pos[start_idx:end_idx]
+    ops = read.cigar_ops
+    lens = read.cigar_lens
+    # M-segment tables
+    seg_r: List[int] = []
+    seg_q: List[int] = []
+    seg_l: List[int] = []
+    rpos = read.pos
+    qpos = read.leading_softclips()
+    for op, ln in zip(ops.tolist(), lens.tolist()):
+        if op in (_S, _H, _P):
+            continue
+        if op in (_M, _EQ, _X):
+            seg_r.append(rpos)
+            seg_q.append(qpos)
+            seg_l.append(ln)
+            rpos += ln
+            qpos += ln
+        elif op == _I:
+            qpos += ln
+        elif op in (_D, _N):
+            rpos += ln
+    if not seg_r:
+        return (np.empty(0, np.int64),) * 3
+    seg_r_arr = np.asarray(seg_r, dtype=np.int64)
+    seg_l_arr = np.asarray(seg_l, dtype=np.int64)
+    seg_q_arr = np.asarray(seg_q, dtype=np.int64)
+    # locate each candidate position in the M segments
+    si = np.searchsorted(seg_r_arr, sub_pos, side="right") - 1
+    si_c = np.clip(si, 0, len(seg_r) - 1)
+    inside = (si >= 0) & (sub_pos < seg_r_arr[si_c] + seg_l_arr[si_c])
+    if not inside.any():
+        return (np.empty(0, np.int64),) * 3
+    hit = np.nonzero(inside)[0]
+    qidx = seg_q_arr[si_c[hit]] + (sub_pos[hit] - seg_r_arr[si_c[hit]])
+    seq = read.seq
+    qual = read.qual
+    base = seq[qidx]
+    bq = np.minimum(qual[qidx], MAX_BASE_QUALITY)
+    ci = hit + start_idx
+    ref_b = ref_alleles[ci]
+    a0 = alleles[ci, 0]
+    a1 = alleles[ci, 1]
+    p = np.where(base == ref_b, 1,
+                 np.where((base == a0) | (base == a1), -1, 0)).astype(np.int8)
+    return ci, p, bq
+
+
+def get_fragments(bam: BamFile, region: Region, cands: CandidateSet,
+                  cfg: CallerConfig) -> FragmentMatrix:
+    """Second BAM pass: build the fragment matrix for one region."""
+    I = cands.n
+    lo, hi = bam.contig_record_range(region.chr)
+    rows_p: List[np.ndarray] = []
+    rows_q: List[np.ndarray] = []
+    rows_i: List[np.ndarray] = []
+    qnames: List[str] = []
+    ld_counts: Dict[Tuple[int, int], np.ndarray] = {}
+    if I == 0 or lo == hi:
+        return FragmentMatrix(
+            region=region, p=np.zeros((0, I), np.int8),
+            baseq=np.zeros((0, I), np.uint8), qnames=[],
+            num_hete_links=np.zeros(0, np.int32),
+            for_phasing=np.zeros(0, bool), downsampled=np.ones(0, bool),
+            haplotag=np.zeros(0, np.int8), assignment=np.zeros(0, np.int8),
+            assignment_score=np.zeros(0, np.float64), ld_counts=ld_counts)
+
+    cand_pos = cands.pos
+    last_pos = int(cand_pos[-1])
+    not_dense = ~cands.dense
+    phase_site = cands.for_phasing.copy()
+    # LD-relevant snps: ref is among the two alleles (candidate.rs:640-665)
+    ref_in_alleles = ((cands.alleles[:, 0] == cands.ref_base)
+                      | (cands.alleles[:, 1] == cands.ref_base))
+
+    # same fetch semantics as the pileup pass (fragment.rs:20-22)
+    hi = lo + int(np.searchsorted(bam.pos[lo:hi], region.end, side="left"))
+    pair_keys: List[np.ndarray] = []
+    I4 = 4 * I  # packed key: i1*(4I) + i2*4 + a1*2 + a2
+    for ridx in range(lo, hi):
+        r = bam.read(ridx)
+        if (r.mapq < cfg.min_mapq or r.l_seq < cfg.min_read_length
+                or r.is_unmapped or r.is_secondary or r.is_supplementary):
+            continue
+        de = r.get_tag("de")
+        if isinstance(de, float) and de >= cfg.divergence:
+            continue
+        if r.reference_end() <= region.start:
+            continue
+        pos = r.pos
+        if pos > last_pos:
+            continue  # fragment.rs:52-54
+        s_idx = int(np.searchsorted(cand_pos, pos, side="left"))
+        e_idx = int(np.searchsorted(cand_pos, r.reference_end(), side="left"))
+        ci, p, bq = _read_cells(r, cand_pos, s_idx, e_idx,
+                                cands.ref_base, cands.alleles)
+        # keep p != 0 at non-dense candidates (fragment.rs:148-152)
+        keep = (p != 0) & not_dense[ci]
+        ci, p, bq = ci[keep], p[keep], bq[keep]
+        # LD pair keys over all kept cell pairs (fragment.rs:208-240),
+        # restricted to the pairs calculate_ld can consume; aggregated
+        # globally after the read loop
+        ld_ok = ref_in_alleles[ci]
+        li = ci[ld_ok].astype(np.int64)
+        lp = (1 - p[ld_ok].astype(np.int64)) // 2  # ref→0, alt→1
+        m = len(li)
+        if m >= 2:
+            ia, ib = np.triu_indices(m, k=1)
+            # candidate indices are ascending within a read already
+            pair_keys.append(li[ia] * I4 + li[ib] * 4 + lp[ia] * 2 + lp[ib])
+        rows_i.append(ci)
+        rows_p.append(p)
+        rows_q.append(bq)
+        qnames.append(r.qname)
+
+    # aggregate LD pair counts
+    if pair_keys:
+        allk = np.concatenate(pair_keys)
+        uniq, cnts = np.unique(allk, return_counts=True)
+        for key, c in zip(uniq.tolist(), cnts.tolist()):
+            i1, rest = divmod(key, I4)
+            i2, a = divmod(rest, 4)
+            tbl = ld_counts.get((i1, i2))
+            if tbl is None:
+                tbl = np.zeros((2, 2), np.int32)
+                ld_counts[(i1, i2)] = tbl
+            tbl[a // 2, a % 2] += c
+
+    K = len(qnames)
+    P = np.zeros((K, I), np.int8)
+    Q = np.zeros((K, I), np.uint8)
+    for k in range(K):
+        P[k, rows_i[k]] = rows_p[k]
+        Q[k, rows_i[k]] = rows_q[k]
+    hete_links = ((P != 0) & phase_site[None, :]).sum(axis=1).astype(np.int32)
+    assert cfg.min_linkers > 0, "min_linkers <= 0"
+    for_phasing = hete_links >= cfg.min_linkers
+    return FragmentMatrix(
+        region=region, p=P, baseq=Q, qnames=qnames,
+        num_hete_links=hete_links, for_phasing=for_phasing,
+        downsampled=np.ones(K, bool),
+        haplotag=np.zeros(K, np.int8), assignment=np.zeros(K, np.int8),
+        assignment_score=np.zeros(K, np.float64), ld_counts=ld_counts)
+
+
+def downsample_fragments(frags: FragmentMatrix, downsample_depth: int,
+                         seed: int) -> None:
+    """Seeded downsampling (thread.rs:144-151, phase.rs:693-701). Uses numpy's
+    seeded shuffle — same fixed-seed convention, different stream than Rust
+    StdRng (see SURVEY.md §4 determinism caveat)."""
+    rng = np.random.default_rng(seed)
+    idx = rng.permutation(frags.n_frags)[:downsample_depth]
+    frags.downsampled[:] = False
+    frags.downsampled[idx] = True

@@ -1,0 +1,478 @@
+"""Phasing optimizer: synchronous coordinate ascent + enumeration.
+
+TPU-first redesign of ``longcallR/src/phase.rs:810-1395`` (cross_optimize,
+phase, cross_optimize_by_block). The reference's per-read/per-SNP argmax
+loops are *synchronous* (all reads update from the current SNP state, then
+all SNPs from the new read state — tmp maps applied after each half-step),
+so each half-step is one batched kernel call; the ≤21-iteration ascent
+becomes a ``lax.while_loop`` that is vmappable across the 2^n enumeration
+configs (phase.rs:1097-1122) and across regions.
+
+Monotonicity bookkeeping (check_new_haplotag / check_new_haplotype_genotype,
+phase.rs:278-355) is computed with the same surrogate sums; the reference
+accumulates them in random HashMap order, ours in index order (see SURVEY.md
+§4 determinism caveat).
+
+Known deliberate deviation: the reference's cross_optimize_by_block
+(phase.rs:1298-1394) accumulates read flips in a HashMap that is never
+cleared between blocks and only honours them when the *last* block flips —
+behaviour that depends on Rust's randomized HashMap/SCC iteration order and
+is nondeterministic run-to-run. We implement the evident intent: each block
+that improves flips its own fully-contained reads.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+from functools import partial
+from typing import Dict, List, NamedTuple, Optional, Set, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import CallerConfig
+from ..ops.candidates import CandidateSet
+from .fragments import FragmentMatrix
+from .kernels import (CellTables, f64, make_cell_tables, overall_probability,
+                      prior_het_log, read_logliks, sigma_q, snp_q_for,
+                      snp_qs, snp_sums)
+
+
+class PhaseState(NamedTuple):
+    sigma: jnp.ndarray   # [K] f64 in {-1,0,+1}
+    delta: jnp.ndarray   # [I] f64 in {-1,+1} (0 = unassigned)
+    eta: jnp.ndarray     # [I] f64 in {-1,0,+1}
+
+
+def _sigma_step(ct: CellTables, st: PhaseState, read_base, site_mask):
+    """One σ half-step (phase.rs:823-869). Returns (new_sigma, improved)."""
+    lp, lm, ncell = read_logliks(ct, st.delta, st.eta, site_mask[None, :])
+    upd = read_base & (st.sigma != 0) & (ncell > 0)
+    q, qn = sigma_q(lp, lm, st.sigma)
+    flip = upd & (q < qn)
+    new_sigma = jnp.where(flip, -st.sigma, st.sigma)
+    q_new = jnp.where(flip, qn, q)
+    logp = jnp.where(upd, q_new, 0.0).sum()
+    pre = jnp.where(upd, q, 0.0).sum()
+    return new_sigma, logp > pre
+
+
+def _snp_step(ct: CellTables, st: PhaseState, read_base, site_mask,
+              conserved, with_genotype: bool, keep_conserved: bool):
+    """One (δ, η) half-step (phase.rs:871-965). Returns (delta, eta, improved)."""
+    read_mask = read_base & (st.sigma != 0)
+    s_match, s_flip, s_refe, s_alte, cov = snp_sums(
+        ct, st.sigma, st.delta, read_mask, site_mask)
+    q1, q2, q3, q4 = snp_qs(s_match, s_flip, s_refe, s_alte, cov)
+    upd = site_mask & (cov > 0)
+    if keep_conserved:
+        upd &= ~conserved
+    if with_genotype:
+        mx = jnp.maximum(jnp.maximum(q1, q2), jnp.maximum(q3, q4))
+        # tie order q1 > q2 > q3 > q4 (phase.rs:909-921)
+        pick = jnp.where(q1 == mx, 0,
+                         jnp.where(q2 == mx, 1, jnp.where(q3 == mx, 2, 3)))
+    else:
+        het = st.eta == 0
+        pick = jnp.where(het,
+                         jnp.where(q1 >= q2, 0, 1),
+                         jnp.where(q3 >= q4, 2, 3))
+    new_delta = jnp.where(upd & (pick == 1), -st.delta, st.delta)
+    new_eta = jnp.where(
+        upd, jnp.where(pick <= 1, 0.0, jnp.where(pick == 2, 1.0, -1.0)),
+        st.eta)
+    q_new = jnp.where(pick == 0, q1, jnp.where(pick == 1, q2,
+                      jnp.where(pick == 2, q3, q4)))
+    q_old = snp_q_for(s_match, s_flip, s_refe, s_alte, cov, st.eta)
+    logp = jnp.where(upd, q_new, 0.0).sum()
+    pre = jnp.where(upd, q_old, 0.0).sum()
+    return new_delta, new_eta, logp > pre
+
+
+@partial(jax.jit, static_argnames=("with_genotype", "keep_conserved"))
+def cross_optimize(ct: CellTables, st: PhaseState, read_base: jnp.ndarray,
+                   site_mask: jnp.ndarray, conserved: jnp.ndarray,
+                   with_genotype: bool, keep_conserved: bool
+                   ) -> Tuple[PhaseState, jnp.ndarray]:
+    """Alternating coordinate ascent, ≤21 iterations (phase.rs:810-976).
+    Returns (final state, overall log10 probability)."""
+
+    def cond(carry):
+        st, it, go = carry
+        return go & (it < 21)
+
+    def body(carry):
+        st, it, _ = carry
+        new_sigma, s_inc = _sigma_step(ct, st, read_base, site_mask)
+        st = st._replace(sigma=new_sigma)
+        new_delta, new_eta, d_inc = _snp_step(
+            ct, st, read_base, site_mask, conserved, with_genotype,
+            keep_conserved)
+        st = st._replace(delta=new_delta, eta=new_eta)
+        return st, it + 1, s_inc | d_inc
+
+    st, _, _ = jax.lax.while_loop(cond, body, (st, jnp.int32(0), jnp.bool_(True)))
+    read_mask = read_base & (st.sigma != 0)
+    prob = overall_probability(ct, st.sigma, st.delta, st.eta, read_mask,
+                               site_mask[None, :])
+    return st, prob
+
+
+# vmapped enumeration: one cross_optimize per initial haplotype config
+_enum_vmap = jax.jit(jax.vmap(
+    lambda ct, sigma0, delta0, eta0, rb, sm, cons: cross_optimize(
+        ct, PhaseState(sigma0, delta0, eta0), rb, sm, cons,
+        with_genotype=True, keep_conserved=False),
+    in_axes=(None, 0, 0, None, None, None, None)))
+
+
+def enumeration_order(n: int) -> np.ndarray:
+    """All 2^n haplotype configs in the reference's enumeration order
+    (phase.rs:1099-1106): start at all-ones; for each snp, append copies of
+    every existing config with that snp flipped."""
+    configs = [np.ones(n, dtype=np.int8)]
+    for ti in range(n):
+        for tj in range(len(configs)):
+            c = configs[tj].copy()
+            c[ti] = -c[ti]
+            configs.append(c)
+    assert len(configs) == 2 ** n
+    return np.stack(configs) if n > 0 else np.ones((1, 0), dtype=np.int8)
+
+
+# ---------------------------------------------------------------------------
+# LD blocks (host): divide_snps_into_blocks (candidate.rs:615-747)
+# ---------------------------------------------------------------------------
+
+@dataclass
+class LDInfo:
+    pair_ld: Dict[Tuple[int, int], Tuple[float, int]]  # (score f32, weight)
+    blocks: List[List[int]]          # each ≥1 snp, sorted; list sorted by min
+    block_id: np.ndarray             # [I] int32, -1 if unblocked
+    adj: Dict[int, List[int]]        # ld_graph adjacency (post weight filter)
+
+
+def compute_ld_blocks(cands: CandidateSet, frags: FragmentMatrix,
+                      ld_weight_threshold: int = 1) -> LDInfo:
+    pair_ld: Dict[Tuple[int, int], Tuple[float, int]] = {}
+    edges: Dict[Tuple[int, int], int] = {}
+    nodes: Set[int] = set()
+    ref_ok = ((cands.alleles[:, 0] == cands.ref_base)
+              | (cands.alleles[:, 1] == cands.ref_base))
+    # allele_freqs of (ref, alt) nonzero requirement (candidate.rs:670-676)
+    ref_is_a1 = cands.alleles[:, 0] == cands.ref_base
+    ref_frac = np.where(ref_is_a1, cands.allele_freqs[:, 0], cands.allele_freqs[:, 1])
+    alt_frac = np.where(ref_is_a1, cands.allele_freqs[:, 1], cands.allele_freqs[:, 0])
+    for (i, j), tbl in frags.ld_counts.items():
+        if not (cands.for_phasing[i] and cands.for_phasing[j]):
+            continue
+        if not (ref_ok[i] and ref_ok[j]):
+            continue
+        if ref_frac[i] == 0 or alt_frac[i] == 0 or ref_frac[j] == 0 or alt_frac[j] == 0:
+            continue
+        c_rr, c_ra, c_ar, c_aa = int(tbl[0, 0]), int(tbl[0, 1]), int(tbl[1, 0]), int(tbl[1, 1])
+        same = c_rr + c_aa
+        opp = c_ra + c_ar
+        c1, c2 = min(same, opp), max(same, opp)
+        score = np.float32(c1) / np.float32(c2)  # NaN when c2 == 0
+        if same > opp:
+            sw = (float(score), c2)
+        else:
+            sw = (float(-score), -c2)
+        pair_ld[(i, j)] = sw
+        if score == 0.0:  # perfect LD (c1==0, c2>0); NaN fails
+            edges[(i, j)] = sw[1]
+            nodes.add(i)
+            nodes.add(j)
+    # weight filter (|w| < threshold dropped), nodes retained
+    adj: Dict[int, List[int]] = {n: [] for n in nodes}
+    for (i, j), w in edges.items():
+        if abs(w) >= ld_weight_threshold:
+            adj[i].append(j)
+            adj[j].append(i)
+    # connected components (deterministic: ordered by min node)
+    block_id = np.full(cands.n, -1, dtype=np.int32)
+    blocks: List[List[int]] = []
+    seen: Set[int] = set()
+    for start in sorted(nodes):
+        if start in seen:
+            continue
+        comp = []
+        stack = [start]
+        seen.add(start)
+        while stack:
+            u = stack.pop()
+            comp.append(u)
+            for v in adj[u]:
+                if v not in seen:
+                    seen.add(v)
+                    stack.append(v)
+        comp.sort()
+        blocks.append(comp)
+    for bid, comp in enumerate(blocks):
+        for u in comp:
+            block_id[u] = bid
+    for n in adj:
+        adj[n].sort()
+    return LDInfo(pair_ld=pair_ld, blocks=blocks, block_id=block_id, adj=adj)
+
+
+def init_haplotypes_ld(cands: CandidateSet, ld: LDInfo,
+                       rng: np.random.Generator,
+                       ld_weight_threshold: int = 1
+                       ) -> Tuple[np.ndarray, np.ndarray]:
+    """init_haplotypes_LD2 (phase.rs:609-671): random ±1 everywhere, then
+    BFS-consistent haplotypes inside each perfect-LD block. Returns
+    (delta0[I] int8, conserved[I] bool)."""
+    n = cands.n
+    delta = np.where(rng.random(n) < 0.5, 1, -1).astype(np.int8)
+    conserved = np.zeros(n, dtype=bool)
+    for comp in ld.blocks:
+        if len(comp) < 2:
+            continue
+        root = comp[0]
+        delta[root] = 1
+        visited = [root]
+        vset = {root}
+        queue = [root]
+        order = []
+        while queue:
+            u = queue.pop(0)
+            order.append(u)
+            for v in ld.adj.get(u, []):
+                if v not in vset:
+                    vset.add(v)
+                    queue.append(v)
+        for nx in order:
+            if nx == root:
+                continue
+            for vi in visited:
+                a, b = (vi, nx) if vi < nx else (nx, vi)
+                sw = ld.pair_ld.get((a, b))
+                if sw is None or sw[0] != 0.0:
+                    continue
+                w = sw[1]
+                if w >= ld_weight_threshold:
+                    delta[nx] = delta[vi]
+                    break
+                if w <= -ld_weight_threshold:
+                    delta[nx] = -delta[vi]
+                    break
+            visited.append(nx)
+        for u in comp:
+            conserved[u] = True
+    return delta, conserved
+
+
+# ---------------------------------------------------------------------------
+# Block flip pass: cross_optimize_by_block (phase.rs:1298-1394)
+# ---------------------------------------------------------------------------
+
+def block_flip_pass(ct: CellTables, st: PhaseState, read_base: np.ndarray,
+                    site_mask: np.ndarray, exists: np.ndarray,
+                    ld: LDInfo) -> PhaseState:
+    """For every LD block: flip the whole block (and reads fully contained in
+    it) if that raises the block objective. All decisions are computed
+    against the current state, then applied together."""
+    if not ld.blocks:
+        return st
+    sigma = np.asarray(st.sigma)
+    delta = np.asarray(st.delta)
+    eta = np.asarray(st.eta)
+    K, I = exists.shape
+    n_elems = exists.sum(axis=1)
+    read_mask = read_base & (sigma != 0)
+    # per-snp masked sums with current sigma
+    s_match, s_flip, s_refe, s_alte, cov = (np.asarray(a) for a in snp_sums(
+        ct, jnp.asarray(sigma), jnp.asarray(delta),
+        jnp.asarray(read_mask), jnp.asarray(site_mask)))
+    # flip variant: sigma' = -sigma for reads fully inside the snp's block
+    block_id = ld.block_id
+    if block_id.shape[0] < I:
+        block_id = np.pad(block_id, (0, I - block_id.shape[0]),
+                          constant_values=-1)
+    full_in = np.zeros((K,), dtype=np.int32) - 1  # block fully containing read
+    for bid, comp in enumerate(ld.blocks):
+        cols = np.asarray(comp)
+        n_in = exists[:, cols].sum(axis=1)
+        full = (n_in == n_elems) & (n_elems > 0)
+        full_in[full] = bid
+    flip_factor = np.ones((K, I), dtype=np.int8)
+    blocked_cols = block_id >= 0
+    ff_rows = full_in[:, None] == block_id[None, :]
+    flip_factor[ff_rows & blocked_cols[None, :]] = -1
+    # S'_match-flip: x = sigma*flip_factor*(-delta) per cell
+    pj = np.asarray(ct.p)
+    l1m = np.asarray(ct.l1m)
+    lerr = np.asarray(ct.lerr)
+    m = site_mask[None, :] & exists & read_mask[:, None]
+    x_cur = sigma[:, None] * delta[None, :]
+    x_new = sigma[:, None] * flip_factor * (-delta[None, :])
+    s_match_new = np.where(m, np.where(pj == x_new, l1m, lerr), 0.0).sum(axis=0)
+    s_flip_new = np.where(m, np.where(pj == -x_new, l1m, lerr), 0.0).sum(axis=0)
+    ph = np.where(cov == 0, math.log10(0.001),
+                  math.log10(0.001) - cov * math.log10(2.0))
+    p_homref = math.log10(1.0 - 1.5 * 0.001)
+    p_homvar = math.log10(0.5 * 0.001)
+
+    def q_of(sm, sf, e):
+        n1 = np.where(e == 0, sm + ph, np.where(e == 1, s_refe + p_homref,
+                                                s_alte + p_homvar))
+        d = (s_alte + p_homvar) + (sm + ph) + (s_refe + p_homref) + (sf + ph)
+        return 1.0 - n1 / d
+
+    q_cur = q_of(s_match, s_flip, eta)
+    q_new = q_of(s_match_new, s_flip_new, eta)
+    new_delta = delta.copy()
+    new_sigma = sigma.copy()
+    phase_site_cells = exists & site_mask[None, :]
+    for bid, comp in enumerate(ld.blocks):
+        cols = np.asarray(comp)
+        if q_cur[cols].sum() < q_new[cols].sum():
+            new_delta[cols] = -delta[cols]
+            covers = phase_site_cells[:, cols].any(axis=1)
+            flip_reads = (full_in == bid) & covers & read_mask
+            new_sigma[flip_reads] = -sigma[flip_reads]
+    return PhaseState(jnp.asarray(new_sigma, f64), jnp.asarray(new_delta, f64),
+                      st.eta)
+
+
+# ---------------------------------------------------------------------------
+# phase(): top-level per-region optimization (phase.rs:1087-1296)
+# ---------------------------------------------------------------------------
+
+def init_genotype(cands: CandidateSet) -> np.ndarray:
+    """variant_type → eta (phase.rs:682-691)."""
+    vt = cands.variant_type
+    return np.where(vt == 0, 1, np.where(vt == 1, 0, -1)).astype(np.int8)
+
+
+def _bucket(n: int, lo: int = 8) -> int:
+    """Round up to a power of two (compile-count control: jitted shapes are
+    bucketed so regions share compiled executables)."""
+    b = lo
+    while b < n:
+        b <<= 1
+    return b
+
+
+def phase_region(frags: FragmentMatrix, cands: CandidateSet,
+                 cfg: CallerConfig, seed: int,
+                 apply_downsampling: bool = False) -> PhaseState:
+    """Run the full phase() optimization for one region. Returns the final
+    state (sliced back to true sizes); haplotag/haplotype/genotype are
+    written back by the caller. Inputs are padded to power-of-two buckets
+    (padding rows/cols are fully masked)."""
+    K0, I0 = frags.p.shape
+    if I0 == 0:
+        return PhaseState(jnp.zeros(K0, f64), jnp.zeros(0, f64), jnp.zeros(0, f64))
+    st = _phase_region_padded(frags, cands, cfg, seed, apply_downsampling)
+    return PhaseState(st.sigma[:K0], st.delta[:I0], st.eta[:I0])
+
+
+def _phase_region_padded(frags: FragmentMatrix, cands: CandidateSet,
+                         cfg: CallerConfig, seed: int,
+                         apply_downsampling: bool) -> PhaseState:
+    K0, I0 = frags.p.shape
+    K, I_pad = _bucket(max(1, K0)), _bucket(max(1, I0))
+    I = I0  # logical candidate count (enumeration path keys off this)
+    rng = np.random.default_rng(np.random.SeedSequence([cfg.seed, seed & 0x7FFFFFFF]))
+    padKI = lambda a: np.pad(a, ((0, K - K0), (0, I_pad - I0)))
+    padK = lambda a, v=0: np.pad(a, (0, K - K0), constant_values=v)
+    padI = lambda a, v=0: np.pad(a, (0, I_pad - I0), constant_values=v)
+    ct = make_cell_tables(padKI(frags.p), padKI(frags.baseq))
+    site_mask_np = padI(cands.for_phasing)
+    site_mask = jnp.asarray(site_mask_np)
+    ds = frags.downsampled if apply_downsampling else np.ones(K0, bool)
+    read_base_np = padK(frags.for_phasing & ds)
+    read_base = jnp.asarray(read_base_np)
+    eta0 = padI(init_genotype(cands), 1)
+
+    ld = compute_ld_blocks(cands, frags)
+
+    if I <= cfg.max_enum_snps:
+        # enumeration path (phase.rs:1097-1122)
+        configs = enumeration_order(I).astype(np.float64)          # [C,I0]
+        configs = np.pad(configs, ((0, 0), (0, I_pad - I)), constant_values=1.0)
+        C = configs.shape[0]
+        sig0 = np.where(rng.random((C, K)) < 0.5, -1.0, 1.0)
+        sig0 = np.where(read_base_np[None, :], sig0, 0.0)
+        cons = jnp.zeros(I_pad, dtype=bool)
+        # chunk configs to bound peak memory (C·K·I f64 intermediates);
+        # power-of-two chunk divides C=2^n evenly → one compiled shape
+        chunk = max(1, int(2 ** 24 // max(1, K * I_pad)))
+        chunk = min(C, 1 << (chunk.bit_length() - 1))
+        best_prob = -np.inf
+        best_st = None
+        for c0 in range(0, C, chunk):
+            sts, probs = _enum_vmap(
+                ct, jnp.asarray(sig0[c0:c0 + chunk]),
+                jnp.asarray(configs[c0:c0 + chunk]),
+                jnp.asarray(eta0.astype(np.float64)), read_base, site_mask, cons)
+            probs = np.asarray(probs)
+            j = int(np.argmax(probs))
+            if probs[j] > best_prob:
+                best_prob = float(probs[j])
+                best_st = jax.tree_util.tree_map(lambda a: a[j], sts)
+        return best_st
+
+    # iterative path (phase.rs:1123-1294)
+    delta0, conserved_np = init_haplotypes_ld(cands, ld, rng)
+    delta0 = np.pad(delta0, (0, I_pad - I), constant_values=1)
+    conserved_np = np.pad(conserved_np, (0, I_pad - I))
+    conserved = jnp.asarray(conserved_np)
+    sigma0 = np.where(rng.random(K) < 0.5, -1.0, 1.0)
+    sigma0 = np.where(read_base_np, sigma0, 0.0)
+    st = PhaseState(jnp.asarray(sigma0, f64), jnp.asarray(delta0, f64),
+                    jnp.asarray(eta0, f64))
+
+    best_prob = -np.inf
+    best_st = st
+
+    def consider(st, prob):
+        nonlocal best_prob, best_st
+        p = float(prob)
+        if p > best_prob:
+            best_prob = p
+            best_st = st
+
+    st, prob = cross_optimize(ct, st, read_base, site_mask, conserved,
+                              with_genotype=False, keep_conserved=True)
+    consider(st, prob)
+    st = best_st
+
+    exists_pad = np.zeros((K, I_pad), dtype=bool)
+    exists_pad[:K0, :I] = frags.exists()
+    st2 = block_flip_pass(ct, st, read_base_np, site_mask_np, exists_pad, ld)
+    read_mask = read_base & (st2.sigma != 0)
+    prob = overall_probability(ct, st2.sigma, st2.delta, st2.eta, read_mask,
+                               site_mask[None, :])
+    consider(st2, prob)
+    st = best_st
+
+    # perturbation rounds (phase.rs:1198-1233)
+    for tidx in range(I // 4 + 1):
+        flip = tidx % 2 == 1
+        rg = rng.random(I_pad)
+        delta_np = np.asarray(st.delta).copy()
+        lowv, highv = (1.0, -1.0) if flip else (-1.0, 1.0)
+        delta_np[rg < 0.1] = lowv
+        delta_np[rg >= 0.9] = highv
+        st = st._replace(delta=jnp.asarray(delta_np, f64))
+        st, prob = cross_optimize(ct, st, read_base, site_mask, conserved,
+                                  with_genotype=False, keep_conserved=False)
+        consider(st, prob)
+        st = best_st
+
+        sig_np = np.asarray(st.sigma).copy()
+        fl = (rng.random(K) < 0.1) & read_base_np & (sig_np != 0)
+        sig_np[fl] = -sig_np[fl]
+        st = st._replace(sigma=jnp.asarray(sig_np, f64))
+        st, prob = cross_optimize(ct, st, read_base, site_mask, conserved,
+                                  with_genotype=False, keep_conserved=False)
+        consider(st, prob)
+        st = best_st
+
+    return best_st

@@ -1,0 +1,185 @@
+"""Top-level caller: regions → per-region pipeline → VCF + phased BAM.
+
+The run orchestration of ``longcallR/src/thread.rs:17-362``, with the rayon
+thread pool replaced by a thread pool over regions (host I/O + kernel
+dispatch; the TPU executes the batched math) and the nondeterministic
+Mutex-queue merges replaced by deterministic (contig, start)-ordered merges.
+"""
+
+from __future__ import annotations
+
+import logging
+import time
+from concurrent.futures import ThreadPoolExecutor
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from ..config import CallerConfig
+from ..io.bam import BamFile, BamWriter, make_tag_bytes
+from ..io.fasta import FastaFile
+from ..io.vcf import load_input_candidates, write_vcf_header
+from ..tiles.regions import Region, extract_isolated_regions_parallel
+from .annotation import intersect_gene_regions, parse_annotation
+from .engine import RegionResult, process_region
+
+log = logging.getLogger("longcallr_tpu")
+
+
+@dataclass
+class CallerOutputs:
+    vcf_path: str
+    phased_bam_path: Optional[str]
+    n_regions: int
+    n_records: int
+    n_reads_tagged: int
+    stage_seconds: Dict[str, float] = field(default_factory=dict)
+
+
+def build_regions(bam: BamFile, fasta: FastaFile, cfg: CallerConfig,
+                  input_region: Optional[str] = None,
+                  contigs: Optional[Sequence[str]] = None,
+                  anno_path: Optional[str] = None
+                  ) -> Tuple[List[Region], Dict[str, List[Tuple[int, int]]]]:
+    """main.rs:187-226."""
+    if input_region is not None:
+        regions = [Region.parse(input_region)]
+    else:
+        regions = extract_isolated_regions_parallel(
+            bam, fasta.contig_lengths, cfg, contigs=contigs)
+    gene_regions: Dict[str, List[Region]] = {}
+    exon_regions: Dict[str, List[Tuple[int, int]]] = {}
+    if anno_path:
+        gene_regions, exon_regions = parse_annotation(anno_path)
+    if cfg.exon_only:
+        if not anno_path:
+            raise ValueError("exon_only is set, but annotation file is not provided")
+        regions = intersect_gene_regions(regions, gene_regions, merge=True)
+    return regions, exon_regions
+
+
+def run(bam_path: str, ref_path: str, output_prefix: str, cfg: CallerConfig,
+        input_vcf: Optional[str] = None, input_region: Optional[str] = None,
+        contigs: Optional[Sequence[str]] = None,
+        anno_path: Optional[str] = None) -> CallerOutputs:
+    t0 = time.monotonic()
+    stage: Dict[str, float] = {}
+    bam = BamFile(bam_path, threads=max(1, cfg.threads))
+    fasta = FastaFile(ref_path)
+    stage["load"] = time.monotonic() - t0
+
+    t1 = time.monotonic()
+    regions, exon_regions = build_regions(bam, fasta, cfg, input_region,
+                                          contigs, anno_path)
+    stage["regions"] = time.monotonic() - t1
+    log.info("discovered %d regions", len(regions))
+
+    input_candidates = (load_input_candidates(input_vcf)
+                        if input_vcf is not None else None)
+
+    t2 = time.monotonic()
+
+    def work(reg: Region) -> RegionResult:
+        ref_seq = fasta.fetch(reg.chr)
+        exon_mask = None
+        if cfg.exon_only and reg.gene_id is not None:
+            exon_mask = _exon_mask_for(reg, exon_regions)
+            if exon_mask is None:
+                return RegionResult(reg, [], {}, {}, 0, 0)
+        res = process_region(bam, reg, ref_seq, cfg,
+                             input_candidates=input_candidates,
+                             exon_mask=exon_mask)
+        if res.n_fragments > 0:
+            log.info("region %s: %d fragments, %d candidates",
+                     reg, res.n_fragments, res.n_candidates)
+        return res
+
+    # warm the per-contig reference cache serially to avoid duplicate loads
+    for chrom in {r.chr for r in regions}:
+        fasta.fetch(chrom)
+    if cfg.threads > 1 and len(regions) > 1:
+        with ThreadPoolExecutor(max_workers=cfg.threads) as ex:
+            results = list(ex.map(work, regions))
+    else:
+        results = [work(r) for r in regions]
+    stage["regions_pipeline"] = time.monotonic() - t2
+
+    # --- VCF (deterministic contig order, then region order) ---
+    t3 = time.monotonic()
+    order = {c: i for i, (c, _) in enumerate(fasta.contig_lengths)}
+    results_sorted = sorted(
+        zip(regions, results), key=lambda t: (order.get(t[0].chr, 1 << 30), t[0].start))
+    vcf_path = output_prefix + ".vcf"
+    n_records = 0
+    with open(vcf_path, "w") as vf:
+        write_vcf_header(vf, fasta.contig_lengths)
+        for _, res in results_sorted:
+            for line in res.vcf_lines:
+                vf.write(line + "\n")
+                n_records += 1
+    stage["vcf"] = time.monotonic() - t3
+
+    # --- phased BAM (thread.rs:307-361) ---
+    phased_bam_path = None
+    n_tagged = 0
+    if not cfg.no_bam_output:
+        t4 = time.monotonic()
+        read_assignments: Dict[str, int] = {}
+        read_phasesets: Dict[str, int] = {}
+        for _, res in results_sorted:  # first-wins merges (thread.rs:309-325)
+            for k, v in res.read_assignments.items():
+                read_assignments.setdefault(k, v)
+            for k, v in res.phase_sets.items():
+                read_phasesets.setdefault(k, v)
+        phased_bam_path = output_prefix + ".phased.bam"
+        with BamWriter(phased_bam_path, bam.references, bam.lengths,
+                       header_text=bam.header_text,
+                       threads=max(1, cfg.threads)) as w:
+            for reg, _ in results_sorted:
+                lo, hi = bam.contig_record_range(reg.chr)
+                hi = lo + int(np.searchsorted(bam.pos[lo:hi], reg.end, side="left"))
+                for ridx in range(lo, hi):
+                    r = bam.read(ridx)
+                    if r.is_unmapped or r.is_secondary or r.is_supplementary:
+                        continue
+                    if r.reference_end() <= reg.start:
+                        continue
+                    # boundary-crossing reads skipped (thread.rs:340-345)
+                    if r.pos + 1 < reg.start or r.reference_end() + 1 > reg.end:
+                        continue
+                    tags = b""
+                    qname = r.qname
+                    asg = read_assignments.get(qname)
+                    if asg is not None and asg != 0:
+                        tags += make_tag_bytes("HP", "i", asg)
+                    ps = read_phasesets.get(qname)
+                    if ps is not None:
+                        tags += make_tag_bytes("PS", "i", ps)
+                    w.write_raw(r.raw_record(), extra_tags=tags)
+                    n_tagged += 1
+        stage["phased_bam"] = time.monotonic() - t4
+
+    stage["total"] = time.monotonic() - t0
+    return CallerOutputs(vcf_path=vcf_path, phased_bam_path=phased_bam_path,
+                         n_regions=len(regions), n_records=n_records,
+                         n_reads_tagged=n_tagged, stage_seconds=stage)
+
+
+def _exon_mask_for(reg: Region, exon_regions: Dict[str, List[Tuple[int, int]]]):
+    """Exon coverage mask over the region window (thread.rs:80-92 +
+    candidate.rs:80-89). Returns None when no exon covers the region's genes."""
+    invs: List[Tuple[int, int]] = []
+    for gene_id in (reg.gene_id or "").split(","):
+        invs.extend(exon_regions.get(gene_id, []))
+    if not invs:
+        return None
+    P = reg.end - reg.start
+    mask = np.zeros(P + 1, dtype=np.int32)
+    for s, e in invs:  # 1-based [s, e) intervals
+        lo = max(0, s - reg.start)
+        hi = min(P, e - reg.start)
+        if lo < hi:
+            mask[lo] += 1
+            mask[hi] -= 1
+    return np.cumsum(mask[:-1]) > 0

@@ -85,52 +85,79 @@ def find_isolated_regions_with_depth(
     cfg: CallerConfig,
     qc_mask: Optional[np.ndarray] = None,
 ) -> List[Region]:
-    """Depth-scan one contig into isolated regions (util.rs:236-332)."""
+    """Depth-scan one contig into isolated regions (util.rs:236-332).
+
+    Implemented as an event sweep over read start/end breakpoints instead of
+    the reference's O(contig_length) per-base vector — exact same region
+    boundaries, single-column-run skipping, and running-max-coverage carry
+    semantics, but O(reads·log reads) and no contig-sized allocations (large
+    fresh mappings are pathologically slow on this host; see
+    utils/malloc_tune.py).
+    """
     lo, hi = bam.contig_record_range(chrom)
     if lo == hi:
         return []
     if qc_mask is None:
         qc_mask = read_qc_mask(bam, cfg)
-    # depth via difference array over QC-pass reads
-    diff = np.zeros(ref_len + 1, dtype=np.int64)
+    starts: List[int] = []
+    ends: List[int] = []
     for i in range(lo, hi):
         if not qc_mask[i]:
             continue
         r = bam.read(i)
-        start = r.pos
-        end = r.reference_end()
-        if start < ref_len:
-            diff[start] += 1
-            diff[min(end, ref_len)] -= 1
-    depth = np.cumsum(diff[:-1])
-
-    brk = depth == 0
-    if cfg.truncation:
-        brk |= depth > cfg.truncation_coverage
-    keep = ~brk
-    if not keep.any():
+        if r.pos < ref_len:
+            starts.append(r.pos)
+            ends.append(min(r.reference_end(), ref_len))
+    if not starts:
         return []
-    # maximal runs of keep
-    edges = np.diff(keep.astype(np.int8))
-    run_starts = np.nonzero(edges == 1)[0] + 1
-    run_ends = np.nonzero(edges == -1)[0]  # inclusive last-True index
-    if keep[0]:
-        run_starts = np.concatenate([[0], run_starts])
-    if keep[-1]:
-        run_ends = np.concatenate([run_ends, [ref_len - 1]])
+    s_arr = np.asarray(starts, dtype=np.int64)
+    e_arr = np.asarray(ends, dtype=np.int64)
+    # breakpoints where depth changes, bracketed by contig bounds
+    bps = np.unique(np.concatenate([s_arr, e_arr, [0, ref_len]]))
+    # depth on [bps[j], bps[j+1]) = #starts <= bps[j] - #ends <= bps[j]
+    depth = (np.searchsorted(np.sort(s_arr), bps[:-1], side="right")
+             - np.searchsorted(np.sort(e_arr), bps[:-1], side="right"))
+    seg_s = bps[:-1]
+    seg_e = bps[1:]
 
+    trunc = cfg.truncation
+    tcov = cfg.truncation_coverage
     regions: List[Region] = []
-    reset_pt = -1  # last position after which max_coverage was reset
-    for s, e in zip(run_starts.tolist(), run_ends.tolist()):
-        if e > s:
-            # the breaking column e+1 (if any) updates max before the emit
-            # check (util.rs:290-296), so include it in the max span
-            span_end = e + 1 if e + 1 < ref_len else e
-            max_cov = int(depth[reset_pt + 1: span_end + 1].max())
-            regions.append(Region(chr=chrom, start=s + 1, end=e + 2,
-                                  max_coverage=max_cov))
-            reset_pt = span_end
-        # single-column runs: no emit, no reset (depth folds into next max)
+    carry = 0            # running max_coverage since last reset
+    run_s = -1           # current keep-run start column
+    run_e = -1           # current keep-run last column
+
+    def flush_break(d_break: int, break_len: int) -> None:
+        """Process entering a break interval of depth d_break (first column
+        updates the running max before the emit check, util.rs:290-296)."""
+        nonlocal carry, run_s, run_e
+        carry = max(carry, d_break)
+        if run_e > run_s and run_s >= 0:
+            regions.append(Region(chr=chrom, start=run_s + 1, end=run_e + 2,
+                                  max_coverage=carry))
+            carry = 0
+            if break_len > 1:
+                carry = d_break  # remaining break columns update max again
+        run_s = -1
+        run_e = -1
+
+    for j in range(seg_s.shape[0]):
+        d = int(depth[j])
+        s, e = int(seg_s[j]), int(seg_e[j])
+        if s >= e:
+            continue
+        is_break = d == 0 or (trunc and d > tcov)
+        if is_break:
+            flush_break(d, e - s)
+        else:
+            carry = max(carry, d)
+            if run_s == -1:
+                run_s = s
+            run_e = e - 1
+    # tail: contig ended inside a keep run (no trailing break column)
+    if run_s >= 0 and run_e > run_s:
+        regions.append(Region(chr=chrom, start=run_s + 1, end=run_e + 2,
+                              max_coverage=carry))
     return regions
 
 

@@ -1,0 +1,63 @@
+"""Minimal interval-overlap index (replaces the intervaltree dependency of
+the reference analysis scripts, longcallR-ase.py:6 / longcallR-asj.py)."""
+
+from __future__ import annotations
+
+from typing import Iterable, List, Sequence, Tuple
+
+import numpy as np
+
+
+def merge_intervals(ivs: Iterable[Tuple[int, int]]) -> List[Tuple[int, int]]:
+    """Merge overlapping [start, end) intervals (IntervalTree.merge_overlaps
+    semantics: touching intervals are NOT merged unless overlapping)."""
+    ivs = sorted(ivs)
+    out: List[Tuple[int, int]] = []
+    for s, e in ivs:
+        if out and s < out[-1][1]:
+            out[-1] = (out[-1][0], max(out[-1][1], e))
+        else:
+            out.append((s, e))
+    return out
+
+
+class IntervalIndex:
+    """Static overlap queries over [start, end) intervals with payloads."""
+
+    def __init__(self, intervals: Sequence[Tuple[int, int]], data=None):
+        order = sorted(range(len(intervals)), key=lambda i: intervals[i][0])
+        self.starts = np.asarray([intervals[i][0] for i in order], dtype=np.int64)
+        self.ends = np.asarray([intervals[i][1] for i in order], dtype=np.int64)
+        self.data = [None if data is None else data[i] for i in order]
+        # running max of ends enables early cut-off scans
+        self.max_ends = np.maximum.accumulate(self.ends) if len(order) else self.ends
+
+    def __len__(self) -> int:
+        return len(self.data)
+
+    def overlap(self, qs: int, qe: int) -> List[int]:
+        """Indices of intervals overlapping [qs, qe)."""
+        n = self.starts.shape[0]
+        if n == 0 or qs >= qe:
+            return []
+        hi = int(np.searchsorted(self.starts, qe, side="left"))
+        out = []
+        for i in range(hi - 1, -1, -1):
+            if self.max_ends[i] <= qs:
+                break
+            if self.ends[i] > qs:
+                out.append(i)
+        out.reverse()
+        return out
+
+    def overlap_data(self, qs: int, qe: int) -> List:
+        return [self.data[i] for i in self.overlap(qs, qe)]
+
+    def overlap_length(self, qs: int, qe: int) -> int:
+        """Total overlap of [qs, qe) with the (possibly overlapping)
+        intervals, summed per interval (not a union length — matches the
+        reference's per-interval sum, longcallR-ase.py:249-253)."""
+        total = 0
+        for i in self.overlap(qs, qe):
+            total += max(0, min(qe, int(self.ends[i])) - max(qs, int(self.starts[i])))
+        return total

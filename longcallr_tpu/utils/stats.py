@@ -1,0 +1,94 @@
+"""Statistics helpers for the allele-specific analysis layer.
+
+Replaces the statsmodels/scipy pieces the reference scripts import
+(longcallR-ase.py:10-11, longcallR-asj.py): Benjamini-Hochberg FDR,
+beta-binomial two-sided test (vectorised over genes), Fisher exact, G-test
+and GATK-style SOR.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Sequence, Tuple
+
+import numpy as np
+from scipy.stats import betabinom, fisher_exact as _scipy_fisher
+
+
+def fdr_bh(p_values: Sequence[float], alpha: float = 0.05
+           ) -> Tuple[np.ndarray, np.ndarray]:
+    """Benjamini-Hochberg: returns (reject, adjusted p-values), matching
+    statsmodels.stats.multitest.multipletests(method='fdr_bh')."""
+    p = np.asarray(p_values, dtype=np.float64)
+    n = p.shape[0]
+    if n == 0:
+        return np.zeros(0, bool), p
+    order = np.argsort(p, kind="stable")
+    ranked = p[order] * n / np.arange(1, n + 1)
+    adj = np.minimum.accumulate(ranked[::-1])[::-1]
+    adj = np.minimum(adj, 1.0)
+    out = np.empty(n)
+    out[order] = adj
+    reject = out <= alpha
+    return reject, out
+
+
+def convert_mu_rho_to_alpha_beta(mu: float, rho: float) -> Tuple[float, float]:
+    """longcallR-ase.py:15-22."""
+    phi = (1.0 - rho) / rho - 1.0
+    return mu * phi, (1.0 - mu) * phi
+
+
+def beta_binomial_two_sided(k_obs: int, n: int, mu: float, rho: float) -> float:
+    """Two-sided beta-binomial p: sum of pmf(k) over k with
+    pmf(k) <= pmf(k_obs) (longcallR-ase.py:25-61)."""
+    alpha, beta = convert_mu_rho_to_alpha_beta(mu, rho)
+    bb = betabinom(n, alpha, beta)
+    ks = np.arange(n + 1)
+    pmf = bb.pmf(ks)
+    p_obs = bb.pmf(k_obs)
+    return float(pmf[pmf <= p_obs].sum())
+
+
+def beta_binomial_two_sided_many(k_obs: np.ndarray, n: np.ndarray,
+                                 mu: float, rho: float) -> np.ndarray:
+    """Vectorised two-sided beta-binomial over many (k, n) observations."""
+    out = np.ones(len(k_obs), dtype=np.float64)
+    for i, (k, nn) in enumerate(zip(np.asarray(k_obs), np.asarray(n))):
+        if nn > 0:
+            out[i] = beta_binomial_two_sided(int(k), int(nn), mu, rho)
+    return out
+
+
+def fisher_exact_two_sided(a: int, b: int, c: int, d: int) -> float:
+    return float(_scipy_fisher([[a, b], [c, d]], alternative="two-sided")[1])
+
+
+def g_test_2x2(a: int, b: int, c: int, d: int) -> float:
+    """G-test of independence on a 2x2 table with Williams-free raw G,
+    chi2(1) tail (the scipy power_divergence(lambda_='log-likelihood')
+    equivalent used by longcallR-asj.py)."""
+    from scipy.stats import chi2
+
+    obs = np.asarray([[a, b], [c, d]], dtype=np.float64)
+    total = obs.sum()
+    if total == 0:
+        return 1.0
+    row = obs.sum(axis=1, keepdims=True)
+    col = obs.sum(axis=0, keepdims=True)
+    exp = row * col / total
+    with np.errstate(divide="ignore", invalid="ignore"):
+        terms = np.where(obs > 0, obs * np.log(obs / exp), 0.0)
+    g = 2.0 * terms.sum()
+    return float(chi2.sf(g, df=1))
+
+
+def strand_odds_ratio(ref_fw: int, ref_rv: int, alt_fw: int, alt_rv: int) -> float:
+    """GATK SOR with +1 pseudocounts (longcallR-asj.py variant of the same
+    formula as candidate.rs:24-35, in f64)."""
+    x00, x01 = ref_fw + 1.0, ref_rv + 1.0
+    x10, x11 = alt_fw + 1.0, alt_rv + 1.0
+    sym = (x00 * x11) / (x01 * x10) + (x01 * x10) / (x00 * x11)
+    ref_ratio = min(x00, x01) / max(x00, x01)
+    alt_ratio = min(x10, x11) / max(x10, x11)
+    return math.log(sym) + math.log(ref_ratio) - math.log(alt_ratio)

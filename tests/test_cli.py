@@ -1,0 +1,38 @@
+"""CLI smoke tests: preset resolution, --get-blocks, full run."""
+
+import numpy as np
+
+from longcallr_tpu.cli import build_parser, config_from_args, main
+
+from simulate import make_reference, plant_snps, simulate_bam
+
+
+def test_preset_resolution():
+    args = build_parser().parse_args(
+        ["-b", "x.bam", "-f", "x.fa", "-o", "out", "-p", "ont-cdna",
+         "--min-depth", "20"])
+    cfg = config_from_args(args)
+    assert cfg.platform == "ont"
+    assert cfg.min_depth == 20          # explicit override wins
+    assert cfg.min_phase_score == 13.0  # preset default
+    assert cfg.strand_bias is True
+
+
+def test_cli_get_blocks_and_run(tmp_path, rng, capsys):
+    ref = make_reference(rng, 5000)
+    truth = plant_snps(rng, ref, n_het=5, n_hom=1)
+    bam_path = str(tmp_path / "c.bam")
+    simulate_bam(bam_path, rng, ref, truth, n_reads=40, read_len=2500,
+                 err_rate=0.01)
+    fa = bam_path.replace(".bam", ".fa")
+    rc = main(["-b", bam_path, "-f", fa, "-o", str(tmp_path / "o"),
+               "-p", "hifi-masseq", "--min-read-length", "100",
+               "--get-blocks"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "chrS:" in out
+    rc = main(["-b", bam_path, "-f", fa, "-o", str(tmp_path / "o"),
+               "-p", "hifi-masseq", "--min-read-length", "100"])
+    assert rc == 0
+    assert (tmp_path / "o.vcf").exists()
+    assert (tmp_path / "o.phased.bam").exists()

@@ -1,0 +1,123 @@
+"""End-to-end caller: simulated BAM+FASTA → VCF + phased BAM, checked
+against simulation truth."""
+
+import numpy as np
+import pytest
+
+from longcallr_tpu.config import preset
+from longcallr_tpu.io.bam import BamFile
+from longcallr_tpu.pipeline.caller import run
+
+from simulate import make_reference, plant_snps, simulate_bam
+
+
+def _parse_vcf(path):
+    recs = []
+    for line in open(path):
+        if line.startswith("#"):
+            continue
+        f = line.rstrip("\n").split("\t")
+        sample = dict(zip(f[8].split(":"), f[9].split(":")))
+        recs.append(dict(chrom=f[0], pos=int(f[1]), ref=f[3], alt=f[4],
+                         qual=int(f[5]), filter=f[6], info=f[7], sample=sample))
+    return recs
+
+
+def test_end_to_end_simulated(tmp_path, rng):
+    cfg = preset("hifi-masseq").replace(min_read_length=100, threads=2)
+    ref = make_reference(rng, 9000)
+    truth = plant_snps(rng, ref, n_het=14, n_hom=3, min_gap=420)
+    bam_path = str(tmp_path / "sim.bam")
+    simulate_bam(bam_path, rng, ref, truth, n_reads=90, read_len=4000,
+                 err_rate=0.01)
+    out = run(bam_path, bam_path.replace(".bam", ".fa"), str(tmp_path / "out"), cfg)
+    recs = _parse_vcf(out.vcf_path)
+    assert out.n_records == len(recs)
+    by_pos = {r["pos"] - 1: r for r in recs}
+
+    # planted het SNPs: recovered as phased PASS hets
+    phased_ok = 0
+    haps = []
+    for p, (refb, altb) in truth.het_snps.items():
+        r = by_pos.get(p)
+        if r is None:
+            continue
+        assert r["ref"] == chr(refb)
+        if r["sample"]["GT"] in ("0|1", "1|0") and r["filter"] == "PASS":
+            assert r["alt"] == chr(altb)
+            phased_ok += 1
+            haps.append(r["sample"]["GT"])
+            assert r["sample"]["PS"] != "."
+            assert float(r["sample"]["PQ"]) >= cfg.min_phase_score
+    assert phased_ok >= len(truth.het_snps) * 0.7, (phased_ok, len(truth.het_snps))
+    # phase consistency: all het sites should agree (hap1 always carries alt)
+    assert len(set(haps)) == 1, haps
+
+    # planted hom SNPs appear as 1/1
+    hom_ok = 0
+    for p, (refb, altb) in truth.hom_snps.items():
+        r = by_pos.get(p)
+        if r and r["sample"]["GT"] == "1/1":
+            hom_ok += 1
+    assert hom_ok >= len(truth.hom_snps) - 1
+
+    # false positives: PASS-phased records at non-planted positions
+    planted = set(truth.het_snps) | set(truth.hom_snps)
+    fp = [r for r in recs
+          if r["pos"] - 1 not in planted and r["filter"] == "PASS"
+          and r["sample"]["GT"] in ("0|1", "1|0")]
+    assert len(fp) <= 2, fp
+
+    # phased BAM: HP tags consistent with truth haplotypes
+    pb = BamFile(out.phased_bam_path)
+    n_hp = 0
+    agree = 0
+    for r in pb:
+        hp = r.get_tag("HP")
+        if hp is None:
+            continue
+        n_hp += 1
+        agree += int(hp == truth.hap_of_read[r.qname])
+    assert n_hp >= 40
+    frac = agree / n_hp
+    assert frac > 0.9 or frac < 0.1, frac  # consistent up to global flip
+    # reads with HP also carry PS
+    for r in pb:
+        if r.get_tag("HP") is not None:
+            assert r.get_tag("PS") is not None
+            break
+
+
+def test_end_to_end_no_bam_output(tmp_path, rng):
+    cfg = preset("hifi-masseq").replace(min_read_length=100,
+                                        no_bam_output=True)
+    ref = make_reference(rng, 4000)
+    truth = plant_snps(rng, ref, n_het=4, n_hom=1)
+    bam_path = str(tmp_path / "s2.bam")
+    simulate_bam(bam_path, rng, ref, truth, n_reads=40, read_len=2000,
+                 err_rate=0.01)
+    out = run(bam_path, bam_path.replace(".bam", ".fa"), str(tmp_path / "o2"), cfg)
+    assert out.phased_bam_path is None
+    assert out.n_records > 0
+
+
+def test_end_to_end_input_vcf(tmp_path, rng):
+    """-v mode: candidates imported from a VCF skip discovery."""
+    cfg = preset("hifi-masseq").replace(min_read_length=100)
+    ref = make_reference(rng, 6000)
+    truth = plant_snps(rng, ref, n_het=6, n_hom=1, min_gap=600)
+    bam_path = str(tmp_path / "s3.bam")
+    simulate_bam(bam_path, rng, ref, truth, n_reads=60, read_len=3000,
+                 err_rate=0.01)
+    vcf_in = str(tmp_path / "in.vcf")
+    with open(vcf_in, "w") as f:
+        f.write("##fileformat=VCFv4.3\n#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\tS\n")
+        for p, (refb, altb) in sorted(truth.het_snps.items()):
+            f.write(f"chrS\t{p+1}\t.\t{chr(refb)}\t{chr(altb)}\t60\tPASS\t.\tGT\t0/1\n")
+    out = run(bam_path, bam_path.replace(".bam", ".fa"), str(tmp_path / "o3"),
+              cfg, input_vcf=vcf_in)
+    recs = _parse_vcf(out.vcf_path)
+    got_pos = {r["pos"] - 1 for r in recs}
+    assert got_pos == set(truth.het_snps)  # exactly the imported sites
+    phased = [r for r in recs if r["sample"]["GT"] in ("0|1", "1|0")]
+    assert len(phased) >= len(truth.het_snps) * 0.7
