@@ -9,4 +9,10 @@ across a device mesh.
 
 __version__ = "0.1.0"
 
+import jax as _jax
+
+# The calling/phasing math is float64 by specification (the reference is
+# f64 throughout); enable x64 before any kernel is traced.
+_jax.config.update("jax_enable_x64", True)
+
 from .config import CallerConfig, preset  # noqa: F401

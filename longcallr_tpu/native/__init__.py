@@ -1,0 +1,86 @@
+"""Native (C++) host decoders with transparent build + graceful fallback.
+
+``lib()`` returns the loaded ctypes library, compiling decode.cpp with g++ on
+first use (cached as build/libdecode.so). If no compiler is available the
+callers fall back to the pure numpy implementations.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+from typing import Optional
+
+_HERE = os.path.dirname(os.path.abspath(__file__))
+_SRC = os.path.join(_HERE, "decode.cpp")
+_BUILD_DIR = os.path.join(_HERE, "build")
+_SO = os.path.join(_BUILD_DIR, "libdecode.so")
+
+_lock = threading.Lock()
+_lib: Optional[ctypes.CDLL] = None
+_failed = False
+
+_i64p = ctypes.POINTER(ctypes.c_int64)
+_i32p = ctypes.POINTER(ctypes.c_int32)
+_i8p = ctypes.POINTER(ctypes.c_int8)
+_u8p = ctypes.POINTER(ctypes.c_uint8)
+_f64p = ctypes.POINTER(ctypes.c_double)
+
+
+def _build() -> bool:
+    os.makedirs(_BUILD_DIR, exist_ok=True)
+    cmd = ["g++", "-O3", "-march=native", "-shared", "-fPIC", "-std=c++17",
+           _SRC, "-o", _SO + ".tmp", "-lz", "-lpthread"]
+    try:
+        subprocess.run(cmd, check=True, capture_output=True, timeout=240)
+        os.replace(_SO + ".tmp", _SO)
+        return True
+    except Exception:
+        return False
+
+
+def _declare(lib: ctypes.CDLL) -> None:
+    lib.bgzf_inflate_many.restype = ctypes.c_int
+    lib.bgzf_inflate_many.argtypes = [
+        _u8p, _i64p, _i32p, _u8p, _i64p, _i32p, ctypes.c_int64, ctypes.c_int]
+    lib.pileup_fill.restype = ctypes.c_int
+    lib.pileup_fill.argtypes = [
+        _u8p, _i64p, _i64p, ctypes.c_int64,           # data, off, end, n
+        ctypes.c_int64, ctypes.c_int64, _u8p,          # start0, P, ref
+        ctypes.c_int, ctypes.c_int64, ctypes.c_int64,  # is_ont, dist, polyA
+        ctypes.c_int, _f64p, _f64p,                    # min_baseq, tables
+        _i32p, _i32p, _i32p, _i32p, _i32p, _i32p,      # cnt..bwd
+        _i32p, _i32p, _f64p, _f64p, _i32p]             # strands, ts, sums, bqp
+    lib.fragment_cells.restype = ctypes.c_int
+    lib.fragment_cells.argtypes = [
+        _u8p, _i64p, _i64p, ctypes.c_int64,
+        _i64p, _u8p, _u8p, _u8p, _u8p, ctypes.c_int64,
+        _i32p, _i8p, _u8p, _i64p, ctypes.c_int64]
+
+
+def lib() -> Optional[ctypes.CDLL]:
+    """Load (building if needed) the native library, or None."""
+    global _lib, _failed
+    if _lib is not None or _failed:
+        return _lib
+    with _lock:
+        if _lib is not None or _failed:
+            return _lib
+        if not os.path.exists(_SO) or (
+                os.path.getmtime(_SO) < os.path.getmtime(_SRC)):
+            if not _build():
+                _failed = True
+                return None
+        try:
+            l = ctypes.CDLL(_SO)
+            _declare(l)
+            _lib = l
+        except OSError:
+            _failed = True
+    return _lib
+
+
+def available() -> bool:
+    return lib() is not None

@@ -1,0 +1,357 @@
+// Native host decoders for longcallR-TPU.
+//
+// Implements the per-read hot loops of the host pipeline in C++:
+//   * pileup_fill: BAM records → dense per-region pileup tensors, with the
+//     exact semantics of the vectorised Python engine in tiles/pileup.py
+//     (itself a faithful redesign of longcallR/src/util.rs:621-949): baseq
+//     cap 30, ONT end trimming, poly-A/homopolymer window masking against
+//     the current column's ref base, D/N/I column counting, ts-tag strand
+//     combination, float64 log-qual accumulation in read order.
+//   * fragment_cells: candidate-SNP allele extraction per read
+//     (fragment.rs:93-194 semantics; p=+1 ref / -1 alt / 0 other).
+//   * bgzf_inflate_many: parallel BGZF block inflation (zlib).
+//
+// All buffers are allocated by the Python caller (numpy) and passed as raw
+// pointers; log tables are passed in so float semantics match the Python
+// reference implementation bit-for-bit.
+
+#include <cstdint>
+#include <cstring>
+#include <cstdio>
+#include <algorithm>
+#include <thread>
+#include <vector>
+#include <zlib.h>
+
+extern "C" {
+
+// ---------------------------------------------------------------------------
+// BGZF
+// ---------------------------------------------------------------------------
+
+// Inflate n_blocks BGZF blocks; src_off/dst_off give per-block offsets.
+// Returns 0 on success.
+int bgzf_inflate_many(const uint8_t* src, const int64_t* src_off,
+                      const int32_t* src_len, uint8_t* dst,
+                      const int64_t* dst_off, const int32_t* dst_len,
+                      int64_t n_blocks, int n_threads) {
+    std::vector<int> errs(std::max(1, n_threads), 0);
+    auto work = [&](int tid) {
+        for (int64_t b = tid; b < n_blocks; b += n_threads) {
+            z_stream zs;
+            std::memset(&zs, 0, sizeof(zs));
+            if (inflateInit2(&zs, -15) != Z_OK) { errs[tid] = 1; return; }
+            zs.next_in = const_cast<uint8_t*>(src + src_off[b]);
+            zs.avail_in = (uInt)src_len[b];
+            zs.next_out = dst + dst_off[b];
+            zs.avail_out = (uInt)dst_len[b];
+            int r = inflate(&zs, Z_FINISH);
+            inflateEnd(&zs);
+            if (r != Z_STREAM_END) { errs[tid] = 2; return; }
+        }
+    };
+    if (n_threads <= 1) {
+        work(0);
+    } else {
+        std::vector<std::thread> ts;
+        for (int t = 0; t < n_threads; ++t) ts.emplace_back(work, t);
+        for (auto& t : ts) t.join();
+    }
+    for (int e : errs) if (e) return e;
+    return 0;
+}
+
+// ---------------------------------------------------------------------------
+// BAM record helpers
+// ---------------------------------------------------------------------------
+
+static const char SEQ_NIBBLE[17] = "=ACMGRSVTWYHKDBN";
+
+struct RecView {
+    const uint8_t* rec;   // fixed 32-byte prefix
+    int32_t pos;
+    uint16_t flag;
+    int32_t l_seq;
+    uint16_t n_cigar;
+    uint8_t l_read_name;
+    const uint32_t* cigar;
+    const uint8_t* seq_packed;
+    const uint8_t* qual;
+    const uint8_t* aux;
+    const uint8_t* aux_end;
+};
+
+static inline RecView view_record(const uint8_t* data, int64_t off, int64_t end) {
+    RecView v;
+    v.rec = data + off;
+    std::memcpy(&v.pos, v.rec + 4, 4);
+    v.l_read_name = v.rec[8];
+    std::memcpy(&v.n_cigar, v.rec + 12, 2);
+    std::memcpy(&v.flag, v.rec + 14, 2);
+    std::memcpy(&v.l_seq, v.rec + 16, 4);
+    const uint8_t* p = v.rec + 32 + v.l_read_name;
+    v.cigar = reinterpret_cast<const uint32_t*>(p);
+    p += 4 * v.n_cigar;
+    v.seq_packed = p;
+    p += (v.l_seq + 1) / 2;
+    v.qual = p;
+    p += v.l_seq;
+    v.aux = p;
+    v.aux_end = data + end;
+    return v;
+}
+
+static inline char seq_base(const RecView& v, int64_t i) {
+    uint8_t b = v.seq_packed[i >> 1];
+    return SEQ_NIBBLE[(i & 1) ? (b & 0xF) : (b >> 4)];
+}
+
+static int aux_sizes(char typ) {
+    switch (typ) {
+        case 'c': case 'C': case 'A': return 1;
+        case 's': case 'S': return 2;
+        case 'i': case 'I': case 'f': return 4;
+        default: return -1;
+    }
+}
+
+// find a one-char 'A'-typed tag (e.g. ts); returns 0 if absent
+static char aux_char_tag(const RecView& v, char t0, char t1) {
+    const uint8_t* q = v.aux;
+    while (q + 3 <= v.aux_end) {
+        char a = (char)q[0], b = (char)q[1], typ = (char)q[2];
+        q += 3;
+        if (a == t0 && b == t1 && typ == 'A') return (char)q[0];
+        int sz = aux_sizes(typ);
+        if (sz > 0) { q += sz; continue; }
+        if (typ == 'Z' || typ == 'H') {
+            while (q < v.aux_end && *q) ++q;
+            ++q;
+            continue;
+        }
+        if (typ == 'B') {
+            char st = (char)q[0];
+            int32_t cnt;
+            std::memcpy(&cnt, q + 1, 4);
+            q += 5 + (int64_t)cnt * aux_sizes(st);
+            continue;
+        }
+        return 0;  // unknown type: bail
+    }
+    return 0;
+}
+
+static inline int base_index(char c) {
+    switch (c) {
+        case 'A': case 'a': return 0;
+        case 'C': case 'c': return 1;
+        case 'G': case 'g': return 2;
+        case 'T': case 't': return 3;
+        default: return -1;
+    }
+}
+
+static inline int leading_softclips(const RecView& v) {
+    for (int i = 0; i < v.n_cigar; ++i) {
+        uint32_t w = v.cigar[i];
+        int op = w & 0xF;
+        if (op == 5) continue;              // H
+        return op == 4 ? (int)(w >> 4) : 0; // S
+    }
+    return 0;
+}
+
+static inline int trailing_softclips(const RecView& v) {
+    for (int i = v.n_cigar - 1; i >= 0; --i) {
+        uint32_t w = v.cigar[i];
+        int op = w & 0xF;
+        if (op == 5) continue;
+        return op == 4 ? (int)(w >> 4) : 0;
+    }
+    return 0;
+}
+
+// ---------------------------------------------------------------------------
+// pileup_fill
+// ---------------------------------------------------------------------------
+
+struct PileupOut {
+    int32_t* cnt;        // [P*4]
+    int32_t* n_intron;   // [P]
+    int32_t* n_del;      // [P]
+    int32_t* n_ins;      // [P]
+    int32_t* fwd;        // [P]
+    int32_t* bwd;        // [P]
+    int32_t* strands;    // [P*4*2]
+    int32_t* ts;         // [P*2]
+    double* s_err;       // [P*4]
+    double* s_1merr;     // [P*4]
+    int32_t* bq_pass;    // [P*4]
+};
+
+// returns 0 ok
+int pileup_fill(const uint8_t* data, const int64_t* rec_off,
+                const int64_t* rec_end, int64_t n_reads,
+                int64_t start0, int64_t P, const uint8_t* ref_window,
+                int is_ont, int64_t dist_end, int64_t polya_len,
+                int min_baseq, const double* log_err, const double* log_1merr,
+                int32_t* cnt, int32_t* n_intron, int32_t* n_del,
+                int32_t* n_ins, int32_t* fwd, int32_t* bwd, int32_t* strands,
+                int32_t* ts_out, double* s_err, double* s_1merr,
+                int32_t* bq_pass) {
+    for (int64_t r = 0; r < n_reads; ++r) {
+        RecView v = view_record(data, rec_off[r], rec_end[r]);
+        int strand = (v.flag & 0x10) ? 1 : 0;
+        char tsc = aux_char_tag(v, 't', 's');
+        int ts_col = -1;
+        if (tsc == '+') ts_col = (strand == 0) ? 0 : 1;
+        else if (tsc == '-') ts_col = (strand == 0) ? 1 : 0;
+        int lead_sc = leading_softclips(v);
+        int trail_sc = trailing_softclips(v);
+        int64_t seq_len = v.l_seq;
+        int64_t boundary_end = seq_len - trail_sc;
+
+        int64_t pv = (int64_t)v.pos - start0;  // pos_in_freq_vec
+        int64_t pr = lead_sc;                  // pos_in_read
+        for (int ci = 0; ci < v.n_cigar; ++ci) {
+            uint32_t w = v.cigar[ci];
+            int op = w & 0xF;
+            int64_t ln = w >> 4;
+            if (op == 4 || op == 5 || op == 6) continue;  // S,H,P
+            if (op == 0 || op == 7 || op == 8) {          // M,=,X
+                for (int64_t j = 0; j < ln; ++j) {
+                    if (pv < 0) { ++pv; ++pr; continue; }
+                    if (pv >= P) break;
+                    char base = seq_base(v, pr);
+                    int bq = v.qual[pr];
+                    if (bq > 30) bq = 30;
+                    uint8_t ref_base = ref_window[pv];
+                    bool trim = false, polya = false, homop = false;
+                    bool near = (llabs(pr - lead_sc) < dist_end)
+                             || (llabs(pr - boundary_end) < dist_end);
+                    if (is_ont) {
+                        trim = near;
+                    } else if (near) {
+                        for (int64_t t0 = pr - polya_len; t0 <= pr + 1; ++t0) {
+                            if (t0 < 0 || t0 + polya_len - 1 >= seq_len) continue;
+                            int ca = 0, ct_ = 0, cc = 0, cg = 0;
+                            for (int64_t t1 = 0; t1 < polya_len; ++t1) {
+                                char b2 = seq_base(v, t0 + t1);
+                                if (b2 == 'A' && ref_base != 'A') ++ca;
+                                else if (b2 == 'T' && ref_base != 'T') ++ct_;
+                                else if (b2 == 'C' && ref_base != 'C') ++cc;
+                                else if (b2 == 'G' && ref_base != 'G') ++cg;
+                            }
+                            if (ca >= polya_len || ct_ >= polya_len) polya = true;
+                            if (cc >= polya_len || cg >= polya_len) homop = true;
+                        }
+                    }
+                    if (!trim && !polya && !homop) {
+                        if (ts_col >= 0) ++ts_out[pv * 2 + ts_col];
+                        int bi = base_index(base);
+                        if (bi >= 0) {
+                            int64_t o = pv * 4 + bi;
+                            ++cnt[o];
+                            ++strands[o * 2 + strand];
+                            s_err[o] += log_err[bq];
+                            s_1merr[o] += log_1merr[bq];
+                            if (bq >= min_baseq) ++bq_pass[o];
+                        }
+                        if (strand == 0) ++fwd[pv]; else ++bwd[pv];
+                    }
+                    ++pv; ++pr;
+                }
+            } else if (op == 2) {  // D
+                for (int64_t j = 0; j < ln; ++j) {
+                    if (pv < 0) { ++pv; continue; }
+                    if (pv >= P) break;
+                    ++n_del[pv];
+                    ++pv;
+                }
+            } else if (op == 1) {  // I
+                if (pv < 1) { pr += ln; continue; }
+                if (pv >= P) break;
+                ++n_ins[pv - 1];
+                pr += ln;
+            } else if (op == 3) {  // N
+                for (int64_t j = 0; j < ln; ++j) {
+                    if (pv < 0) { ++pv; continue; }
+                    if (pv >= P) break;
+                    ++n_intron[pv];
+                    ++pv;
+                }
+            } else {
+                return 1;  // unknown cigar op
+            }
+        }
+    }
+    return 0;
+}
+
+// ---------------------------------------------------------------------------
+// fragment_cells
+// ---------------------------------------------------------------------------
+
+// For each read, emit (cand_idx, p, baseq) triplets at candidate SNPs under
+// M ops where p != 0 and the candidate is not dense. Outputs flattened with
+// out_counts[r] per read; out buffers sized max_cells.
+int fragment_cells(const uint8_t* data, const int64_t* rec_off,
+                   const int64_t* rec_end, int64_t n_reads,
+                   const int64_t* cand_pos, const uint8_t* cand_ref,
+                   const uint8_t* cand_a1, const uint8_t* cand_a2,
+                   const uint8_t* not_dense, int64_t n_cand,
+                   int32_t* out_idx, int8_t* out_p, uint8_t* out_bq,
+                   int64_t* out_counts, int64_t max_cells) {
+    int64_t w_ptr = 0;
+    for (int64_t r = 0; r < n_reads; ++r) {
+        RecView v = view_record(data, rec_off[r], rec_end[r]);
+        int64_t start_cells = w_ptr;
+        int64_t rpos = v.pos;
+        int64_t qpos = leading_softclips(v);
+        // first candidate at or beyond read start
+        int64_t idx = std::lower_bound(cand_pos, cand_pos + n_cand, rpos)
+                      - cand_pos;
+        for (int ci = 0; ci < v.n_cigar && idx < n_cand; ++ci) {
+            uint32_t w = v.cigar[ci];
+            int op = w & 0xF;
+            int64_t ln = w >> 4;
+            if (op == 4 || op == 5 || op == 6) continue;
+            if (op == 0 || op == 7 || op == 8) {
+                int64_t seg_end = rpos + ln;
+                while (idx < n_cand && cand_pos[idx] < seg_end) {
+                    int64_t cpos = cand_pos[idx];
+                    if (cpos >= rpos) {
+                        int64_t qi = qpos + (cpos - rpos);
+                        char base = seq_base(v, qi);
+                        int bq = v.qual[qi];
+                        if (bq > 30) bq = 30;
+                        int8_t p = 0;
+                        if ((uint8_t)base == cand_ref[idx]) p = 1;
+                        else if ((uint8_t)base == cand_a1[idx]
+                                 || (uint8_t)base == cand_a2[idx]) p = -1;
+                        if (p != 0 && not_dense[idx]) {
+                            if (w_ptr >= max_cells) return 2;
+                            out_idx[w_ptr] = (int32_t)idx;
+                            out_p[w_ptr] = p;
+                            out_bq[w_ptr] = (uint8_t)bq;
+                            ++w_ptr;
+                        }
+                    }
+                    ++idx;
+                }
+                rpos = seg_end;
+                qpos += ln;
+            } else if (op == 1) {
+                qpos += ln;
+            } else {  // D or N: skip candidates under the gap
+                int64_t seg_end = rpos + ln;
+                while (idx < n_cand && cand_pos[idx] < seg_end) ++idx;
+                rpos = seg_end;
+            }
+        }
+        out_counts[r] = w_ptr - start_cells;
+    }
+    return 0;
+}
+
+}  // extern "C"

@@ -126,8 +126,62 @@ def _read_cells(read, cand_pos: np.ndarray, start_idx: int, end_idx: int,
     return ci, p, bq
 
 
+def _extract_cells(bam: BamFile, eligible: List[int], cands: CandidateSet,
+                   use_native: bool = True):
+    """Per eligible read: (cand_indices, p, baseq) arrays — native C++ when
+    available, numpy fallback otherwise."""
+    cand_pos = cands.pos
+    out = []
+    if use_native and eligible:
+        from .. import native
+        nlib = native.lib()
+        if nlib is not None:
+            import ctypes
+            u8p = ctypes.POINTER(ctypes.c_uint8)
+            i64p = ctypes.POINTER(ctypes.c_int64)
+            i32p = ctypes.POINTER(ctypes.c_int32)
+            i8p = ctypes.POINTER(ctypes.c_int8)
+            data = np.frombuffer(bam._data, dtype=np.uint8)
+            idx = np.asarray(eligible, dtype=np.int64)
+            rec_off = bam.rec_off[idx].astype(np.int64)
+            rec_end = bam.rec_end[idx].astype(np.int64)
+            n_cand = cands.n
+            # worst case: every read covers every candidate
+            max_cells = int(len(eligible)) * max(1, n_cand)
+            max_cells = min(max_cells, 1 << 28)
+            out_idx = np.empty(max_cells, np.int32)
+            out_p = np.empty(max_cells, np.int8)
+            out_bq = np.empty(max_cells, np.uint8)
+            out_counts = np.empty(len(eligible), np.int64)
+            a1 = np.ascontiguousarray(cands.alleles[:, 0])
+            a2 = np.ascontiguousarray(cands.alleles[:, 1])
+            nd = np.ones(n_cand, np.uint8)  # dense filter applied by caller
+            ptr = lambda a, t: a.ctypes.data_as(t)
+            rc = nlib.fragment_cells(
+                ptr(data, u8p), ptr(rec_off, i64p), ptr(rec_end, i64p),
+                len(eligible), ptr(cand_pos, i64p), ptr(cands.ref_base, u8p),
+                ptr(a1, u8p), ptr(a2, u8p), ptr(nd, u8p), n_cand,
+                ptr(out_idx, i32p), ptr(out_p, i8p), ptr(out_bq, u8p),
+                ptr(out_counts, i64p), max_cells)
+            if rc == 0:
+                off = 0
+                for c in out_counts.tolist():
+                    out.append((out_idx[off:off + c].astype(np.int64),
+                                out_p[off:off + c].copy(),
+                                out_bq[off:off + c].copy()))
+                    off += c
+                return out
+    for ridx in eligible:
+        r = bam.read(ridx)
+        s_idx = int(np.searchsorted(cand_pos, r.pos, side="left"))
+        e_idx = int(np.searchsorted(cand_pos, r.reference_end(), side="left"))
+        out.append(_read_cells(r, cand_pos, s_idx, e_idx,
+                               cands.ref_base, cands.alleles))
+    return out
+
+
 def get_fragments(bam: BamFile, region: Region, cands: CandidateSet,
-                  cfg: CallerConfig) -> FragmentMatrix:
+                  cfg: CallerConfig, use_native: bool = True) -> FragmentMatrix:
     """Second BAM pass: build the fragment matrix for one region."""
     I = cands.n
     lo, hi = bam.contig_record_range(region.chr)
@@ -157,6 +211,7 @@ def get_fragments(bam: BamFile, region: Region, cands: CandidateSet,
     hi = lo + int(np.searchsorted(bam.pos[lo:hi], region.end, side="left"))
     pair_keys: List[np.ndarray] = []
     I4 = 4 * I  # packed key: i1*(4I) + i2*4 + a1*2 + a2
+    eligible: List[int] = []
     for ridx in range(lo, hi):
         r = bam.read(ridx)
         if (r.mapq < cfg.min_mapq or r.l_seq < cfg.min_read_length
@@ -167,13 +222,13 @@ def get_fragments(bam: BamFile, region: Region, cands: CandidateSet,
             continue
         if r.reference_end() <= region.start:
             continue
-        pos = r.pos
-        if pos > last_pos:
+        if r.pos > last_pos:
             continue  # fragment.rs:52-54
-        s_idx = int(np.searchsorted(cand_pos, pos, side="left"))
-        e_idx = int(np.searchsorted(cand_pos, r.reference_end(), side="left"))
-        ci, p, bq = _read_cells(r, cand_pos, s_idx, e_idx,
-                                cands.ref_base, cands.alleles)
+        eligible.append(ridx)
+        qnames.append(r.qname)
+
+    cells = _extract_cells(bam, eligible, cands, use_native=use_native)
+    for (ci, p, bq) in cells:
         # keep p != 0 at non-dense candidates (fragment.rs:148-152)
         keep = (p != 0) & not_dense[ci]
         ci, p, bq = ci[keep], p[keep], bq[keep]
@@ -191,7 +246,6 @@ def get_fragments(bam: BamFile, region: Region, cands: CandidateSet,
         rows_i.append(ci)
         rows_p.append(p)
         rows_q.append(bq)
-        qnames.append(r.qname)
 
     # aggregate LD pair counts
     if pair_keys:

@@ -53,13 +53,27 @@ class CellTables(NamedTuple):
     exists: jnp.ndarray   # [K,I] bool
 
 
-def make_cell_tables(p_np, baseq_np) -> CellTables:
-    p = jnp.asarray(p_np, dtype=f64)
-    q = jnp.asarray(baseq_np, dtype=jnp.int32)
+import numpy as _np
+
+_LOG10_ERR_NP = _np.asarray(LOG10_ERR_T)
+_LOG10_1MERR_NP = _np.asarray(LOG10_1MERR_T)
+
+
+def make_cell_tables_np(p_np, baseq_np) -> CellTables:
+    """Host (numpy) cell tables — used by the assignment/rescue layer so no
+    device round trips happen off the hot phasing path."""
+    p = _np.asarray(p_np, dtype=_np.float64)
+    q = _np.asarray(baseq_np, dtype=_np.int32)
     exists = p != 0
-    lerr = jnp.where(exists, LOG10_ERR_T[q], 0.0)
-    l1m = jnp.where(exists, LOG10_1MERR_T[q], 0.0)
+    lerr = _np.where(exists, _LOG10_ERR_NP[q], 0.0)
+    l1m = _np.where(exists, _LOG10_1MERR_NP[q], 0.0)
     return CellTables(p=p, lerr=lerr, l1m=l1m, exists=exists)
+
+
+def make_cell_tables(p_np, baseq_np) -> CellTables:
+    ct = make_cell_tables_np(p_np, baseq_np)
+    return CellTables(p=jnp.asarray(ct.p), lerr=jnp.asarray(ct.lerr),
+                      l1m=jnp.asarray(ct.l1m), exists=jnp.asarray(ct.exists))
 
 
 def _cell_term(ct: CellTables, x: jnp.ndarray) -> jnp.ndarray:

@@ -35,7 +35,7 @@ import numpy as np
 from ..config import CallerConfig
 from ..ops.candidates import CandidateSet
 from .fragments import FragmentMatrix
-from .kernels import (CellTables, f64, make_cell_tables, overall_probability,
+from .kernels import (CellTables, f64, make_cell_tables, make_cell_tables_np, overall_probability,
                       prior_het_log, read_logliks, sigma_q, snp_q_for,
                       snp_qs, snp_sums)
 
@@ -270,12 +270,13 @@ def init_haplotypes_ld(cands: CandidateSet, ld: LDInfo,
 # Block flip pass: cross_optimize_by_block (phase.rs:1298-1394)
 # ---------------------------------------------------------------------------
 
-def block_flip_pass(ct: CellTables, st: PhaseState, read_base: np.ndarray,
+def block_flip_pass(ct_np: CellTables, st: PhaseState, read_base: np.ndarray,
                     site_mask: np.ndarray, exists: np.ndarray,
                     ld: LDInfo) -> PhaseState:
     """For every LD block: flip the whole block (and reads fully contained in
     it) if that raises the block objective. All decisions are computed
     against the current state, then applied together."""
+    ct = ct_np
     if not ld.blocks:
         return st
     sigma = np.asarray(st.sigma)
@@ -284,10 +285,18 @@ def block_flip_pass(ct: CellTables, st: PhaseState, read_base: np.ndarray,
     K, I = exists.shape
     n_elems = exists.sum(axis=1)
     read_mask = read_base & (sigma != 0)
-    # per-snp masked sums with current sigma
-    s_match, s_flip, s_refe, s_alte, cov = (np.asarray(a) for a in snp_sums(
-        ct, jnp.asarray(sigma), jnp.asarray(delta),
-        jnp.asarray(read_mask), jnp.asarray(site_mask)))
+    # per-snp masked sums with current sigma (host numpy: this pass runs
+    # once per region, off the jitted hot loop)
+    pj = np.asarray(ct.p)
+    l1m = np.asarray(ct.l1m)
+    lerr = np.asarray(ct.lerr)
+    m0 = site_mask[None, :] & exists & read_mask[:, None]
+    x0 = sigma[:, None] * delta[None, :]
+    s_match = np.where(m0, np.where(pj == x0, l1m, lerr), 0.0).sum(axis=0)
+    s_flip = np.where(m0, np.where(pj == -x0, l1m, lerr), 0.0).sum(axis=0)
+    s_refe = np.where(m0, np.where(pj == 1.0, l1m, lerr), 0.0).sum(axis=0)
+    s_alte = np.where(m0, np.where(pj == -1.0, l1m, lerr), 0.0).sum(axis=0)
+    cov = m0.sum(axis=0)
     # flip variant: sigma' = -sigma for reads fully inside the snp's block
     block_id = ld.block_id
     if block_id.shape[0] < I:
@@ -304,11 +313,7 @@ def block_flip_pass(ct: CellTables, st: PhaseState, read_base: np.ndarray,
     ff_rows = full_in[:, None] == block_id[None, :]
     flip_factor[ff_rows & blocked_cols[None, :]] = -1
     # S'_match-flip: x = sigma*flip_factor*(-delta) per cell
-    pj = np.asarray(ct.p)
-    l1m = np.asarray(ct.l1m)
-    lerr = np.asarray(ct.lerr)
-    m = site_mask[None, :] & exists & read_mask[:, None]
-    x_cur = sigma[:, None] * delta[None, :]
+    m = m0
     x_new = sigma[:, None] * flip_factor * (-delta[None, :])
     s_match_new = np.where(m, np.where(pj == x_new, l1m, lerr), 0.0).sum(axis=0)
     s_flip_new = np.where(m, np.where(pj == -x_new, l1m, lerr), 0.0).sum(axis=0)
@@ -382,7 +387,8 @@ def _phase_region_padded(frags: FragmentMatrix, cands: CandidateSet,
     padKI = lambda a: np.pad(a, ((0, K - K0), (0, I_pad - I0)))
     padK = lambda a, v=0: np.pad(a, (0, K - K0), constant_values=v)
     padI = lambda a, v=0: np.pad(a, (0, I_pad - I0), constant_values=v)
-    ct = make_cell_tables(padKI(frags.p), padKI(frags.baseq))
+    ct_np = make_cell_tables_np(padKI(frags.p), padKI(frags.baseq))
+    ct = CellTables(*(jnp.asarray(a) for a in ct_np))
     site_mask_np = padI(cands.for_phasing)
     site_mask = jnp.asarray(site_mask_np)
     ds = frags.downsampled if apply_downsampling else np.ones(K0, bool)
@@ -445,7 +451,7 @@ def _phase_region_padded(frags: FragmentMatrix, cands: CandidateSet,
 
     exists_pad = np.zeros((K, I_pad), dtype=bool)
     exists_pad[:K0, :I] = frags.exists()
-    st2 = block_flip_pass(ct, st, read_base_np, site_mask_np, exists_pad, ld)
+    st2 = block_flip_pass(ct_np, st, read_base_np, site_mask_np, exists_pad, ld)
     read_mask = read_base & (st2.sigma != 0)
     prob = overall_probability(ct, st2.sigma, st2.delta, st2.eta, read_mask,
                                site_mask[None, :])

@@ -270,9 +270,13 @@ def add_read(acc: PileupTensors, read: BamRead, cfg: CallerConfig,
 
 def build_pileup(bam: BamFile, region: Region, ref_seq: np.ndarray,
                  cfg: CallerConfig,
-                 qc_mask: Optional[np.ndarray] = None) -> PileupTensors:
+                 qc_mask: Optional[np.ndarray] = None,
+                 use_native: bool = True) -> PileupTensors:
     """Fill a region's pileup tensors from all overlapping QC-pass reads
-    (the Profile::fill_data_into_freq_vec equivalent, util.rs:621-949)."""
+    (the Profile::fill_data_into_freq_vec equivalent, util.rs:621-949).
+
+    Dispatches to the C++ decoder when available; the numpy path is the
+    reference implementation and the fallback."""
     start0 = region.start - 1
     ref_window = ref_seq[start0:region.end - 1].copy()
     acc = _empty_tensors(region, ref_window)
@@ -286,6 +290,7 @@ def build_pileup(bam: BamFile, region: Region, ref_seq: np.ndarray,
     # column are therefore missed — replicated here: keep reads with
     # pos < region.end and reference_end() > region.start (both 0-based).
     hi = lo + int(np.searchsorted(bam.pos[lo:hi], region.end, side="left"))
+    eligible: List[int] = []
     for i in range(lo, hi):
         if qc_mask is not None:
             if not qc_mask[i]:
@@ -301,5 +306,43 @@ def build_pileup(bam: BamFile, region: Region, ref_seq: np.ndarray,
                 continue
         if r.reference_end() <= region.start:
             continue
-        add_read(acc, r, cfg)
+        eligible.append(i)
+
+    if use_native and eligible:
+        from .. import native
+        nlib = native.lib()
+        if nlib is not None:
+            _native_pileup_fill(nlib, bam, eligible, acc, start0, cfg)
+            return acc
+    for i in eligible:
+        add_read(acc, bam.read(i), cfg)
     return acc
+
+
+def _native_pileup_fill(nlib, bam: BamFile, eligible: List[int],
+                        acc: PileupTensors, start0: int,
+                        cfg: CallerConfig) -> None:
+    import ctypes
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    data = np.frombuffer(bam._data, dtype=np.uint8)
+    idx = np.asarray(eligible, dtype=np.int64)
+    rec_off = bam.rec_off[idx].astype(np.int64)
+    rec_end = bam.rec_end[idx].astype(np.int64)
+    as_ptr = lambda a, t: a.ctypes.data_as(t)
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    f64p = ctypes.POINTER(ctypes.c_double)
+    rc = nlib.pileup_fill(
+        as_ptr(data, u8p), as_ptr(rec_off, i64p), as_ptr(rec_end, i64p),
+        len(eligible), start0, acc.length, as_ptr(acc.ref_base, u8p),
+        1 if cfg.is_ont else 0, cfg.distance_to_read_end,
+        cfg.polya_tail_length, cfg.min_baseq,
+        as_ptr(LOG10_ERR, f64p), as_ptr(LOG10_1MERR, f64p),
+        as_ptr(acc.cnt, i32p), as_ptr(acc.n_intron, i32p),
+        as_ptr(acc.n_del, i32p), as_ptr(acc.n_ins, i32p),
+        as_ptr(acc.fwd, i32p), as_ptr(acc.bwd, i32p),
+        as_ptr(acc.strands, i32p), as_ptr(acc.ts, i32p),
+        as_ptr(acc.s_err, f64p), as_ptr(acc.s_1merr, f64p),
+        as_ptr(acc.bq_pass, i32p))
+    if rc != 0:
+        raise RuntimeError(f"native pileup_fill failed: rc={rc}")

@@ -101,7 +101,7 @@ def simulate_bam(path: str, rng: np.random.Generator, ref: np.ndarray,
             quals = np.concatenate([np.full(softclip, 5, np.uint8), quals,
                                     np.full(softclip, 5, np.uint8)])
             cigar_items = [(softclip, "S")] + cigar_items + [(softclip, "S")]
-        strand = int(rng.integers(0, 2))
+        strand = i % 2  # balanced strands (stable under strand-bias filters)
         qname = f"sim{i:05d}"
         truth.hap_of_read[qname] = hap
         tags = bamio.make_tag_bytes("de", "f", 0.001)

@@ -113,3 +113,81 @@ def test_ase_detects_imbalance(tmp_path, rng):
     h1, h2, p = int(rows2[0][3]), int(rows2[0][4]), float(rows2[0][5])
     assert max(h1, h2) / (h1 + h2) > 0.6
     assert p < 0.05
+
+
+def test_asj_detects_haplotype_specific_junction(tmp_path, rng):
+    """A junction present only on hap1 reads must be reported significant;
+    a junction shared by both haplotypes must not."""
+    from longcallr_tpu.analysis import asj
+    from longcallr_tpu.io import bam as bamio
+    from longcallr_tpu.io.fasta import write_fasta
+
+    L = 9000
+    ref = make_reference(rng, L)
+    # canonical splice signals for intron1 (2001-2499) and intron2 (4501-4999)
+    ref[2000:2002] = np.frombuffer(b"GT", np.uint8)
+    ref[2497:2499] = np.frombuffer(b"AG", np.uint8)
+    ref[4500:4502] = np.frombuffer(b"GT", np.uint8)
+    ref[4997:4999] = np.frombuffer(b"AG", np.uint8)
+    fa_path = str(tmp_path / "asj.fa")
+    write_fasta(fa_path, {"chrS": bytes(ref)})
+
+    gtf = str(tmp_path / "asj.gtf")
+    attrs = 'gene_id "G1"; gene_type "protein_coding"; gene_name "GENE1";'
+    with open(gtf, "w") as f:
+        f.write(f"chrS\thv\tgene\t1\t9000\t.\t+\t.\t{attrs}\n")
+        for (s, e) in [(1, 2000), (2500, 4500), (5000, 9000)]:
+            f.write(f'chrS\thv\texon\t{s}\t{e}\t.\t+\t.\t{attrs} '
+                    f'transcript_id "G1.t1";\n')
+
+    bam_path = str(tmp_path / "asj.bam")
+    with bamio.BamWriter(bam_path, ["chrS"], [L]) as w:
+        for i in range(40):
+            hap = 1 if i % 2 == 0 else 2
+            tags = (bamio.make_tag_bytes("HP", "i", hap)
+                    + bamio.make_tag_bytes("PS", "i", 1000))
+            if hap == 1:
+                # both introns spliced out
+                cigar = bamio.encode_cigar([(2000, "M"), (499, "N"),
+                                            (2001, "M"), (499, "N"),
+                                            (3500, "M")])
+                seq = np.concatenate([ref[0:2000], ref[2499:4500],
+                                      ref[4999:8499]])
+            else:
+                # only intron2 spliced (intron1 retained)
+                cigar = bamio.encode_cigar([(4500, "M"), (499, "N"),
+                                            (3500, "M")])
+                seq = np.concatenate([ref[0:4500], ref[4999:8499]])
+            w.write_record(qname=f"j{i:03d}", flag=0, ref_id=0, pos=0,
+                           mapq=60, cigar=cigar, seq=bytes(seq),
+                           qual=np.full(len(seq), 30), tags=tags)
+
+    out_prefix = str(tmp_path / "asjout")
+    asj.analyze(gtf, bam_path, fa_path, out_prefix, min_count=5,
+                gene_types={"protein_coding"}, min_junctions=0)
+    rows = [l.split("\t") for l in
+            open(out_prefix + ".asj.tsv").read().splitlines()[1:]]
+    assert rows, "no junctions reported"
+    by_junc = {r[0]: r for r in rows}
+    j1 = by_junc.get("chrS:2001-2499")
+    j2 = by_junc.get("chrS:4501-4999")
+    assert j1 is not None and j2 is not None, by_junc.keys()
+    # intron1: hap1 present / hap2 absent → significant
+    assert float(j1[8]) < 1e-4, j1
+    assert j1[11] == "True"  # GT-AG canonical
+    assert j1[10] == "False"  # annotated (not novel)
+    # intron2: both haplotypes → not significant
+    assert float(j2[8]) > 0.05, j2
+    # gene summary exists
+    gene_rows = open(out_prefix + ".asj_gene.tsv").read().splitlines()[1:]
+    assert len(gene_rows) == 1 and gene_rows[0].startswith("GENE1")
+    # coverage file
+    cov = open(out_prefix + ".gene_coverage.tsv").read().splitlines()[1]
+    assert cov.startswith("GENE1") and int(cov.split("\t")[4]) == 40
+    # BED conversion
+    from longcallr_tpu.analysis.asj_to_bed import convert_asj_to_bed
+    import io as _io
+    buf = _io.StringIO()
+    convert_asj_to_bed(out_prefix + ".asj.tsv", 1e-4, out=buf)
+    bed = buf.getvalue().splitlines()
+    assert len(bed) == 1 and bed[0].startswith("chrS\t2000\t2499\tGENE1")

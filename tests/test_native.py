@@ -1,0 +1,82 @@
+"""Native C++ decoders must produce bit-identical results to the numpy
+reference implementations."""
+
+import numpy as np
+import pytest
+
+from longcallr_tpu import native
+from longcallr_tpu.config import preset
+from longcallr_tpu.io.bam import BamFile
+from longcallr_tpu.ops.candidates import select_candidates
+from longcallr_tpu.phasing.fragments import get_fragments
+from longcallr_tpu.tiles.pileup import build_pileup
+from longcallr_tpu.tiles.regions import Region
+
+from simulate import make_reference, plant_snps, simulate_bam
+
+pytestmark = pytest.mark.skipif(not native.available(),
+                                reason="native library unavailable")
+
+
+def _cmp_pileup(a, b):
+    for name in ("cnt", "n_intron", "n_del", "n_ins", "fwd", "bwd",
+                 "strands", "ts", "bq_pass", "s_err", "s_1merr"):
+        np.testing.assert_array_equal(getattr(a, name), getattr(b, name),
+                                      err_msg=name)
+
+
+@pytest.mark.parametrize("preset_name", ["hifi-masseq", "ont-cdna"])
+def test_native_pileup_equals_numpy(tmp_path, rng, preset_name):
+    cfg = preset(preset_name).replace(min_read_length=100)
+    ref = make_reference(rng, 5000)
+    truth = plant_snps(rng, ref, n_het=8, n_hom=2)
+    path = str(tmp_path / "n.bam")
+    simulate_bam(path, rng, ref, truth, n_reads=60, read_len=2200,
+                 err_rate=0.02, with_introns=True, softclip=5)
+    bam = BamFile(path)
+    for (s, e) in [(1, len(ref) + 1), (1200, 2600)]:
+        region = Region(chr="chrS", start=s, end=e)
+        a = build_pileup(bam, region, ref, cfg, use_native=True)
+        b = build_pileup(bam, region, ref, cfg, use_native=False)
+        _cmp_pileup(a, b)
+
+
+def test_native_fragments_equal_numpy(tmp_path, rng):
+    cfg = preset("hifi-masseq").replace(min_read_length=100)
+    ref = make_reference(rng, 6000)
+    truth = plant_snps(rng, ref, n_het=10, n_hom=2)
+    path = str(tmp_path / "nf.bam")
+    simulate_bam(path, rng, ref, truth, n_reads=70, read_len=2500,
+                 err_rate=0.02, with_introns=True)
+    bam = BamFile(path)
+    region = Region(chr="chrS", start=1, end=len(ref) + 1)
+    pl = build_pileup(bam, region, ref, cfg)
+    cands = select_candidates(pl, cfg)
+    fa = get_fragments(bam, region, cands, cfg, use_native=True)
+    fb = get_fragments(bam, region, cands, cfg, use_native=False)
+    assert fa.qnames == fb.qnames
+    np.testing.assert_array_equal(fa.p, fb.p)
+    np.testing.assert_array_equal(fa.baseq, fb.baseq)
+    np.testing.assert_array_equal(fa.num_hete_links, fb.num_hete_links)
+    assert set(fa.ld_counts) == set(fb.ld_counts)
+    for k in fa.ld_counts:
+        np.testing.assert_array_equal(fa.ld_counts[k], fb.ld_counts[k])
+
+
+def test_native_demo_region(demo_bam_path):
+    """Native vs numpy on real reads (consensus ref over the demo locus)."""
+    import os
+    cfg = preset("hifi-masseq")
+    bam = BamFile(demo_bam_path)
+    from longcallr_tpu.tiles.regions import extract_isolated_regions_parallel
+    regs = extract_isolated_regions_parallel(bam, [("chr20", 64_444_167)], cfg)
+    reg = regs[0]
+    sub = Region(chr="chr20", start=reg.start, end=min(reg.end, reg.start + 4000))
+    ref = np.full(64_444_167, ord("N"), dtype=np.uint8)
+    tmp = build_pileup(bam, sub, ref, cfg, use_native=False)
+    cons = np.frombuffer(b"ACGT", dtype=np.uint8)[np.argmax(tmp.cnt, axis=1)]
+    cons[tmp.cnt.sum(axis=1) == 0] = ord("N")
+    ref[sub.start - 1: sub.end - 1] = cons
+    a = build_pileup(bam, sub, ref, cfg, use_native=True)
+    b = build_pileup(bam, sub, ref, cfg, use_native=False)
+    _cmp_pileup(a, b)
