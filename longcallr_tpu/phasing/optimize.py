@@ -91,13 +91,10 @@ def _snp_step(ct: CellTables, st: PhaseState, read_base, site_mask,
     return new_delta, new_eta, logp > pre
 
 
-@partial(jax.jit, static_argnames=("with_genotype", "keep_conserved"))
-def cross_optimize(ct: CellTables, st: PhaseState, read_base: jnp.ndarray,
-                   site_mask: jnp.ndarray, conserved: jnp.ndarray,
-                   with_genotype: bool, keep_conserved: bool
-                   ) -> Tuple[PhaseState, jnp.ndarray]:
-    """Alternating coordinate ascent, ≤21 iterations (phase.rs:810-976).
-    Returns (final state, overall log10 probability)."""
+def _cross_optimize_loop(ct: CellTables, st: PhaseState, read_base,
+                         site_mask, conserved, with_genotype: bool,
+                         keep_conserved: bool) -> Tuple[PhaseState, jnp.ndarray]:
+    """Traceable core of cross_optimize (inlined by the fused phase loop)."""
 
     def cond(carry):
         st, it, go = carry
@@ -118,6 +115,64 @@ def cross_optimize(ct: CellTables, st: PhaseState, read_base: jnp.ndarray,
     prob = overall_probability(ct, st.sigma, st.delta, st.eta, read_mask,
                                site_mask[None, :])
     return st, prob
+
+
+@partial(jax.jit, static_argnames=("with_genotype", "keep_conserved"))
+def cross_optimize(ct: CellTables, st: PhaseState, read_base: jnp.ndarray,
+                   site_mask: jnp.ndarray, conserved: jnp.ndarray,
+                   with_genotype: bool, keep_conserved: bool
+                   ) -> Tuple[PhaseState, jnp.ndarray]:
+    """Alternating coordinate ascent, ≤21 iterations (phase.rs:810-976).
+    Returns (final state, overall log10 probability)."""
+    return _cross_optimize_loop(ct, st, read_base, site_mask, conserved,
+                                with_genotype, keep_conserved)
+
+
+@jax.jit
+def perturbation_phase(ct: CellTables, st: PhaseState, best_st: PhaseState,
+                       best_prob, read_base, site_mask, conserved,
+                       n_rounds, key) -> Tuple[PhaseState, jnp.ndarray]:
+    """The full perturbation schedule (phase.rs:1198-1233) as ONE device
+    program: n_rounds iterations of {10%% SNP resets → cross_optimize →
+    keep-best → 10%% read flips → cross_optimize → keep-best}, with
+    device-side jax.random. Returns (best state, best prob)."""
+    K = st.sigma.shape[0]
+    I = st.delta.shape[0]
+
+    def keep_best(carry_best, st_new, prob_new):
+        b_st, b_p = carry_best
+        better = prob_new > b_p
+        sel = lambda a, b: jnp.where(better, a, b)
+        return (PhaseState(sel(st_new.sigma, b_st.sigma),
+                           sel(st_new.delta, b_st.delta),
+                           sel(st_new.eta, b_st.eta)),
+                jnp.where(better, prob_new, b_p))
+
+    def body(tidx, carry):
+        (b_st, b_p) = carry
+        kr = jax.random.fold_in(key, tidx)
+        k1, k2 = jax.random.split(kr)
+        flip = (tidx % 2) == 1
+        lowv = jnp.where(flip, 1.0, -1.0)
+        highv = -lowv
+        rg = jax.random.uniform(k1, (I,))
+        delta = jnp.where(rg < 0.1, lowv,
+                          jnp.where(rg >= 0.9, highv, b_st.delta))
+        st1, prob1 = _cross_optimize_loop(
+            ct, b_st._replace(delta=delta), read_base, site_mask, conserved,
+            with_genotype=False, keep_conserved=False)
+        b_st, b_p = keep_best((b_st, b_p), st1, prob1)
+        fl = (jax.random.uniform(k2, (K,)) < 0.1) & read_base & (b_st.sigma != 0)
+        sigma = jnp.where(fl, -b_st.sigma, b_st.sigma)
+        st2, prob2 = _cross_optimize_loop(
+            ct, b_st._replace(sigma=sigma), read_base, site_mask, conserved,
+            with_genotype=False, keep_conserved=False)
+        b_st, b_p = keep_best((b_st, b_p), st2, prob2)
+        return (b_st, b_p)
+
+    best_st, best_prob = jax.lax.fori_loop(
+        0, n_rounds, body, (best_st, jnp.asarray(best_prob, f64)))
+    return best_st, best_prob
 
 
 # vmapped enumeration: one cross_optimize per initial haplotype config
@@ -458,27 +513,12 @@ def _phase_region_padded(frags: FragmentMatrix, cands: CandidateSet,
     consider(st2, prob)
     st = best_st
 
-    # perturbation rounds (phase.rs:1198-1233)
-    for tidx in range(I // 4 + 1):
-        flip = tidx % 2 == 1
-        rg = rng.random(I_pad)
-        delta_np = np.asarray(st.delta).copy()
-        lowv, highv = (1.0, -1.0) if flip else (-1.0, 1.0)
-        delta_np[rg < 0.1] = lowv
-        delta_np[rg >= 0.9] = highv
-        st = st._replace(delta=jnp.asarray(delta_np, f64))
-        st, prob = cross_optimize(ct, st, read_base, site_mask, conserved,
-                                  with_genotype=False, keep_conserved=False)
-        consider(st, prob)
-        st = best_st
-
-        sig_np = np.asarray(st.sigma).copy()
-        fl = (rng.random(K) < 0.1) & read_base_np & (sig_np != 0)
-        sig_np[fl] = -sig_np[fl]
-        st = st._replace(sigma=jnp.asarray(sig_np, f64))
-        st, prob = cross_optimize(ct, st, read_base, site_mask, conserved,
-                                  with_genotype=False, keep_conserved=False)
-        consider(st, prob)
-        st = best_st
-
+    # perturbation rounds (phase.rs:1198-1233) — fused into ONE device call
+    # (I//4+1 rounds of two perturb+ascend passes, device-side jax.random)
+    n_rounds = I // 4 + 1
+    key = jax.random.PRNGKey(
+        int(rng.integers(0, np.iinfo(np.int64).max, dtype=np.int64)))
+    best_st, best_prob_dev = perturbation_phase(
+        ct, best_st, best_st, jnp.asarray(best_prob, f64), read_base,
+        site_mask, conserved, jnp.int32(n_rounds), key)
     return best_st

@@ -191,3 +191,18 @@ def test_asj_detects_haplotype_specific_junction(tmp_path, rng):
     convert_asj_to_bed(out_prefix + ".asj.tsv", 1e-4, out=buf)
     bed = buf.getvalue().splitlines()
     assert len(bed) == 1 and bed[0].startswith("chrS\t2000\t2499\tGENE1")
+
+
+def test_somatic_posterior():
+    """calculate_prob_somatic matches the reference formulas on hand cases."""
+    from longcallr_tpu.ops.somatic import calculate_prob_somatic
+    # hap1: clean ref (many high-qual ref bases, no alt) → class 0
+    c1, p1, c2, p2 = calculate_prob_somatic(
+        [30] * 20, [], [30] * 10, [30] * 6, purity=0.3)
+    assert c1 == 0 and p1 > 0.99
+    # hap2: 6/16 alt at q30 → somatic beats het prior at 30% purity? at
+    # minimum it should NOT be called clean ref
+    assert c2 != 0
+    # balanced alt fraction ~purity → somatic class dominates het
+    c1b, _, c2b, _ = calculate_prob_somatic([], [], [30] * 7, [30] * 3, 0.3)
+    assert c2b == 2
