@@ -30,6 +30,8 @@ def main() -> int:
     import jax
 
     jax.config.update("jax_enable_x64", True)
+    from longcallr_tpu.utils.device import ensure_cpu_backend_registered
+    ensure_cpu_backend_registered()
 
     from longcallr_tpu.config import preset
     from longcallr_tpu.io.bam import BamFile
@@ -57,6 +59,8 @@ def main() -> int:
     # warmup run: pays jit compiles / device tunnel setup once, so the
     # measured run reflects steady-state throughput
     run(DEMO_BAM, ref_fa, out_prefix, cfg)
+    from longcallr_tpu.pipeline import engine as _eng
+    _eng.STAGE_TOTALS.clear()
     t0 = time.monotonic()
     out = run(DEMO_BAM, ref_fa, out_prefix, cfg)
     wall = time.monotonic() - t0
@@ -68,8 +72,10 @@ def main() -> int:
         "unit": "reads/s",
         "vs_baseline": round(reads_per_s / BASELINE_READS_PER_S, 3),
     }
+    from longcallr_tpu.pipeline import engine as _engine
     extra = {
         "wall_s": round(wall, 3),
+        "engine_stages": {k: round(v, 3) for k, v in _engine.STAGE_TOTALS.items()},
         "n_reads": n_reads,
         "n_regions": out.n_regions,
         "n_records": out.n_records,

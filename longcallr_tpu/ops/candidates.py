@@ -29,6 +29,7 @@ from scipy.stats import binom as _scipy_binom
 
 from ..config import CallerConfig
 from ..tiles.pileup import PileupTensors
+from ..utils.device import small_problem_device
 
 # --- constants ---
 _THETA = 0.001
@@ -351,7 +352,12 @@ def select_candidates(pileup: PileupTensors, cfg: CallerConfig,
         s_1merr=pad2(pileup.s_1merr), bq_pass=pad2(pileup.bq_pass),
         ref_idx=ref_idx, exon_mask=pad2(em),
     )
-    out = jax.device_get(candidate_kernel(cols, cfg))
+    dev = small_problem_device(Ppad * 16)
+    if dev is not None:
+        with jax.default_device(dev):
+            out = jax.device_get(candidate_kernel(cols, cfg))
+    else:
+        out = jax.device_get(candidate_kernel(cols, cfg))
     cat = out["category"][:P]
     sel = np.nonzero(cat != 0)[0]
     n = sel.shape[0]

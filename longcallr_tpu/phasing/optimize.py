@@ -34,6 +34,7 @@ import numpy as np
 
 from ..config import CallerConfig
 from ..ops.candidates import CandidateSet
+from ..utils.device import small_problem_device
 from .fragments import FragmentMatrix
 from .kernels import (CellTables, f64, make_cell_tables, make_cell_tables_np, overall_probability,
                       prior_het_log, read_logliks, sigma_q, snp_q_for,
@@ -437,6 +438,18 @@ def _phase_region_padded(frags: FragmentMatrix, cands: CandidateSet,
                          apply_downsampling: bool) -> PhaseState:
     K0, I0 = frags.p.shape
     K, I_pad = _bucket(max(1, K0)), _bucket(max(1, I0))
+    # route tiny regions to the host CPU backend (see utils/device.py)
+    dev = small_problem_device(K * I_pad)
+    if dev is not None:
+        with jax.default_device(dev):
+            return _phase_region_padded_impl(frags, cands, cfg, seed,
+                                             apply_downsampling, K0, I0, K, I_pad)
+    return _phase_region_padded_impl(frags, cands, cfg, seed,
+                                     apply_downsampling, K0, I0, K, I_pad)
+
+
+def _phase_region_padded_impl(frags, cands, cfg, seed, apply_downsampling,
+                              K0, I0, K, I_pad) -> PhaseState:
     I = I0  # logical candidate count (enumeration path keys off this)
     rng = np.random.default_rng(np.random.SeedSequence([cfg.seed, seed & 0x7FFFFFFF]))
     padKI = lambda a: np.pad(a, ((0, K - K0), (0, I_pad - I0)))

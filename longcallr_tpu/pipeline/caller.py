@@ -62,7 +62,11 @@ def build_regions(bam: BamFile, fasta: FastaFile, cfg: CallerConfig,
 def run(bam_path: str, ref_path: str, output_prefix: str, cfg: CallerConfig,
         input_vcf: Optional[str] = None, input_region: Optional[str] = None,
         contigs: Optional[Sequence[str]] = None,
-        anno_path: Optional[str] = None) -> CallerOutputs:
+        anno_path: Optional[str] = None,
+        resume: bool = False) -> CallerOutputs:
+    """``resume=True`` keeps a <prefix>.regions.ckpt JSONL of completed
+    regions and skips them on restart (region-granular recovery; the
+    reference restarts from scratch — SURVEY.md §5)."""
     t0 = time.monotonic()
     stage: Dict[str, float] = {}
     bam = BamFile(bam_path, threads=max(1, cfg.threads))
@@ -79,8 +83,15 @@ def run(bam_path: str, ref_path: str, output_prefix: str, cfg: CallerConfig,
                         if input_vcf is not None else None)
 
     t2 = time.monotonic()
+    from .resume import RegionCheckpoint
+    ckpt = RegionCheckpoint(output_prefix + ".regions.ckpt" if resume else None)
+    if ckpt.n_done:
+        log.info("resume: %d regions already completed", ckpt.n_done)
 
     def work(reg: Region) -> RegionResult:
+        done = ckpt.get(reg)
+        if done is not None:
+            return done
         ref_seq = fasta.fetch(reg.chr)
         exon_mask = None
         if cfg.exon_only and reg.gene_id is not None:
@@ -93,6 +104,7 @@ def run(bam_path: str, ref_path: str, output_prefix: str, cfg: CallerConfig,
         if res.n_fragments > 0:
             log.info("region %s: %d fragments, %d candidates",
                      reg, res.n_fragments, res.n_candidates)
+        ckpt.put(res)
         return res
 
     # warm the per-contig reference cache serially to avoid duplicate loads
@@ -103,6 +115,7 @@ def run(bam_path: str, ref_path: str, output_prefix: str, cfg: CallerConfig,
             results = list(ex.map(work, regions))
     else:
         results = [work(r) for r in regions]
+    ckpt.close()
     stage["regions_pipeline"] = time.monotonic() - t2
 
     # --- VCF (deterministic contig order, then region order) ---

@@ -4,8 +4,13 @@ records. Mirrors the region closure of the reference orchestrator
 
 from __future__ import annotations
 
+import time
+from collections import defaultdict
 from dataclasses import dataclass
 from typing import Dict, List, Optional, Tuple
+
+# cumulative per-stage seconds across all regions (thread-racy but advisory)
+STAGE_TOTALS: Dict[str, float] = defaultdict(float)
 
 import numpy as np
 
@@ -107,13 +112,19 @@ def process_region(bam: BamFile, region: Region, ref_seq: np.ndarray,
                    input_candidates: Optional[Dict[str, Dict[int, GenotypeAndQuality]]] = None,
                    exon_mask: Optional[np.ndarray] = None) -> RegionResult:
     """One region end-to-end (thread.rs:77-222)."""
+    _t = time.monotonic()
     pileup = build_pileup(bam, region, ref_seq, cfg)
+    STAGE_TOTALS["pileup"] += time.monotonic() - _t
+    _t = time.monotonic()
     if input_candidates is not None:
         chr_cands = input_candidates.get(region.chr, {})
         cands = import_external_candidates(pileup, ref_seq, chr_cands)
     else:
         cands = select_candidates(pileup, cfg, exon_mask=exon_mask)
+    STAGE_TOTALS["candidates"] += time.monotonic() - _t
+    _t = time.monotonic()
     frags = get_fragments(bam, region, cands, cfg)
+    STAGE_TOTALS["fragments"] += time.monotonic() - _t
     apply_ds = (cfg.downsample and cfg.downsample_depth > 0
                 and frags.n_frags >= cfg.downsample_depth)
     if apply_ds:
@@ -123,13 +134,16 @@ def process_region(bam: BamFile, region: Region, ref_seq: np.ndarray,
         np.random.SeedSequence([cfg.seed, region.start & 0x7FFFFFFF, 7]))
 
     if cands.n > 0 and frags.n_frags > 0:
+        _t = time.monotonic()
         st = phase_region(frags, cands, cfg, seed=region.start,
                           apply_downsampling=apply_ds)
+        STAGE_TOTALS["phase"] += time.monotonic() - _t
         sigma = np.asarray(st.sigma)
         frags.haplotag = np.sign(sigma).astype(np.int8)
         cands.haplotype = np.sign(np.asarray(st.delta)).astype(np.int8)
         cands.genotype = np.asarray(st.eta).astype(np.int8)
 
+        _t = time.monotonic()
         ct = make_cell_tables_np(frags.p, frags.baseq)
         A.assign_reads_haplotype(frags, cands, cfg, ct, apply_ds)
         A.assign_snp_haplotype_genotype(frags, cands, cfg, ct, apply_ds)
@@ -142,6 +156,7 @@ def process_region(bam: BamFile, region: Region, ref_seq: np.ndarray,
         read_assignments = A.assign_reads_haplotype(frags, cands, cfg, ct, False)
         A.assign_snp_haplotype_genotype(frags, cands, cfg, ct, False)
         phase_sets = A.assign_phase_set(frags, cands, cfg.min_phase_score)
+        STAGE_TOTALS["assign"] += time.monotonic() - _t
     else:
         # no phasing possible; still run the SNP-state passes so
         # non_selected/single flags are set for VCF emission

@@ -1,0 +1,43 @@
+"""Compute-device routing.
+
+Small per-region problems are dispatched to the host CPU backend when the
+default device is a (possibly remote) accelerator: for tiny tensors the
+accelerator's dispatch + compile latency dwarfs the math, exactly like the
+small-matrix heuristics in BLAS/accelerator libraries. Large regions and
+batched work go to the default (TPU) device.
+
+Threshold in cells (reads × SNPs), override with LONGCALLR_TPU_MIN_CELLS.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+import jax
+
+MIN_ACCEL_CELLS = int(os.environ.get("LONGCALLR_TPU_MIN_CELLS", str(1 << 24)))
+
+
+def ensure_cpu_backend_registered() -> None:
+    """Allow 'cpu' alongside the default platform (call before first jax
+    backend initialisation; no-op afterwards or when already present)."""
+    try:
+        plats = jax.config.jax_platforms
+        if plats and "cpu" not in plats:
+            jax.config.update("jax_platforms", plats + ",cpu")
+    except Exception:
+        pass
+
+
+def small_problem_device(n_cells: int) -> Optional[jax.Device]:
+    """CPU device for sub-threshold problems, else None (default device)."""
+    if n_cells >= MIN_ACCEL_CELLS:
+        return None
+    try:
+        default = jax.devices()[0]
+        if default.platform == "cpu":
+            return None
+        return jax.devices("cpu")[0]
+    except RuntimeError:
+        return None

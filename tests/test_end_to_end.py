@@ -121,3 +121,23 @@ def test_end_to_end_input_vcf(tmp_path, rng):
     assert got_pos == set(truth.het_snps)  # exactly the imported sites
     phased = [r for r in recs if r["sample"]["GT"] in ("0|1", "1|0")]
     assert len(phased) >= len(truth.het_snps) * 0.7
+
+
+def test_resume_checkpoint(tmp_path, rng):
+    """A resumed run skips completed regions and produces identical output."""
+    import os
+    cfg = preset("hifi-masseq").replace(min_read_length=100)
+    ref = make_reference(rng, 5000)
+    truth = plant_snps(rng, ref, n_het=5, n_hom=1)
+    bam_path = str(tmp_path / "r.bam")
+    simulate_bam(bam_path, rng, ref, truth, n_reads=40, read_len=2500,
+                 err_rate=0.01)
+    fa = bam_path.replace(".bam", ".fa")
+    out1 = run(bam_path, fa, str(tmp_path / "o1"), cfg, resume=True)
+    assert os.path.exists(str(tmp_path / "o1.regions.ckpt"))
+    vcf1 = open(out1.vcf_path).read()
+    # second run with the checkpoint present: all regions skipped
+    out2 = run(bam_path, fa, str(tmp_path / "o1"), cfg, resume=True)
+    vcf2 = open(out2.vcf_path).read()
+    assert vcf1 == vcf2
+    assert out2.n_records == out1.n_records

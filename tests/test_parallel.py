@@ -1,0 +1,90 @@
+"""Device-mesh sharding: batched phasing sweep and reads-axis psum sums on
+the 8-device virtual CPU mesh."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from longcallr_tpu.parallel.mesh import (BatchedRegions, batched_phase_step,
+                                         make_mesh, read_sharded_snp_sums)
+from longcallr_tpu.phasing.kernels import make_cell_tables
+from longcallr_tpu.phasing.optimize import PhaseState, _sigma_step, _snp_step
+
+
+def _batch(rng, B, K, I):
+    p = rng.choice([-1, 0, 1], size=(B, K, I), p=[0.3, 0.4, 0.3]).astype(np.int8)
+    q = rng.integers(5, 31, size=(B, K, I)).astype(np.uint8)
+    cts = [make_cell_tables(p[b], q[b]) for b in range(B)]
+    batch = BatchedRegions(
+        p=jnp.stack([c.p for c in cts]),
+        lerr=jnp.stack([c.lerr for c in cts]),
+        l1m=jnp.stack([c.l1m for c in cts]),
+        exists=jnp.stack([c.exists for c in cts]),
+        read_base=jnp.ones((B, K), bool),
+        site_mask=jnp.ones((B, I), bool),
+        conserved=jnp.zeros((B, I), bool),
+    )
+    sigma = jnp.asarray(rng.choice([-1.0, 1.0], size=(B, K)))
+    delta = jnp.asarray(rng.choice([-1.0, 1.0], size=(B, I)))
+    eta = jnp.zeros((B, I), jnp.float64)
+    return batch, sigma, delta, eta
+
+
+def test_batched_step_matches_unbatched(rng):
+    B, K, I = 8, 32, 8
+    batch, sigma, delta, eta = _batch(rng, B, K, I)
+    ns, nd, ne, imp = batched_phase_step(batch, sigma, delta, eta,
+                                         with_genotype=True)
+    # per-region reference computation
+    for b in range(B):
+        from longcallr_tpu.phasing.kernels import CellTables
+        ct = CellTables(batch.p[b], batch.lerr[b], batch.l1m[b], batch.exists[b])
+        st = PhaseState(sigma[b], delta[b], eta[b])
+        s1, _ = _sigma_step(ct, st, batch.read_base[b], batch.site_mask[b])
+        st = st._replace(sigma=s1)
+        d1, e1, _ = _snp_step(ct, st, batch.read_base[b], batch.site_mask[b],
+                              batch.conserved[b], True, False)
+        np.testing.assert_array_equal(np.asarray(ns[b]), np.asarray(s1))
+        np.testing.assert_array_equal(np.asarray(nd[b]), np.asarray(d1))
+        np.testing.assert_array_equal(np.asarray(ne[b]), np.asarray(e1))
+
+
+def test_batched_step_sharded_over_mesh(rng):
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    mesh = make_mesh(4, 2)
+    B, K, I = 8, 32, 8
+    batch, sigma, delta, eta = _batch(rng, B, K, I)
+    ns_m, nd_m, ne_m, _ = batched_phase_step(batch, sigma, delta, eta,
+                                             with_genotype=True, mesh=mesh)
+    ns_u, nd_u, ne_u, _ = batched_phase_step(batch, sigma, delta, eta,
+                                             with_genotype=True)
+    np.testing.assert_array_equal(np.asarray(ns_m), np.asarray(ns_u))
+    np.testing.assert_array_equal(np.asarray(nd_m), np.asarray(nd_u))
+    np.testing.assert_array_equal(np.asarray(ne_m), np.asarray(ne_u))
+
+
+def test_read_sharded_sums_psum(rng):
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    mesh = make_mesh(1, 8)
+    fn = read_sharded_snp_sums(mesh)
+    K, I = 64, 16
+    p = jnp.asarray(rng.choice([-1.0, 0.0, 1.0], size=(K, I)))
+    lerr = jnp.where(p != 0, -1.5, 0.0)
+    l1m = jnp.where(p != 0, -0.02, 0.0)
+    sigma = jnp.asarray(rng.choice([-1.0, 1.0], size=K))
+    rm = jnp.asarray(rng.random(K) < 0.9)
+    sm = jnp.ones(I, bool)
+    dl = jnp.asarray(rng.choice([-1.0, 1.0], size=I))
+    s_match, s_flip, s_refe, s_alte, cov = fn(p, lerr, l1m, sigma, rm, sm, dl)
+    pn = np.asarray(p)
+    m = (pn != 0) & np.asarray(rm)[:, None]
+    x = np.asarray(sigma)[:, None] * np.asarray(dl)[None, :]
+    t = lambda xv: np.where(np.asarray(p) == xv, np.asarray(l1m), np.asarray(lerr))
+    np.testing.assert_allclose(np.asarray(s_match),
+                               np.where(m, t(x), 0.0).sum(0), rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(s_alte),
+                               np.where(m, t(-1.0), 0.0).sum(0), rtol=1e-12)
+    np.testing.assert_array_equal(np.asarray(cov), m.sum(0))
