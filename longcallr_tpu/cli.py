@@ -50,6 +50,8 @@ def build_parser() -> argparse.ArgumentParser:
                    help="Show all regions to be processed and exit")
     p.add_argument("--resume", action="store_true",
                    help="Keep a region checkpoint and skip completed regions")
+    p.add_argument("--batched", action="store_true",
+                   help="Bucketed multi-region device phasing (TPU scaling path)")
     p.add_argument("--log-level", default="INFO")
     return p
 
@@ -116,7 +118,7 @@ def main(argv: Optional[List[str]] = None) -> int:
     out = run(args.bam_path, args.ref_path, args.output, cfg,
               input_vcf=args.input_vcf, input_region=args.region,
               contigs=args.contigs, anno_path=args.annotation,
-              resume=args.resume)
+              resume=args.resume, batched=args.batched)
     print(f"wrote {out.n_records} records to {out.vcf_path}")
     if out.phased_bam_path:
         print(f"wrote phased BAM to {out.phased_bam_path}")

@@ -44,6 +44,13 @@ def read_fai(path: str) -> Dict[str, FaiRecord]:
     return out
 
 
+# process-global contig cache keyed by (abspath, mtime, contig): reference
+# sequences are large and reused across FastaFile instances (e.g. repeated
+# runs in one process); on this deployment host fresh large allocations are
+# pathologically slow (see utils/malloc_tune.py)
+_GLOBAL_SEQ_CACHE: Dict[Tuple[str, float, str], np.ndarray] = {}
+
+
 class FastaFile:
     """Random-access FASTA with .fai index; sequences as ASCII uint8 arrays."""
 
@@ -56,7 +63,8 @@ class FastaFile:
         self._fai = read_fai(fai_path)
         self.contig_lengths: List[Tuple[str, int]] = parse_fai(fai_path)
         self.references = [c for c, _ in self.contig_lengths]
-        self._cache: Dict[str, np.ndarray] = {}
+        self._key = (os.path.abspath(path), os.path.getmtime(path))
+        self._cache = _GLOBAL_SEQ_CACHE
 
     def __contains__(self, contig: str) -> bool:
         return contig in self._fai
@@ -72,7 +80,8 @@ class FastaFile:
         its candidate loop via the "unknown ref base" branch
         (candidate.rs:255-265).
         """
-        seq = self._cache.get(contig)
+        ck = self._key + (contig,)
+        seq = self._cache.get(ck)
         if seq is not None:
             return seq
         rec = self._fai[contig]
@@ -90,7 +99,7 @@ class FastaFile:
             seq = np.concatenate([body.ravel(), tail])
         else:
             seq = raw[:rec.length].copy()
-        self._cache[contig] = seq
+        self._cache[ck] = seq
         return seq
 
 

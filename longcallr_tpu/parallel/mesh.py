@@ -123,3 +123,124 @@ def read_sharded_snp_sums(mesh: Mesh):
         check_rep=False,
     )
     return jax.jit(fn)
+
+
+# ---------------------------------------------------------------------------
+# Batched full-phase programs (bucketed multi-region execution)
+# ---------------------------------------------------------------------------
+
+from ..phasing.optimize import _cross_optimize_loop  # noqa: E402
+
+
+def _region_ct(batch: BatchedRegions, b=None):
+    from ..phasing.kernels import CellTables
+    if b is None:
+        return CellTables(batch.p, batch.lerr, batch.l1m, batch.exists)
+    return CellTables(batch.p[b], batch.lerr[b], batch.l1m[b], batch.exists[b])
+
+
+@partial(jax.jit, static_argnames=("keep_conserved", "with_genotype", "mesh"))
+def batched_cross_optimize(batch: BatchedRegions, sigma, delta, eta,
+                           keep_conserved: bool = True,
+                           with_genotype: bool = False,
+                           mesh: Optional[Mesh] = None):
+    """Full ≤21-iteration coordinate ascent, vmapped over a region bucket.
+    Returns (sigma, delta, eta, prob[B])."""
+
+    def one(p, lerr, l1m, exists, rb, sm, cons, sg, dl, et):
+        from ..phasing.kernels import CellTables
+        from ..phasing.optimize import PhaseState
+        ct = CellTables(p, lerr, l1m, exists)
+        st, prob = _cross_optimize_loop(ct, PhaseState(sg, dl, et), rb, sm,
+                                        cons, with_genotype, keep_conserved)
+        return st.sigma, st.delta, st.eta, prob
+
+    args = (batch.p, batch.lerr, batch.l1m, batch.exists, batch.read_base,
+            batch.site_mask, batch.conserved, sigma, delta, eta)
+    if mesh is not None:
+        args = tuple(
+            jax.lax.with_sharding_constraint(
+                a, NamedSharding(mesh, P("regions", *([None] * (a.ndim - 1)))))
+            for a in args)
+    return jax.vmap(one)(*args)
+
+
+@partial(jax.jit, static_argnames=("mesh",))
+def batched_perturbation_phase(batch: BatchedRegions, best_sigma, best_delta,
+                               best_eta, best_prob, n_rounds, key,
+                               mesh: Optional[Mesh] = None):
+    """The perturbation schedule (phase.rs:1198-1233) over a region bucket:
+    fori_loop to max(n_rounds) with per-region round masking, vmapped body.
+    Returns (sigma, delta, eta, prob[B]) of the per-region best states."""
+    from ..phasing.optimize import PhaseState
+
+    B, K = best_sigma.shape
+    I = best_delta.shape[1]
+    max_rounds = jnp.max(n_rounds)
+
+    def one_round(p, lerr, l1m, exists, rb, sm, cons, b_sigma, b_delta, b_eta,
+                  b_prob, active, kr, flip):
+        from ..phasing.kernels import CellTables
+        ct = CellTables(p, lerr, l1m, exists)
+        b_st = PhaseState(b_sigma, b_delta, b_eta)
+
+        def keep(b_st, b_p, st_new, prob_new):
+            better = active & (prob_new > b_p)
+            sel = lambda a, b: jnp.where(better, a, b)
+            return (PhaseState(sel(st_new.sigma, b_st.sigma),
+                               sel(st_new.delta, b_st.delta),
+                               sel(st_new.eta, b_st.eta)),
+                    jnp.where(better, prob_new, b_p))
+
+        k1, k2 = jax.random.split(kr)
+        lowv = jnp.where(flip, 1.0, -1.0)
+        rg = jax.random.uniform(k1, (b_delta.shape[0],))
+        delta = jnp.where(rg < 0.1, lowv,
+                          jnp.where(rg >= 0.9, -lowv, b_st.delta))
+        st1, prob1 = _cross_optimize_loop(ct, b_st._replace(delta=delta),
+                                          rb, sm, cons, False, False)
+        b_st, b_prob = keep(b_st, b_prob, st1, prob1)
+        fl = (jax.random.uniform(k2, (b_sigma.shape[0],)) < 0.1) & rb & (b_st.sigma != 0)
+        sigma = jnp.where(fl, -b_st.sigma, b_st.sigma)
+        st2, prob2 = _cross_optimize_loop(ct, b_st._replace(sigma=sigma),
+                                          rb, sm, cons, False, False)
+        b_st, b_prob = keep(b_st, b_prob, st2, prob2)
+        return b_st.sigma, b_st.delta, b_st.eta, b_prob
+
+    def body(tidx, carry):
+        sg, dl, et, pr = carry
+        kr = jax.random.fold_in(key, tidx)
+        keys = jax.random.split(kr, B)
+        active = tidx < n_rounds
+        flip = jnp.full((B,), (tidx % 2) == 1)
+        return jax.vmap(one_round)(
+            batch.p, batch.lerr, batch.l1m, batch.exists, batch.read_base,
+            batch.site_mask, batch.conserved, sg, dl, et, pr, active, keys, flip)
+
+    init = (best_sigma, best_delta, best_eta, best_prob)
+    if mesh is not None:
+        spec = lambda a: NamedSharding(mesh, P("regions", *([None] * (a.ndim - 1))))
+        init = tuple(jax.lax.with_sharding_constraint(a, spec(a)) for a in init)
+    sg, dl, et, pr = jax.lax.fori_loop(0, max_rounds, body, init)
+    return sg, dl, et, pr
+
+
+@partial(jax.jit, static_argnames=("mesh",))
+def batched_overall_probability(batch: BatchedRegions, sigma, delta, eta,
+                                mesh: Optional[Mesh] = None):
+    """cal_overall_probability per region of a bucket → prob[B]."""
+    from ..phasing.kernels import overall_probability, CellTables
+
+    def one(p, lerr, l1m, exists, rb, sm, sg, dl, et):
+        ct = CellTables(p, lerr, l1m, exists)
+        rm = rb & (sg != 0)
+        return overall_probability(ct, sg, dl, et, rm, sm[None, :])
+
+    args = (batch.p, batch.lerr, batch.l1m, batch.exists, batch.read_base,
+            batch.site_mask, sigma, delta, eta)
+    if mesh is not None:
+        args = tuple(
+            jax.lax.with_sharding_constraint(
+                a, NamedSharding(mesh, P("regions", *([None] * (a.ndim - 1)))))
+            for a in args)
+    return jax.vmap(one)(*args)

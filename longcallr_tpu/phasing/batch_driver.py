@@ -1,0 +1,162 @@
+"""Bucketed multi-region phasing driver.
+
+Groups prepared regions by padded (K, I) bucket and runs the iterative
+phase() path for a whole bucket in three device programs (batched first
+ascent → host block-flip → batched perturbation schedule), instead of
+~4 dispatches per region. Enumeration-path regions (≤ max_enum_snps
+candidates) run through the per-region path, which is already a single
+chunked-vmap call and routes to the CPU backend when tiny.
+
+This is the TPU scaling surface: the bucket batch axis is shardable over a
+device mesh ("regions" axis, see parallel/mesh.py).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import CallerConfig
+from ..ops.candidates import CandidateSet
+from ..utils.device import small_problem_device
+from .fragments import FragmentMatrix
+from .kernels import CellTables, f64, make_cell_tables_np
+from .optimize import (PhaseState, _bucket, block_flip_pass, compute_ld_blocks,
+                       init_genotype, init_haplotypes_ld, phase_region)
+
+
+@dataclass
+class _Prepared:
+    index: int
+    frags: FragmentMatrix
+    cands: CandidateSet
+    seed: int
+    apply_ds: bool
+
+
+def phase_regions_batched(items: List[Tuple[FragmentMatrix, CandidateSet, int, bool]],
+                          cfg: CallerConfig, mesh=None) -> List[Optional[PhaseState]]:
+    """Phase many regions; returns per-item PhaseState (true, unpadded
+    shapes) in input order. Items with no candidates/fragments → None."""
+    out: List[Optional[PhaseState]] = [None] * len(items)
+    buckets: Dict[Tuple[int, int], List[_Prepared]] = {}
+    for idx, (frags, cands, seed, apply_ds) in enumerate(items):
+        K0, I0 = frags.p.shape
+        if I0 == 0 or K0 == 0:
+            continue
+        if I0 <= cfg.max_enum_snps:
+            # enumeration path: already one chunked-vmap device call
+            out[idx] = phase_region(frags, cands, cfg, seed, apply_ds)
+            continue
+        key = (_bucket(K0), _bucket(I0))
+        buckets.setdefault(key, []).append(
+            _Prepared(idx, frags, cands, seed, apply_ds))
+
+    for (K, I_pad), group in sorted(buckets.items()):
+        _phase_bucket(group, cfg, K, I_pad, mesh, out)
+    return out
+
+
+def _phase_bucket(group: List[_Prepared], cfg: CallerConfig, K: int,
+                  I_pad: int, mesh, out: List[Optional[PhaseState]]) -> None:
+    from ..parallel.mesh import (BatchedRegions, batched_cross_optimize,
+                                 batched_perturbation_phase)
+
+    B = len(group)
+    p = np.zeros((B, K, I_pad), np.int8)
+    bq = np.zeros((B, K, I_pad), np.uint8)
+    read_base = np.zeros((B, K), bool)
+    site_mask = np.zeros((B, I_pad), bool)
+    conserved = np.zeros((B, I_pad), bool)
+    sigma0 = np.zeros((B, K), np.float64)
+    delta0 = np.ones((B, I_pad), np.float64)
+    eta0 = np.ones((B, I_pad), np.float64)
+    n_rounds = np.zeros(B, np.int32)
+    lds = []
+    rngs = []
+    for b, it in enumerate(group):
+        K0, I0 = it.frags.p.shape
+        p[b, :K0, :I0] = it.frags.p
+        bq[b, :K0, :I0] = it.frags.baseq
+        ds = it.frags.downsampled if it.apply_ds else np.ones(K0, bool)
+        read_base[b, :K0] = it.frags.for_phasing & ds
+        site_mask[b, :I0] = it.cands.for_phasing
+        rng = np.random.default_rng(
+            np.random.SeedSequence([cfg.seed, it.seed & 0x7FFFFFFF]))
+        rngs.append(rng)
+        ld = compute_ld_blocks(it.cands, it.frags)
+        lds.append(ld)
+        d0, cons = init_haplotypes_ld(it.cands, ld, rng)
+        delta0[b, :I0] = d0
+        conserved[b, :I0] = cons
+        eta0[b, :I0] = init_genotype(it.cands)
+        s0 = np.where(rng.random(K0) < 0.5, -1.0, 1.0)
+        sigma0[b, :K0] = np.where(read_base[b, :K0], s0, 0.0)
+        n_rounds[b] = I0 // 4 + 1
+
+    cts_np = make_cell_tables_np(p.reshape(B * K, I_pad),
+                                 bq.reshape(B * K, I_pad))
+    shape3 = (B, K, I_pad)
+    dev = small_problem_device(B * K * I_pad) if mesh is None else None
+
+    def dp(a):
+        a = jnp.asarray(a)
+        return jax.device_put(a, dev) if dev is not None else a
+
+    batch = BatchedRegions(
+        p=dp(np.asarray(cts_np.p).reshape(shape3)),
+        lerr=dp(np.asarray(cts_np.lerr).reshape(shape3)),
+        l1m=dp(np.asarray(cts_np.l1m).reshape(shape3)),
+        exists=dp(np.asarray(cts_np.exists).reshape(shape3)),
+        read_base=dp(read_base), site_mask=dp(site_mask),
+        conserved=dp(conserved))
+
+    # 1) first ascent (keep_conserved=True, phase.rs:1132)
+    sg, dl, et, prob1 = batched_cross_optimize(
+        batch, dp(sigma0), dp(delta0), dp(eta0),
+        keep_conserved=True, with_genotype=False, mesh=mesh)
+    sg_np, dl_np, et_np = (np.asarray(a) for a in (sg, dl, et))
+    prob1_np = np.asarray(prob1)
+
+    # 2) host block-flip per region against the best-so-far (== ascent) state
+    sg2 = sg_np.copy()
+    dl2 = dl_np.copy()
+    for b, it in enumerate(group):
+        K0, I0 = it.frags.p.shape
+        ct_b = CellTables(p=np.asarray(cts_np.p).reshape(shape3)[b],
+                          lerr=np.asarray(cts_np.lerr).reshape(shape3)[b],
+                          l1m=np.asarray(cts_np.l1m).reshape(shape3)[b],
+                          exists=np.asarray(cts_np.exists).reshape(shape3)[b])
+        exists_pad = np.asarray(cts_np.exists).reshape(shape3)[b]
+        st_b = PhaseState(jnp.asarray(sg_np[b]), jnp.asarray(dl_np[b]),
+                          jnp.asarray(et_np[b]))
+        st2 = block_flip_pass(ct_b, st_b, read_base[b], site_mask[b],
+                              exists_pad, lds[b])
+        sg2[b] = np.asarray(st2.sigma)
+        dl2[b] = np.asarray(st2.delta)
+
+    # evaluate flipped states (reference scores the flip without
+    # re-optimizing, phase.rs:1139-1144) and keep per-region best
+    from ..parallel.mesh import batched_overall_probability
+    prob2_np = np.asarray(batched_overall_probability(
+        batch, dp(sg2), dp(dl2), dp(et_np), mesh=mesh))
+    better = prob2_np > prob1_np
+    best_sg = np.where(better[:, None], sg2, sg_np)
+    best_dl = np.where(better[:, None], dl2, dl_np)
+    best_prob = np.where(better, prob2_np, prob1_np)
+
+    # 3) batched perturbation schedule with per-region round counts
+    keys = jax.random.PRNGKey(int(rngs[0].integers(0, 2**62)))
+    sgf, dlf, etf, prf = batched_perturbation_phase(
+        batch, dp(best_sg), dp(best_dl), dp(et_np),
+        dp(best_prob.astype(np.float64)), dp(n_rounds), keys, mesh=mesh)
+    sgf, dlf, etf = (np.asarray(a) for a in (sgf, dlf, etf))
+    for b, it in enumerate(group):
+        K0, I0 = it.frags.p.shape
+        out[it.index] = PhaseState(jnp.asarray(sgf[b, :K0]),
+                                   jnp.asarray(dlf[b, :I0]),
+                                   jnp.asarray(etf[b, :I0]))

@@ -22,7 +22,7 @@ from ..io.fasta import FastaFile
 from ..io.vcf import load_input_candidates, write_vcf_header
 from ..tiles.regions import Region, extract_isolated_regions_parallel
 from .annotation import intersect_gene_regions, parse_annotation
-from .engine import RegionResult, process_region
+from .engine import RegionResult, finalize_region, prepare_region, process_region
 
 log = logging.getLogger("longcallr_tpu")
 
@@ -63,7 +63,8 @@ def run(bam_path: str, ref_path: str, output_prefix: str, cfg: CallerConfig,
         input_vcf: Optional[str] = None, input_region: Optional[str] = None,
         contigs: Optional[Sequence[str]] = None,
         anno_path: Optional[str] = None,
-        resume: bool = False) -> CallerOutputs:
+        resume: bool = False, batched: bool = False,
+        mesh=None) -> CallerOutputs:
     """``resume=True`` keeps a <prefix>.regions.ckpt JSONL of completed
     regions and skips them on restart (region-granular recovery; the
     reference restarts from scratch — SURVEY.md §5)."""
@@ -110,7 +111,10 @@ def run(bam_path: str, ref_path: str, output_prefix: str, cfg: CallerConfig,
     # warm the per-contig reference cache serially to avoid duplicate loads
     for chrom in {r.chr for r in regions}:
         fasta.fetch(chrom)
-    if cfg.threads > 1 and len(regions) > 1:
+    if batched:
+        results = _run_batched(bam, fasta, regions, cfg, input_candidates,
+                               exon_regions, ckpt, mesh)
+    elif cfg.threads > 1 and len(regions) > 1:
         with ThreadPoolExecutor(max_workers=cfg.threads) as ex:
             results = list(ex.map(work, regions))
     else:
@@ -196,3 +200,64 @@ def _exon_mask_for(reg: Region, exon_regions: Dict[str, List[Tuple[int, int]]]):
             mask[lo] += 1
             mask[hi] -= 1
     return np.cumsum(mask[:-1]) > 0
+
+
+def _run_batched(bam, fasta, regions, cfg, input_candidates, exon_regions,
+                 ckpt, mesh):
+    """Three-stage batched pipeline: threaded host prepare → bucketed
+    device phasing (phasing/batch_driver.py) → threaded host finalize."""
+    from ..phasing.batch_driver import phase_regions_batched
+
+    results: List[Optional[RegionResult]] = [None] * len(regions)
+    prepared: List[Optional[tuple]] = [None] * len(regions)
+
+    def prep(i_reg):
+        i, reg = i_reg
+        done = ckpt.get(reg)
+        if done is not None:
+            results[i] = done
+            return
+        exon_mask = None
+        if cfg.exon_only and reg.gene_id is not None:
+            exon_mask = _exon_mask_for(reg, exon_regions)
+            if exon_mask is None:
+                results[i] = RegionResult(reg, [], {}, {}, 0, 0)
+                return
+        ref_seq = fasta.fetch(reg.chr)
+        cands, frags, apply_ds = prepare_region(
+            bam, reg, ref_seq, cfg, input_candidates, exon_mask)
+        prepared[i] = (cands, frags, apply_ds)
+
+    items = list(enumerate(regions))
+    if cfg.threads > 1 and len(items) > 1:
+        with ThreadPoolExecutor(max_workers=cfg.threads) as ex:
+            list(ex.map(prep, items))
+    else:
+        for it in items:
+            prep(it)
+
+    todo = [i for i in range(len(regions)) if prepared[i] is not None]
+    phase_items = []
+    phase_index = []
+    for i in todo:
+        cands, frags, apply_ds = prepared[i]
+        if cands.n > 0 and frags.n_frags > 0:
+            phase_items.append((frags, cands, regions[i].start, apply_ds))
+            phase_index.append(i)
+    states = phase_regions_batched(phase_items, cfg, mesh=mesh)
+    st_by_region = {phase_index[j]: states[j] for j in range(len(phase_index))}
+
+    def fin(i):
+        cands, frags, apply_ds = prepared[i]
+        res = finalize_region(regions[i], cands, frags,
+                              st_by_region.get(i), cfg, apply_ds)
+        ckpt.put(res)
+        results[i] = res
+
+    if cfg.threads > 1 and len(todo) > 1:
+        with ThreadPoolExecutor(max_workers=cfg.threads) as ex:
+            list(ex.map(fin, todo))
+    else:
+        for i in todo:
+            fin(i)
+    return results

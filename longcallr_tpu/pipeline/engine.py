@@ -107,11 +107,12 @@ class RegionResult:
     n_candidates: int
 
 
-def process_region(bam: BamFile, region: Region, ref_seq: np.ndarray,
+def prepare_region(bam: BamFile, region: Region, ref_seq: np.ndarray,
                    cfg: CallerConfig,
                    input_candidates: Optional[Dict[str, Dict[int, GenotypeAndQuality]]] = None,
-                   exon_mask: Optional[np.ndarray] = None) -> RegionResult:
-    """One region end-to-end (thread.rs:77-222)."""
+                   exon_mask: Optional[np.ndarray] = None):
+    """Host stages of one region: pileup → candidates → fragments.
+    Returns (cands, frags, apply_ds)."""
     _t = time.monotonic()
     pileup = build_pileup(bam, region, ref_seq, cfg)
     STAGE_TOTALS["pileup"] += time.monotonic() - _t
@@ -129,6 +130,54 @@ def process_region(bam: BamFile, region: Region, ref_seq: np.ndarray,
                 and frags.n_frags >= cfg.downsample_depth)
     if apply_ds:
         downsample_fragments(frags, cfg.downsample_depth, 2025)
+    return cands, frags, apply_ds
+
+
+def finalize_region(region: Region, cands, frags, st, cfg: CallerConfig,
+                    apply_ds: bool) -> RegionResult:
+    """Post-phasing passes: assignment, rescue, phase sets, records
+    (thread.rs:168-221)."""
+    rng = np.random.default_rng(
+        np.random.SeedSequence([cfg.seed, region.start & 0x7FFFFFFF, 7]))
+    if st is not None:
+        sigma = np.asarray(st.sigma)
+        frags.haplotag = np.sign(sigma).astype(np.int8)
+        cands.haplotype = np.sign(np.asarray(st.delta)).astype(np.int8)
+        cands.genotype = np.asarray(st.eta).astype(np.int8)
+        _t = time.monotonic()
+        ct = make_cell_tables_np(frags.p, frags.baseq)
+        A.assign_reads_haplotype(frags, cands, cfg, ct, apply_ds)
+        A.assign_snp_haplotype_genotype(frags, cands, cfg, ct, apply_ds)
+        A.assign_reads_haplotype(frags, cands, cfg, ct, apply_ds)
+        A.assign_snp_haplotype_genotype(frags, cands, cfg, ct, apply_ds)
+        A.eval_rna_edit_var_phase(frags, cands, cfg, ct,
+                                  cfg.min_phase_score - 3.0, apply_ds, rng)
+        A.eval_low_frac_var_phase(frags, cands, cfg, ct,
+                                  cfg.min_phase_score - 3.0, apply_ds, rng)
+        read_assignments = A.assign_reads_haplotype(frags, cands, cfg, ct, False)
+        A.assign_snp_haplotype_genotype(frags, cands, cfg, ct, False)
+        phase_sets = A.assign_phase_set(frags, cands, cfg.min_phase_score)
+        STAGE_TOTALS["assign"] += time.monotonic() - _t
+    else:
+        if cands.n > 0:
+            ct = make_cell_tables_np(frags.p, frags.baseq)
+            A.assign_snp_haplotype_genotype(frags, cands, cfg, ct, False)
+        read_assignments = {}
+        phase_sets = {}
+    vcf_lines = format_region_records(cands, cfg.min_phase_score)
+    return RegionResult(region=region, vcf_lines=vcf_lines,
+                        read_assignments=read_assignments,
+                        phase_sets=phase_sets, n_fragments=frags.n_frags,
+                        n_candidates=cands.n)
+
+
+def process_region(bam: BamFile, region: Region, ref_seq: np.ndarray,
+                   cfg: CallerConfig,
+                   input_candidates: Optional[Dict[str, Dict[int, GenotypeAndQuality]]] = None,
+                   exon_mask: Optional[np.ndarray] = None) -> RegionResult:
+    """One region end-to-end (thread.rs:77-222)."""
+    cands, frags, apply_ds = prepare_region(bam, region, ref_seq, cfg,
+                                            input_candidates, exon_mask)
 
     rng = np.random.default_rng(
         np.random.SeedSequence([cfg.seed, region.start & 0x7FFFFFFF, 7]))

@@ -141,3 +141,65 @@ def test_resume_checkpoint(tmp_path, rng):
     vcf2 = open(out2.vcf_path).read()
     assert vcf1 == vcf2
     assert out2.n_records == out1.n_records
+
+
+def test_batched_pipeline_quality(tmp_path, rng):
+    """The batched multi-region pipeline recovers truth like the per-region
+    path (RNG streams differ, so compare against truth not bytes)."""
+    cfg = preset("hifi-masseq").replace(min_read_length=100, threads=2)
+    # two separate loci → two regions, each with enough SNPs for the
+    # iterative path (>10 candidates)
+    ref = make_reference(rng, 22000)
+    truth = plant_snps(rng, ref, n_het=13, n_hom=0, lo=600, hi=8500, min_gap=560)
+    t2 = plant_snps(rng, ref, n_het=13, n_hom=0, lo=13000, hi=21000, min_gap=560)
+    truth.het_snps.update(t2.het_snps)
+    bam_path = str(tmp_path / "b.bam")
+    from longcallr_tpu.io import bam as bamio
+    from simulate import haplotype_seq, BASES
+    rows = []
+    n = 0
+    for locus in [(0, 9000), (12500, 21800)]:
+        for i in range(70):
+            hap = int(rng.integers(1, 3))
+            pos = int(rng.integers(locus[0], locus[1] - 5000))
+            span = 4800
+            hseq = haplotype_seq(truth, ref, hap)[pos:pos + span].copy()
+            errs = rng.random(span) < 0.01
+            hseq[errs] = BASES[rng.integers(0, 4, size=int(errs.sum()))]
+            qn = f"b{n:04d}"
+            n += 1
+            truth.hap_of_read[qn] = hap
+            rows.append((pos, qn, hseq))
+    rows.sort(key=lambda t: t[0])
+    with bamio.BamWriter(bam_path, ["chrS"], [len(ref)]) as w:
+        for pos, qn, seq in rows:
+            w.write_record(qname=qn, flag=0, ref_id=0, pos=pos, mapq=60,
+                           cigar=bamio.encode_cigar([(len(seq), "M")]),
+                           seq=bytes(seq), qual=np.full(len(seq), 30),
+                           tags=bamio.make_tag_bytes("de", "f", 0.001))
+    from longcallr_tpu.io.fasta import write_fasta
+    write_fasta(bam_path.replace(".bam", ".fa"), {"chrS": bytes(ref)})
+    fa = bam_path.replace(".bam", ".fa")
+    out = run(bam_path, fa, str(tmp_path / "ob"), cfg, batched=True)
+    assert out.n_regions == 2
+    recs = _parse_vcf(out.vcf_path)
+    by_pos = {r["pos"] - 1: r for r in recs}
+    phased = 0
+    for p in truth.het_snps:
+        r = by_pos.get(p)
+        if r and r["sample"]["GT"] in ("0|1", "1|0") and r["filter"] == "PASS":
+            phased += 1
+    assert phased >= len(truth.het_snps) * 0.7, (phased, len(truth.het_snps))
+    # phased BAM agreement with truth per haplotype (up to per-region flip)
+    pb = BamFile(out.phased_bam_path)
+    per_ps = {}
+    for r in pb:
+        hp = r.get_tag("HP")
+        ps = r.get_tag("PS")
+        if hp is None or ps is None:
+            continue
+        per_ps.setdefault(ps, []).append((truth.hap_of_read[r.qname], hp))
+    assert len(per_ps) >= 2
+    for ps, pairs in per_ps.items():
+        agree = np.mean([t == h for t, h in pairs])
+        assert agree > 0.9 or agree < 0.1, (ps, agree)
