@@ -233,6 +233,10 @@ class BamRead:
         """Record bytes (without the leading block_size word)."""
         return bytes(self._buf[self._off:self._end])
 
+    def aux_bytes(self) -> bytes:
+        """Raw aux-field bytes of the record."""
+        return bytes(self._buf[self._aux_off:self._end])
+
 
 class BamFile:
     """An indexed-in-memory BAM file.

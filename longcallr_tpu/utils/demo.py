@@ -49,3 +49,36 @@ def make_consensus_reference(bam_path: str, out_fasta: str,
     os.makedirs(os.path.dirname(out_fasta) or ".", exist_ok=True)
     write_fasta(out_fasta, {contig: bytes(ref)})
     return out_fasta
+
+
+def make_scaled_demo(bam_path: str, out_bam: str, out_fasta: str,
+                     copies: int, spacing: int = 2_000_000,
+                     contig: str = "chr20", contig_len: int = CHR20_LEN,
+                     threads: int = 4) -> None:
+    """Replicate the demo locus ``copies`` times at ``spacing`` offsets: a
+    multi-region benchmark workload with real read content (cached)."""
+    if os.path.exists(out_bam) and os.path.exists(out_fasta + ".fai"):
+        return
+    from ..io.bam import BamWriter
+    consensus = make_consensus_reference(bam_path, out_fasta + ".base.fa",
+                                         contig, contig_len, threads)
+    base = FastaFile(consensus).fetch(contig)
+    bam = BamFile(bam_path, threads=threads)
+    ref = np.full(contig_len, ord("N"), dtype=np.uint8)
+    lo = int(bam.pos.min())
+    hi = max(int(bam.read(i).reference_end()) for i in range(bam.n_records))
+    window = base[lo:hi]
+    with BamWriter(out_bam, bam.references, bam.lengths,
+                   header_text=bam.header_text, threads=threads) as w:
+        for c in range(copies):
+            off = c * spacing
+            if hi + off > contig_len:
+                break
+            ref[lo + off: hi + off] = window
+            for i in range(bam.n_records):
+                r = bam.read(i)
+                w.write_record(qname=f"{r.qname}_c{c}", flag=r.flag,
+                               ref_id=r.ref_id, pos=r.pos + off, mapq=r.mapq,
+                               cigar=r.cigar, seq=bytes(r.seq), qual=r.qual,
+                               tags=r.aux_bytes())
+    write_fasta(out_fasta, {contig: bytes(ref)})
