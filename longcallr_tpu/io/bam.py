@@ -274,6 +274,8 @@ class BamFile:
     def _scan_records(self, p: int) -> None:
         data = self._data
         n = len(data)
+        if self._scan_records_native(p, n):
+            return
         offs: List[int] = []
         ends: List[int] = []
         ref_ids: List[int] = []
@@ -308,6 +310,66 @@ class BamFile:
         self.l_seq = np.asarray(lseqs, dtype=np.int32)
         self.n_cigar = np.asarray(ncigs, dtype=np.int32)
         self.l_read_name = np.asarray(lnames, dtype=np.int32)
+        ref_end_col = np.empty(self.n_records, np.int64)
+        de_col = np.full(self.n_records, np.nan, np.float32)
+        for i in range(self.n_records):
+            r = self.read(i)
+            ref_end_col[i] = r.reference_end()
+            de = r.get_tag("de")
+            if isinstance(de, float):
+                de_col[i] = de
+        self.ref_end = ref_end_col
+        self.de = de_col
+
+    def _scan_records_native(self, p: int, n: int) -> bool:
+        try:
+            from .. import native
+            nlib = native.lib()
+        except Exception:
+            return False
+        if nlib is None:
+            return False
+        import ctypes
+        cap = max(16, (n - p) // 36 + 1)
+        rec_off = np.empty(cap, np.int64)
+        rec_end = np.empty(cap, np.int64)
+        ref_id = np.empty(cap, np.int32)
+        pos = np.empty(cap, np.int64)
+        flag = np.empty(cap, np.uint16)
+        mapq = np.empty(cap, np.uint8)
+        l_seq = np.empty(cap, np.int32)
+        n_cigar = np.empty(cap, np.int32)
+        l_read_name = np.empty(cap, np.int32)
+        ref_end_col = np.empty(cap, np.int64)
+        de_col = np.empty(cap, np.float32)
+        arr = np.frombuffer(self._data, dtype=np.uint8)
+        ptr = lambda a, t: a.ctypes.data_as(t)
+        u8p = ctypes.POINTER(ctypes.c_uint8)
+        i64p = ctypes.POINTER(ctypes.c_int64)
+        i32p = ctypes.POINTER(ctypes.c_int32)
+        u16p = ctypes.POINTER(ctypes.c_uint16)
+        f32p = ctypes.POINTER(ctypes.c_float)
+        k = nlib.scan_bam_records(
+            ptr(arr, u8p), n, p, cap, ptr(rec_off, i64p), ptr(rec_end, i64p),
+            ptr(ref_id, i32p), ptr(pos, i64p), ptr(flag, u16p),
+            ptr(mapq, u8p), ptr(l_seq, i32p), ptr(n_cigar, i32p),
+            ptr(l_read_name, i32p), ptr(ref_end_col, i64p), ptr(de_col, f32p))
+        if k < 0:
+            return False
+        k = int(k)
+        self.n_records = k
+        self.rec_off = rec_off[:k].copy()
+        self.rec_end = rec_end[:k].copy()
+        self.ref_id = ref_id[:k].copy()
+        self.pos = pos[:k].copy()
+        self.flag = flag[:k].copy()
+        self.mapq = mapq[:k].copy()
+        self.l_seq = l_seq[:k].copy()
+        self.n_cigar = n_cigar[:k].copy()
+        self.l_read_name = l_read_name[:k].copy()
+        self.ref_end = ref_end_col[:k].copy()
+        self.de = de_col[:k].copy()
+        return True
 
     def read(self, i: int) -> BamRead:
         return BamRead(self._buf, int(self.rec_off[i]), int(self.rec_end[i]),
@@ -324,6 +386,40 @@ class BamFile:
 
     def tid(self, chrom: str) -> int:
         return self._ref_index[chrom]
+
+    def qc_pass(self, min_mapq: int, min_read_length: int,
+                divergence: float) -> np.ndarray:
+        """Vectorised read-QC mask (the shared filter of every reference BAM
+        pass, util.rs:652-668): mapq, length, flags, `de` tag. Cached per
+        parameter triple."""
+        key = (min_mapq, min_read_length, float(divergence))
+        cache = getattr(self, "_qc_cache", None)
+        if cache is None:
+            cache = self._qc_cache = {}
+        m = cache.get(key)
+        if m is None:
+            bad = FLAG_UNMAPPED | FLAG_SECONDARY | FLAG_SUPPLEMENTARY
+            m = ((self.mapq >= min_mapq) & (self.l_seq >= min_read_length)
+                 & ((self.flag & bad) == 0)
+                 & ~(np.nan_to_num(self.de, nan=-1.0) >= divergence))
+            cache[key] = m
+        return m
+
+    def overlap_range(self, chrom: str, start0: int, end0: int
+                      ) -> Tuple[int, int, np.ndarray]:
+        """(lo, hi, mask): record range bounded by position and a mask of
+        records truly overlapping [start0, end0) (0-based half-open), using
+        the precomputed ref_end column — O(log n + hits)."""
+        lo, hi = self.contig_record_range(chrom)
+        if lo == hi:
+            return lo, hi, np.zeros(0, bool)
+        span = self.ref_end[lo:hi] - self.pos[lo:hi]
+        max_span = int(span.max()) if span.size else 0
+        lo2 = lo + int(np.searchsorted(self.pos[lo:hi], start0 - max_span,
+                                       side="left"))
+        hi2 = lo + int(np.searchsorted(self.pos[lo:hi], end0, side="left"))
+        mask = (self.ref_end[lo2:hi2] > start0)
+        return lo2, hi2, mask
 
     def contig_record_range(self, chrom: str) -> Tuple[int, int]:
         """[lo, hi) record index range of a contig (file is coordinate sorted)."""

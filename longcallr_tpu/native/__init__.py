@@ -58,6 +58,12 @@ def _declare(lib: ctypes.CDLL) -> None:
         _u8p, _i64p, _i64p, ctypes.c_int64,
         _i64p, _u8p, _u8p, _u8p, _u8p, ctypes.c_int64,
         _i32p, _i8p, _u8p, _i64p, ctypes.c_int64]
+    lib.scan_bam_records.restype = ctypes.c_int64
+    lib.scan_bam_records.argtypes = [
+        _u8p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+        _i64p, _i64p, _i32p, _i64p,
+        ctypes.POINTER(ctypes.c_uint16), _u8p, _i32p, _i32p, _i32p,
+        _i64p, ctypes.POINTER(ctypes.c_float)]
 
 
 def lib() -> Optional[ctypes.CDLL]:

@@ -355,3 +355,88 @@ int fragment_cells(const uint8_t* data, const int64_t* rec_off,
 }
 
 }  // extern "C"
+
+extern "C" {
+
+// Scan BAM alignment records starting at `start`; fill per-record columns.
+// Returns the record count, or -1 on overrun/corruption.
+int64_t scan_bam_records(const uint8_t* data, int64_t n, int64_t start,
+                         int64_t cap, int64_t* rec_off, int64_t* rec_end,
+                         int32_t* ref_id, int64_t* pos, uint16_t* flag,
+                         uint8_t* mapq, int32_t* l_seq, int32_t* n_cigar,
+                         int32_t* l_read_name, int64_t* ref_end_out,
+                         float* de_out) {
+    int64_t p = start;
+    int64_t k = 0;
+    while (p + 4 <= n) {
+        int32_t block_size;
+        std::memcpy(&block_size, data + p, 4);
+        if (block_size < 32 || p + 4 + block_size > n) return -1;
+        if (k >= cap) return -1;
+        const uint8_t* r = data + p + 4;
+        int32_t rid, pos32, lseq;
+        std::memcpy(&rid, r, 4);
+        std::memcpy(&pos32, r + 4, 4);
+        uint8_t lrn = r[8];
+        uint8_t mq = r[9];
+        uint16_t ncig, fl;
+        std::memcpy(&ncig, r + 12, 2);
+        std::memcpy(&fl, r + 14, 2);
+        std::memcpy(&lseq, r + 16, 4);
+        rec_off[k] = p + 4;
+        rec_end[k] = p + 4 + block_size;
+        ref_id[k] = rid;
+        pos[k] = pos32;
+        flag[k] = fl;
+        mapq[k] = mq;
+        l_seq[k] = lseq;
+        n_cigar[k] = ncig;
+        l_read_name[k] = lrn;
+        // reference span from the cigar (ops M/D/N/=/X consume reference)
+        {
+            const uint32_t* cg = reinterpret_cast<const uint32_t*>(r + 32 + lrn);
+            int64_t span = 0;
+            for (int c = 0; c < ncig; ++c) {
+                int op = cg[c] & 0xF;
+                if (op == 0 || op == 2 || op == 3 || op == 7 || op == 8)
+                    span += cg[c] >> 4;
+            }
+            ref_end_out[k] = (int64_t)pos32 + span;
+        }
+        // `de` float aux tag (gap-compressed divergence); NaN when absent
+        {
+            RecView v = view_record(data, p + 4, p + 4 + block_size);
+            float de = __builtin_nanf("");
+            const uint8_t* q = v.aux;
+            while (q + 3 <= v.aux_end) {
+                char a = (char)q[0], b2 = (char)q[1], typ = (char)q[2];
+                q += 3;
+                if (a == 'd' && b2 == 'e' && typ == 'f') {
+                    std::memcpy(&de, q, 4);
+                    break;
+                }
+                int sz = aux_sizes(typ);
+                if (sz > 0) { q += sz; continue; }
+                if (typ == 'Z' || typ == 'H') {
+                    while (q < v.aux_end && *q) ++q;
+                    ++q;
+                    continue;
+                }
+                if (typ == 'B') {
+                    char st = (char)q[0];
+                    int32_t cnt;
+                    std::memcpy(&cnt, q + 1, 4);
+                    q += 5 + (int64_t)cnt * aux_sizes(st);
+                    continue;
+                }
+                break;
+            }
+            de_out[k] = de;
+        }
+        ++k;
+        p += 4 + block_size;
+    }
+    return k;
+}
+
+}  // extern "C"

@@ -208,24 +208,14 @@ def get_fragments(bam: BamFile, region: Region, cands: CandidateSet,
                       | (cands.alleles[:, 1] == cands.ref_base))
 
     # same fetch semantics as the pileup pass (fragment.rs:20-22)
-    hi = lo + int(np.searchsorted(bam.pos[lo:hi], region.end, side="left"))
     pair_keys: List[np.ndarray] = []
     I4 = 4 * I  # packed key: i1*(4I) + i2*4 + a1*2 + a2
-    eligible: List[int] = []
-    for ridx in range(lo, hi):
-        r = bam.read(ridx)
-        if (r.mapq < cfg.min_mapq or r.l_seq < cfg.min_read_length
-                or r.is_unmapped or r.is_secondary or r.is_supplementary):
-            continue
-        de = r.get_tag("de")
-        if isinstance(de, float) and de >= cfg.divergence:
-            continue
-        if r.reference_end() <= region.start:
-            continue
-        if r.pos > last_pos:
-            continue  # fragment.rs:52-54
-        eligible.append(ridx)
-        qnames.append(r.qname)
+    lo, hi, omask = bam.overlap_range(region.chr, region.start, region.end)
+    qm = bam.qc_pass(cfg.min_mapq, cfg.min_read_length, cfg.divergence)[lo:hi]
+    keepm = omask & qm & (bam.pos[lo:hi] <= last_pos)  # fragment.rs:52-54
+    eligible = (lo + np.nonzero(keepm)[0]).tolist()
+    for ridx in eligible:
+        qnames.append(bam.read(ridx).qname)
 
     cells = _extract_cells(bam, eligible, cands, use_native=use_native)
     for (ci, p, bq) in cells:

@@ -153,18 +153,17 @@ def run(bam_path: str, ref_path: str, output_prefix: str, cfg: CallerConfig,
         with BamWriter(phased_bam_path, bam.references, bam.lengths,
                        header_text=bam.header_text,
                        threads=max(1, cfg.threads)) as w:
+            from ..io.bam import (FLAG_SECONDARY, FLAG_SUPPLEMENTARY,
+                                  FLAG_UNMAPPED)
+            bad = FLAG_UNMAPPED | FLAG_SECONDARY | FLAG_SUPPLEMENTARY
             for reg, _ in results_sorted:
-                lo, hi = bam.contig_record_range(reg.chr)
-                hi = lo + int(np.searchsorted(bam.pos[lo:hi], reg.end, side="left"))
-                for ridx in range(lo, hi):
+                lo, hi, omask = bam.overlap_range(reg.chr, reg.start, reg.end)
+                keep = (omask & ((bam.flag[lo:hi] & bad) == 0)
+                        # boundary-crossing reads skipped (thread.rs:340-345)
+                        & (bam.pos[lo:hi] + 1 >= reg.start)
+                        & (bam.ref_end[lo:hi] + 1 <= reg.end))
+                for ridx in (lo + np.nonzero(keep)[0]).tolist():
                     r = bam.read(ridx)
-                    if r.is_unmapped or r.is_secondary or r.is_supplementary:
-                        continue
-                    if r.reference_end() <= reg.start:
-                        continue
-                    # boundary-crossing reads skipped (thread.rs:340-345)
-                    if r.pos + 1 < reg.start or r.reference_end() + 1 > reg.end:
-                        continue
                     tags = b""
                     qname = r.qname
                     asg = read_assignments.get(qname)

@@ -280,33 +280,18 @@ def build_pileup(bam: BamFile, region: Region, ref_seq: np.ndarray,
     start0 = region.start - 1
     ref_window = ref_seq[start0:region.end - 1].copy()
     acc = _empty_tensors(region, ref_window)
-    lo, hi = bam.contig_record_range(region.chr)
-    if lo == hi:
-        return acc
     # The reference passes its 1-based Region coords straight into
     # rust-htslib fetch, which interprets them as 0-based half-open
     # (util.rs:637), i.e. the fetch window is shifted +1 relative to the
     # pileup window [start-1, end-1). Reads covering ONLY the first pileup
     # column are therefore missed — replicated here: keep reads with
     # pos < region.end and reference_end() > region.start (both 0-based).
-    hi = lo + int(np.searchsorted(bam.pos[lo:hi], region.end, side="left"))
-    eligible: List[int] = []
-    for i in range(lo, hi):
-        if qc_mask is not None:
-            if not qc_mask[i]:
-                continue
-            r = bam.read(i)
-        else:
-            r = bam.read(i)
-            if (r.mapq < cfg.min_mapq or r.l_seq < cfg.min_read_length
-                    or r.is_unmapped or r.is_secondary or r.is_supplementary):
-                continue
-            de = r.get_tag("de")
-            if isinstance(de, float) and de >= cfg.divergence:
-                continue
-        if r.reference_end() <= region.start:
-            continue
-        eligible.append(i)
+    lo, hi, omask = bam.overlap_range(region.chr, region.start, region.end)
+    if lo == hi:
+        return acc
+    qm = (qc_mask[lo:hi] if qc_mask is not None
+          else bam.qc_pass(cfg.min_mapq, cfg.min_read_length, cfg.divergence)[lo:hi])
+    eligible = (lo + np.nonzero(omask & qm)[0]).tolist()
 
     if use_native and eligible:
         from .. import native

@@ -63,19 +63,7 @@ def read_qc_mask(bam: BamFile, cfg: CallerConfig) -> np.ndarray:
     """Vectorised read QC shared by every BAM pass of the reference
     (util.rs:652-668, fragment.rs:32-49): mapq, read length, flags, and the
     ``de`` (gap-compressed divergence) aux tag."""
-    bad_flags = FLAG_UNMAPPED | FLAG_SECONDARY | FLAG_SUPPLEMENTARY
-    mask = (
-        (bam.mapq >= cfg.min_mapq)
-        & (bam.l_seq >= cfg.min_read_length)
-        & ((bam.flag & bad_flags) == 0)
-    )
-    # per-read `de` tag; absent tag passes (reference matches Ok(Float) only)
-    idx = np.nonzero(mask)[0]
-    for i in idx:
-        de = bam.read(int(i)).get_tag("de")
-        if isinstance(de, float) and de >= cfg.divergence:
-            mask[i] = False
-    return mask
+    return bam.qc_pass(cfg.min_mapq, cfg.min_read_length, cfg.divergence)
 
 
 def find_isolated_regions_with_depth(
@@ -99,19 +87,11 @@ def find_isolated_regions_with_depth(
         return []
     if qc_mask is None:
         qc_mask = read_qc_mask(bam, cfg)
-    starts: List[int] = []
-    ends: List[int] = []
-    for i in range(lo, hi):
-        if not qc_mask[i]:
-            continue
-        r = bam.read(i)
-        if r.pos < ref_len:
-            starts.append(r.pos)
-            ends.append(min(r.reference_end(), ref_len))
-    if not starts:
+    sel = qc_mask[lo:hi] & (bam.pos[lo:hi] < ref_len)
+    s_arr = bam.pos[lo:hi][sel]
+    e_arr = np.minimum(bam.ref_end[lo:hi][sel], ref_len)
+    if s_arr.size == 0:
         return []
-    s_arr = np.asarray(starts, dtype=np.int64)
-    e_arr = np.asarray(ends, dtype=np.int64)
     # breakpoints where depth changes, bracketed by contig bounds
     bps = np.unique(np.concatenate([s_arr, e_arr, [0, ref_len]]))
     # depth on [bps[j], bps[j+1]) = #starts <= bps[j] - #ends <= bps[j]
