@@ -31,6 +31,9 @@ def demo_bam_path():
     return DEMO_BAM
 
 
-@pytest.fixture(scope="session")
-def rng():
-    return np.random.default_rng(2025)
+@pytest.fixture()
+def rng(request):
+    # deterministic per test and independent of execution order
+    import zlib
+    seed = zlib.crc32(request.node.nodeid.encode()) & 0x7FFFFFFF
+    return np.random.default_rng([2025, seed])
