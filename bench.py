@@ -33,6 +33,27 @@ def main() -> int:
     from longcallr_tpu.utils.device import ensure_cpu_backend_registered
     ensure_cpu_backend_registered()
 
+    # The tunneled TPU can wedge (stale remote claim from a killed client):
+    # probe backend init in a SUBPROCESS with a deadline (an in-process hang
+    # would pin jax's backend-init lock) and fall back to the CPU platform
+    # so the benchmark always completes. Tiny per-region problems route to
+    # CPU anyway (utils/device.py), so the measured number is comparable.
+    import subprocess
+
+    try:
+        probe = subprocess.run(
+            [sys.executable, "-c",
+             "import jax; jax.devices(); print('ok')"],
+            capture_output=True, text=True,
+            timeout=float(os.environ.get("LONGCALLR_DEVICE_PROBE_S", "75")))
+        device_ok = "ok" in probe.stdout
+    except subprocess.TimeoutExpired:
+        device_ok = False
+    if not device_ok:
+        print('{"note": "device probe failed; using cpu backend"}',
+              file=sys.stderr)
+        jax.config.update("jax_platforms", "cpu")
+
     from longcallr_tpu.config import preset
     from longcallr_tpu.io.bam import BamFile
     from longcallr_tpu.pipeline.caller import run
@@ -43,9 +64,16 @@ def main() -> int:
     here = os.path.dirname(os.path.abspath(__file__))
     data_dir = os.path.join(here, "data")
     os.makedirs(data_dir, exist_ok=True)
-    try:  # persistent XLA compile cache across bench runs
+    try:  # persistent XLA compile cache across bench runs, scoped by host
+        # fingerprint: with remote compilation, CPU AOT artifacts baked for a
+        # different machine's ISA can otherwise be loaded here (SIGILL risk)
+        import hashlib
+        import platform as _plat
+        fp = hashlib.sha1(
+            (_plat.machine() + _plat.processor()
+             + open("/proc/cpuinfo").read()[:4000]).encode()).hexdigest()[:12]
         jax.config.update("jax_compilation_cache_dir",
-                          os.path.join(data_dir, "jax_cache"))
+                          os.path.join(data_dir, f"jax_cache_{fp}"))
     except Exception:
         pass
     from longcallr_tpu.utils.demo import make_scaled_demo

@@ -203,3 +203,59 @@ def test_batched_pipeline_quality(tmp_path, rng):
     for ps, pairs in per_ps.items():
         agree = np.mean([t == h for t, h in pairs])
         assert agree > 0.9 or agree < 0.1, (ps, agree)
+
+
+def test_downsample_path(tmp_path, rng):
+    """--downsample: deep region downsampled to downsample_depth fragments,
+    output still phases correctly."""
+    cfg = preset("hifi-masseq").replace(min_read_length=100, downsample=True,
+                                        downsample_depth=60)
+    ref = make_reference(rng, 6000)
+    truth = plant_snps(rng, ref, n_het=8, n_hom=0, min_gap=500)
+    bam_path = str(tmp_path / "ds.bam")
+    simulate_bam(bam_path, rng, ref, truth, n_reads=120, read_len=3000,
+                 err_rate=0.01)
+    out = run(bam_path, bam_path.replace(".bam", ".fa"), str(tmp_path / "od"), cfg)
+    recs = _parse_vcf(out.vcf_path)
+    phased = [r for r in recs if r["sample"].get("GT") in ("0|1", "1|0")]
+    assert len(phased) >= 4
+
+
+def test_contigs_selection(tmp_path, rng):
+    """-x contig filter restricts discovery to the named contigs."""
+    from longcallr_tpu.io import bam as bamio
+    from longcallr_tpu.io.fasta import write_fasta
+    ref_a = make_reference(rng, 3000)
+    ref_b = make_reference(rng, 3000)
+    bam_path = str(tmp_path / "x.bam")
+    with bamio.BamWriter(bam_path, ["cA", "cB"], [3000, 3000]) as w:
+        for rid, ref in ((0, ref_a), (1, ref_b)):
+            for i in range(8):
+                w.write_record(qname=f"x{rid}_{i}", flag=0, ref_id=rid,
+                               pos=100, mapq=60,
+                               cigar=bamio.encode_cigar([(2000, "M")]),
+                               seq=bytes(ref[100:2100]),
+                               qual=np.full(2000, 30))
+    write_fasta(str(tmp_path / "x.fa"), {"cA": bytes(ref_a), "cB": bytes(ref_b)})
+    out = run(bam_path, str(tmp_path / "x.fa"), str(tmp_path / "ox"),
+              preset("hifi-masseq").replace(min_read_length=100),
+              contigs=["cB"])
+    assert out.n_regions == 1
+    for line in open(out.vcf_path):
+        if not line.startswith("#"):
+            assert line.startswith("cB\t")
+
+
+def test_region_arg(tmp_path, rng):
+    """-r chr:start-end processes exactly that window."""
+    cfg = preset("hifi-masseq").replace(min_read_length=100)
+    ref = make_reference(rng, 6000)
+    truth = plant_snps(rng, ref, n_het=6, n_hom=0, min_gap=700)
+    bam_path = str(tmp_path / "rg.bam")
+    simulate_bam(bam_path, rng, ref, truth, n_reads=50, read_len=3000,
+                 err_rate=0.01)
+    out = run(bam_path, bam_path.replace(".bam", ".fa"), str(tmp_path / "orr"),
+              cfg, input_region="chrS:2000-4000")
+    pos = [int(l.split("\t")[1]) for l in open(out.vcf_path)
+           if not l.startswith("#")]
+    assert pos and min(pos) >= 2000 and max(pos) < 4000
