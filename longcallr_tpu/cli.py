@@ -52,6 +52,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="Keep a region checkpoint and skip completed regions")
     p.add_argument("--batched", action="store_true",
                    help="Bucketed multi-region device phasing (TPU scaling path)")
+    p.add_argument("--somatic", action="store_true",
+                   help="Enable somatic-by-het detection (off in the reference)")
+    p.add_argument("--profile-dir", default=None,
+                   help="Write a jax.profiler trace of the run to this dir")
     p.add_argument("--log-level", default="INFO")
     return p
 
@@ -81,6 +85,7 @@ def config_from_args(args) -> "CallerConfig":
     return cfg.replace(truncation=args.truncation, downsample=args.downsample,
                        exon_only=args.exon_only,
                        no_bam_output=args.no_bam_output,
+                       somatic=args.somatic,
                        threads=args.threads or 1)
 
 
@@ -115,10 +120,18 @@ def main(argv: Optional[List[str]] = None) -> int:
               file=sys.stderr)
         return 2
 
-    out = run(args.bam_path, args.ref_path, args.output, cfg,
-              input_vcf=args.input_vcf, input_region=args.region,
-              contigs=args.contigs, anno_path=args.annotation,
-              resume=args.resume, batched=args.batched)
+    if args.profile_dir:
+        import jax
+        with jax.profiler.trace(args.profile_dir):
+            out = run(args.bam_path, args.ref_path, args.output, cfg,
+                      input_vcf=args.input_vcf, input_region=args.region,
+                      contigs=args.contigs, anno_path=args.annotation,
+                      resume=args.resume, batched=args.batched)
+    else:
+        out = run(args.bam_path, args.ref_path, args.output, cfg,
+                  input_vcf=args.input_vcf, input_region=args.region,
+                  contigs=args.contigs, anno_path=args.annotation,
+                  resume=args.resume, batched=args.batched)
     print(f"wrote {out.n_records} records to {out.vcf_path}")
     if out.phased_bam_path:
         print(f"wrote phased BAM to {out.phased_bam_path}")

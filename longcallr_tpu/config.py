@@ -60,6 +60,10 @@ class CallerConfig:
     # -- modes --
     exon_only: bool = False
     no_bam_output: bool = False
+    # somatic-by-het detection (the reference ships this disabled,
+    # thread.rs:187; opt-in here)
+    somatic: bool = False
+    somatic_purity: float = 0.3
     # -- engine --
     threads: int = 1
     seed: int = 2025  # reference seeds downsampling with 2025 (src/thread.rs:149)

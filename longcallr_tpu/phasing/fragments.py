@@ -253,9 +253,13 @@ def get_fragments(bam: BamFile, region: Region, cands: CandidateSet,
     K = len(qnames)
     P = np.zeros((K, I), np.int8)
     Q = np.zeros((K, I), np.uint8)
-    for k in range(K):
-        P[k, rows_i[k]] = rows_p[k]
-        Q[k, rows_i[k]] = rows_q[k]
+    if K:
+        counts = np.asarray([len(r) for r in rows_i], dtype=np.int64)
+        if counts.sum():
+            kk = np.repeat(np.arange(K, dtype=np.int64), counts)
+            ii = np.concatenate(rows_i)
+            P[kk, ii] = np.concatenate(rows_p)
+            Q[kk, ii] = np.concatenate(rows_q)
     hete_links = ((P != 0) & phase_site[None, :]).sum(axis=1).astype(np.int32)
     assert cfg.min_linkers > 0, "min_linkers <= 0"
     for_phasing = hete_links >= cfg.min_linkers

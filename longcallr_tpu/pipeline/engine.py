@@ -156,6 +156,11 @@ def finalize_region(region: Region, cands, frags, st, cfg: CallerConfig,
                                   cfg.min_phase_score - 3.0, apply_ds, rng)
         read_assignments = A.assign_reads_haplotype(frags, cands, cfg, ct, False)
         A.assign_snp_haplotype_genotype(frags, cands, cfg, ct, False)
+        if cfg.somatic:
+            # somatic-by-het (disabled in the reference default path,
+            # thread.rs:185-187)
+            from ..ops.somatic import detect_somatic_by_het
+            detect_somatic_by_het(frags, cands, cfg.somatic_purity)
         phase_sets = A.assign_phase_set(frags, cands, cfg.min_phase_score)
         STAGE_TOTALS["assign"] += time.monotonic() - _t
     else:
@@ -204,6 +209,11 @@ def process_region(bam: BamFile, region: Region, ref_seq: np.ndarray,
                                   cfg.min_phase_score - 3.0, apply_ds, rng)
         read_assignments = A.assign_reads_haplotype(frags, cands, cfg, ct, False)
         A.assign_snp_haplotype_genotype(frags, cands, cfg, ct, False)
+        if cfg.somatic:
+            # somatic-by-het (disabled in the reference default path,
+            # thread.rs:185-187)
+            from ..ops.somatic import detect_somatic_by_het
+            detect_somatic_by_het(frags, cands, cfg.somatic_purity)
         phase_sets = A.assign_phase_set(frags, cands, cfg.min_phase_score)
         STAGE_TOTALS["assign"] += time.monotonic() - _t
     else:
