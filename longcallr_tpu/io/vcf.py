@@ -81,7 +81,7 @@ def format_region_records(cands, min_phase_score: float) -> List[str]:
     def emit(fields):
         if fields[4]:  # non-empty ALT
             out_lines.append("\t".join(fields))
-    lines = None  # guard against accidental use
+
     n = cands.n
     for i in range(n):
         chrom = cands.chrom

@@ -25,6 +25,7 @@ from typing import NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as _np
 
 from ..config import MAX_BASE_QUALITY
 
@@ -45,15 +46,14 @@ _PRIOR_HET_BASE = math.log10(0.001)
 
 
 class CellTables(NamedTuple):
-    """Fixed per-region cell data on device."""
+    """Fixed per-region cell data (device jnp arrays or host numpy; the
+    assignment layer uses the numpy variant to stay off the device)."""
 
     p: jnp.ndarray        # [K,I] f64 in {-1,0,+1}
     lerr: jnp.ndarray     # [K,I] f64 log10(err), 0 where no cell
     l1m: jnp.ndarray      # [K,I] f64 log10(1-err), 0 where no cell
     exists: jnp.ndarray   # [K,I] bool
 
-
-import numpy as _np
 
 _LOG10_ERR_NP = _np.asarray(LOG10_ERR_T)
 _LOG10_1MERR_NP = _np.asarray(LOG10_1MERR_T)

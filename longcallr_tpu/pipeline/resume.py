@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import json
 import os
+import threading
 from typing import Dict, Iterator, Optional, TextIO
 
 from .engine import RegionResult
@@ -24,6 +25,7 @@ class RegionCheckpoint:
         self.path = path
         self._done: Dict[str, RegionResult] = {}
         self._f: Optional[TextIO] = None
+        self._lock = threading.Lock()
         if path and os.path.exists(path):
             with open(path) as f:
                 for line in f:
@@ -58,8 +60,10 @@ class RegionCheckpoint:
                  read_assignments=res.read_assignments,
                  phase_sets=res.phase_sets, n_fragments=res.n_fragments,
                  n_candidates=res.n_candidates)
-        self._f.write(json.dumps(d) + "\n")
-        self._f.flush()
+        line = json.dumps(d) + "\n"
+        with self._lock:  # put() is called from worker threads
+            self._f.write(line)
+            self._f.flush()
 
     def close(self) -> None:
         if self._f:
