@@ -129,7 +129,7 @@ def read_sharded_snp_sums(mesh: Mesh):
 # Batched full-phase programs (bucketed multi-region execution)
 # ---------------------------------------------------------------------------
 
-from ..phasing.optimize import _cross_optimize_loop  # noqa: E402
+from ..phasing.optimize import selected_loop  # noqa: E402
 
 
 def _region_ct(batch: BatchedRegions, b=None):
@@ -151,8 +151,8 @@ def batched_cross_optimize(batch: BatchedRegions, sigma, delta, eta,
         from ..phasing.kernels import CellTables
         from ..phasing.optimize import PhaseState
         ct = CellTables(p, lerr, l1m, exists)
-        st, prob = _cross_optimize_loop(ct, PhaseState(sg, dl, et), rb, sm,
-                                        cons, with_genotype, keep_conserved)
+        st, prob = selected_loop()(ct, PhaseState(sg, dl, et), rb, sm,
+                                   cons, with_genotype, keep_conserved)
         return st.sigma, st.delta, st.eta, prob
 
     args = (batch.p, batch.lerr, batch.l1m, batch.exists, batch.read_base,
@@ -197,13 +197,13 @@ def batched_perturbation_phase(batch: BatchedRegions, best_sigma, best_delta,
         rg = jax.random.uniform(k1, (b_delta.shape[0],))
         delta = jnp.where(rg < 0.1, lowv,
                           jnp.where(rg >= 0.9, -lowv, b_st.delta))
-        st1, prob1 = _cross_optimize_loop(ct, b_st._replace(delta=delta),
-                                          rb, sm, cons, False, False)
+        st1, prob1 = selected_loop()(ct, b_st._replace(delta=delta),
+                                     rb, sm, cons, False, False)
         b_st, b_prob = keep(b_st, b_prob, st1, prob1)
         fl = (jax.random.uniform(k2, (b_sigma.shape[0],)) < 0.1) & rb & (b_st.sigma != 0)
         sigma = jnp.where(fl, -b_st.sigma, b_st.sigma)
-        st2, prob2 = _cross_optimize_loop(ct, b_st._replace(sigma=sigma),
-                                          rb, sm, cons, False, False)
+        st2, prob2 = selected_loop()(ct, b_st._replace(sigma=sigma),
+                                     rb, sm, cons, False, False)
         b_st, b_prob = keep(b_st, b_prob, st2, prob2)
         return b_st.sigma, b_st.delta, b_st.eta, b_prob
 

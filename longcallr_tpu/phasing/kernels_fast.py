@@ -1,0 +1,106 @@
+"""Matvec-form phasing half-steps (the MXU/HBM-bandwidth path).
+
+The masked log-emission sums of the coordinate ascent decompose exactly over
+three fixed matrices (per region, per ascent call):
+
+    B = m ∘ lerr,   Dif = m ∘ (l1m - lerr),   Dp = m ∘ (l1m - lerr) ∘ p
+
+with m the phase-site cell mask. Using match(x) = (1 + p·x)/2 on masked
+cells (p ∈ {±1} there):
+
+    L(σ=s)[k]  = rowB[k] + ½·rowDif[k] + ½·(s·(Dp u)[k] + (Dp v)[k])
+    S_match[i] = colB[i] + ½·colDif[i] + ½·δ_i·(Dpᵀ σ)[i]
+    S_flip[i]  = colB[i] + ½·colDif[i] − ½·δ_i·(Dpᵀ σ)[i]
+    S_refe[i]  = colB[i] + ½·colDif[i] + ½·colDp[i]
+    S_alte[i]  = colB[i] + ½·colDif[i] − ½·colDp[i]
+
+where u_i = [η_i==0]·δ_i and v_i = [η_i≠0]·η_i. One ascent iteration costs
+two matvecs with Dp (u/v fold into one fused pass) instead of ~8 full-matrix
+elementwise passes — ~3× less HBM traffic, and the enumeration path's many
+configs turn the matvec into a genuine [K,I]×[I,C] matmul.
+
+Numerically this reorders the f64 summation relative to the reference-form
+kernels (products summed instead of selected terms), so results agree to
+~1e-12 relative but can differ on exact ties; it is therefore an opt-in
+execution mode (LONGCALLR_FAST_KERNELS=1 or cfg), with the reference-form
+kernels remaining the specification.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from .kernels import CellTables, f64, prior_het_log, snp_qs
+
+
+class FastTables(NamedTuple):
+    """Precomputed reductions for one ascent call (fixed masks)."""
+
+    dp: jnp.ndarray       # [K,I] m∘diff∘p
+    row_b: jnp.ndarray    # [K] Σ_i m∘lerr
+    row_dif: jnp.ndarray  # [K] Σ_i m∘diff
+    col_b: jnp.ndarray    # [I] Σ_k mS∘lerr
+    col_dif: jnp.ndarray  # [I] Σ_k mS∘diff
+    col_dp: jnp.ndarray   # [I] Σ_k mS∘diff∘p
+    row_cells: jnp.ndarray  # [K] phase-site cell count per read
+    cov: jnp.ndarray      # [I] gathered cell count per SNP (over mS)
+    read_mask: jnp.ndarray  # [K] the ascent's active read set
+
+
+def make_fast_tables(ct: CellTables, read_mask, site_mask) -> FastTables:
+    """Build the fixed reductions. ``read_mask`` must be the ascent's active
+    read set (read_base & σ≠0 — constant during cross_optimize since σ only
+    flips sign)."""
+    m = site_mask[None, :] & ct.exists
+    diff = jnp.where(m, ct.l1m - ct.lerr, 0.0)
+    lerr = jnp.where(m, ct.lerr, 0.0)
+    dp = diff * ct.p
+    ms = m & read_mask[:, None]
+    return FastTables(
+        dp=dp,
+        row_b=lerr.sum(axis=1),
+        row_dif=diff.sum(axis=1),
+        col_b=jnp.where(ms, ct.lerr, 0.0).sum(axis=0),
+        col_dif=jnp.where(ms, diff, 0.0).sum(axis=0),
+        col_dp=jnp.where(ms, dp, 0.0).sum(axis=0),
+        row_cells=m.sum(axis=1),
+        cov=ms.sum(axis=0),
+        read_mask=read_mask,
+    )
+
+
+def fast_read_logliks(ft: FastTables, delta, eta) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """(L(+1), L(-1), cell counts) per read — matvec form."""
+    u = jnp.where(eta == 0, delta, 0.0)
+    v = jnp.where(eta == 0, 0.0, eta)
+    du = ft.dp @ u
+    dv = ft.dp @ v
+    base = ft.row_b + 0.5 * ft.row_dif + 0.5 * dv
+    return base + 0.5 * du, base - 0.5 * du, ft.row_cells
+
+
+def fast_snp_sums(ft: FastTables, sigma, delta):
+    """(S_match, S_flip, S_refe, S_alte, cov) per SNP — one matvec.
+    Inactive reads' σ must not contribute (the column sums are over the
+    active-read mask)."""
+    dts = ft.dp.T @ jnp.where(ft.read_mask, sigma, 0.0)
+    base = ft.col_b + 0.5 * ft.col_dif
+    half = 0.5 * delta * dts
+    s_match = base + half
+    s_flip = base - half
+    s_refe = base + 0.5 * ft.col_dp
+    s_alte = base - 0.5 * ft.col_dp
+    return s_match, s_flip, s_refe, s_alte, ft.cov
+
+
+def fast_overall_probability(ft: FastTables, sigma, delta, eta) -> jnp.ndarray:
+    """cal_overall_probability in matvec form over the active-read set."""
+    u = jnp.where(eta == 0, delta, 0.0)
+    v = jnp.where(eta == 0, 0.0, eta)
+    du = ft.dp @ u
+    dv = ft.dp @ v
+    per_read = ft.row_b + 0.5 * ft.row_dif + 0.5 * (sigma * du + dv)
+    return jnp.where(ft.read_mask, per_read, 0.0).sum()

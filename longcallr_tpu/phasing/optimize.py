@@ -24,6 +24,7 @@ that improves flips its own fully-contained reads.
 from __future__ import annotations
 
 import math
+import os
 from dataclasses import dataclass
 from functools import partial
 from typing import Dict, List, NamedTuple, Optional, Set, Tuple
@@ -125,8 +126,89 @@ def cross_optimize(ct: CellTables, st: PhaseState, read_base: jnp.ndarray,
                    ) -> Tuple[PhaseState, jnp.ndarray]:
     """Alternating coordinate ascent, ≤21 iterations (phase.rs:810-976).
     Returns (final state, overall log10 probability)."""
-    return _cross_optimize_loop(ct, st, read_base, site_mask, conserved,
-                                with_genotype, keep_conserved)
+    return selected_loop()(ct, st, read_base, site_mask, conserved,
+                           with_genotype, keep_conserved)
+
+
+def _cross_optimize_fast_loop(ct: CellTables, st: PhaseState, read_base,
+                              site_mask, conserved, with_genotype: bool,
+                              keep_conserved: bool):
+    """Matvec-form ascent (see kernels_fast.py): same argmax/tie rules as the
+    reference-form loop, 2 matvecs per iteration instead of ~8 full-matrix
+    passes. Opt-in (summation order differs at the ulp level)."""
+    from .kernels_fast import (fast_overall_probability, fast_read_logliks,
+                               fast_snp_sums, make_fast_tables)
+
+    rm0 = read_base & (st.sigma != 0)
+    ft = make_fast_tables(ct, rm0, site_mask)
+
+    def sigma_step(st):
+        lp, lm, ncell = fast_read_logliks(ft, st.delta, st.eta)
+        upd = rm0 & (ncell > 0)
+        q, qn = sigma_q(lp, lm, st.sigma)
+        flip = upd & (q < qn)
+        new_sigma = jnp.where(flip, -st.sigma, st.sigma)
+        q_new = jnp.where(flip, qn, q)
+        return new_sigma, (jnp.where(upd, q_new, 0.0).sum()
+                           > jnp.where(upd, q, 0.0).sum())
+
+    def snp_step(st):
+        sums = fast_snp_sums(ft, st.sigma, st.delta)
+        q1, q2, q3, q4 = snp_qs(*sums)
+        cov = sums[4]
+        upd = site_mask & (cov > 0)
+        if keep_conserved:
+            upd &= ~conserved
+        if with_genotype:
+            mx = jnp.maximum(jnp.maximum(q1, q2), jnp.maximum(q3, q4))
+            pick = jnp.where(q1 == mx, 0,
+                             jnp.where(q2 == mx, 1, jnp.where(q3 == mx, 2, 3)))
+        else:
+            het = st.eta == 0
+            pick = jnp.where(het, jnp.where(q1 >= q2, 0, 1),
+                             jnp.where(q3 >= q4, 2, 3))
+        new_delta = jnp.where(upd & (pick == 1), -st.delta, st.delta)
+        new_eta = jnp.where(
+            upd, jnp.where(pick <= 1, 0.0, jnp.where(pick == 2, 1.0, -1.0)),
+            st.eta)
+        q_new = jnp.where(pick == 0, q1, jnp.where(pick == 1, q2,
+                          jnp.where(pick == 2, q3, q4)))
+        q_old = snp_q_for(*sums, st.eta)
+        return new_delta, new_eta, (jnp.where(upd, q_new, 0.0).sum()
+                                    > jnp.where(upd, q_old, 0.0).sum())
+
+    def cond(carry):
+        st, it, go = carry
+        return go & (it < 21)
+
+    def body(carry):
+        st, it, _ = carry
+        new_sigma, s_inc = sigma_step(st)
+        st = st._replace(sigma=new_sigma)
+        new_delta, new_eta, d_inc = snp_step(st)
+        st = st._replace(delta=new_delta, eta=new_eta)
+        return st, it + 1, s_inc | d_inc
+
+    st, _, _ = jax.lax.while_loop(cond, body, (st, jnp.int32(0), jnp.bool_(True)))
+    prob = fast_overall_probability(ft, st.sigma, st.delta, st.eta)
+    return st, prob
+
+
+@partial(jax.jit, static_argnames=("with_genotype", "keep_conserved"))
+def cross_optimize_fast(ct: CellTables, st: PhaseState, read_base,
+                        site_mask, conserved, with_genotype: bool,
+                        keep_conserved: bool):
+    return _cross_optimize_fast_loop(ct, st, read_base, site_mask, conserved,
+                                     with_genotype, keep_conserved)
+
+
+# execution-mode switch: LONGCALLR_FAST_KERNELS=1 selects the matvec-form
+# ascent everywhere (perturbation schedule, enumeration, batched buckets)
+USE_FAST_KERNELS = os.environ.get("LONGCALLR_FAST_KERNELS", "0") == "1"
+
+
+def selected_loop():
+    return _cross_optimize_fast_loop if USE_FAST_KERNELS else _cross_optimize_loop
 
 
 @jax.jit
@@ -159,13 +241,13 @@ def perturbation_phase(ct: CellTables, st: PhaseState, best_st: PhaseState,
         rg = jax.random.uniform(k1, (I,))
         delta = jnp.where(rg < 0.1, lowv,
                           jnp.where(rg >= 0.9, highv, b_st.delta))
-        st1, prob1 = _cross_optimize_loop(
+        st1, prob1 = selected_loop()(
             ct, b_st._replace(delta=delta), read_base, site_mask, conserved,
             with_genotype=False, keep_conserved=False)
         b_st, b_p = keep_best((b_st, b_p), st1, prob1)
         fl = (jax.random.uniform(k2, (K,)) < 0.1) & read_base & (b_st.sigma != 0)
         sigma = jnp.where(fl, -b_st.sigma, b_st.sigma)
-        st2, prob2 = _cross_optimize_loop(
+        st2, prob2 = selected_loop()(
             ct, b_st._replace(sigma=sigma), read_base, site_mask, conserved,
             with_genotype=False, keep_conserved=False)
         b_st, b_p = keep_best((b_st, b_p), st2, prob2)
