@@ -67,8 +67,16 @@ def decompress_block(data: bytes, off: int, bsize: int, check_crc: bool = False)
 
 
 def decompress_all(data: bytes, threads: int = 4, check_crc: bool = False) -> bytes:
-    """Decompress a whole BGZF byte string (e.g. an entire BAM file)."""
+    """Decompress a whole BGZF byte string (e.g. an entire BAM file).
+
+    Uses the native multi-threaded inflater when available (zlib in C++,
+    one pass, no per-block Python objects); falls back to a Python thread
+    pool over blocks."""
     spans = list(iter_block_spans(data))
+    if not check_crc and len(spans) > 4:
+        out = _decompress_all_native(data, spans, threads)
+        if out is not None:
+            return out
     if threads > 1 and len(spans) > 8:
         with ThreadPoolExecutor(max_workers=threads) as ex:
             parts = list(
@@ -77,6 +85,47 @@ def decompress_all(data: bytes, threads: int = 4, check_crc: bool = False) -> by
     else:
         parts = [decompress_block(data, o, b, check_crc) for o, b in spans]
     return b"".join(parts)
+
+
+def _decompress_all_native(data: bytes, spans, threads: int):
+    try:
+        from .. import native
+        nlib = native.lib()
+    except Exception:
+        return None
+    if nlib is None:
+        return None
+    import ctypes
+
+    import numpy as np
+
+    n = len(spans)
+    src_off = np.empty(n, np.int64)
+    src_len = np.empty(n, np.int32)
+    dst_off = np.empty(n, np.int64)
+    dst_len = np.empty(n, np.int32)
+    total = 0
+    for j, (off, bsize) in enumerate(spans):
+        xlen = struct.unpack_from("<H", data, off + 10)[0]
+        src_off[j] = off + 12 + xlen
+        src_len[j] = bsize - 12 - xlen - 8
+        isize = struct.unpack_from("<I", data, off + bsize - 4)[0]
+        dst_off[j] = total
+        dst_len[j] = isize
+        total += isize
+    out = np.empty(total, np.uint8)
+    src = np.frombuffer(data, np.uint8)
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    ptr = lambda a, t: a.ctypes.data_as(t)
+    rc = nlib.bgzf_inflate_many(
+        ptr(src, u8p), ptr(src_off, i64p), ptr(src_len, i32p),
+        ptr(out, u8p), ptr(dst_off, i64p), ptr(dst_len, i32p),
+        n, max(1, threads))
+    if rc != 0:
+        return None
+    return out.tobytes()
 
 
 def decompress_file(path: str, threads: int = 4, check_crc: bool = False) -> bytes:
