@@ -37,26 +37,30 @@ def main() -> int:
     from longcallr_tpu.utils.device import ensure_cpu_backend_registered
     ensure_cpu_backend_registered()
 
-    # The tunneled TPU can wedge (stale remote claim from a killed client):
-    # probe backend init in a SUBPROCESS with a deadline (an in-process hang
-    # would pin jax's backend-init lock) and fall back to the CPU platform
-    # so the benchmark always completes. Tiny per-region problems route to
-    # CPU anyway (utils/device.py), so the measured number is comparable.
-    import subprocess
-
-    try:
-        probe = subprocess.run(
-            [sys.executable, "-c",
-             "import jax; jax.devices(); print('ok')"],
-            capture_output=True, text=True,
-            timeout=float(os.environ.get("LONGCALLR_DEVICE_PROBE_S", "75")))
-        device_ok = "ok" in probe.stdout
-    except subprocess.TimeoutExpired:
-        device_ok = False
-    if not device_ok:
-        print('{"note": "device probe failed; using cpu backend"}',
-              file=sys.stderr)
+    # The tunneled TPU can wedge (stale remote claim): initialize the
+    # backend under a watchdog; on timeout re-exec this script pinned to
+    # the CPU platform so the benchmark always completes. (A separate probe
+    # process would itself claim the device and wedge the real run.) Tiny
+    # per-region problems route to CPU anyway (utils/device.py).
+    if os.environ.get("LONGCALLR_BENCH_CPU") == "1":
         jax.config.update("jax_platforms", "cpu")
+    else:
+        import threading
+
+        ready = threading.Event()
+
+        def _watchdog():
+            if not ready.wait(
+                    float(os.environ.get("LONGCALLR_DEVICE_PROBE_S", "90"))):
+                print('{"note": "device init timed out; re-exec on cpu"}',
+                      file=sys.stderr, flush=True)
+                env = dict(os.environ, LONGCALLR_BENCH_CPU="1")
+                os.execve(sys.executable,
+                          [sys.executable, os.path.abspath(__file__)], env)
+
+        threading.Thread(target=_watchdog, daemon=True).start()
+        jax.devices()  # may block on a wedged remote claim
+        ready.set()
 
     from longcallr_tpu.config import preset
     from longcallr_tpu.io.bam import BamFile

@@ -132,7 +132,9 @@ def main(argv: Optional[List[str]] = None) -> int:
                   input_vcf=args.input_vcf, input_region=args.region,
                   contigs=args.contigs, anno_path=args.annotation,
                   resume=args.resume, batched=args.batched)
-    print(f"wrote {out.n_records} records to {out.vcf_path}")
+    print(f"wrote {out.n_records} records to {out.vcf_path} "
+          f"({out.n_phased_sites} phased sites, {out.n_candidates} candidates, "
+          f"{out.n_assigned_reads}/{out.n_fragments} reads haplotagged)")
     if out.phased_bam_path:
         print(f"wrote phased BAM to {out.phased_bam_path}")
     for k, v in out.stage_seconds.items():

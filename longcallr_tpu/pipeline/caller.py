@@ -35,6 +35,12 @@ class CallerOutputs:
     n_records: int
     n_reads_tagged: int
     stage_seconds: Dict[str, float] = field(default_factory=dict)
+    # observability counters (SURVEY.md §5): phased het sites, reads with a
+    # haplotype assignment, total fragments/candidates processed
+    n_phased_sites: int = 0
+    n_assigned_reads: int = 0
+    n_fragments: int = 0
+    n_candidates: int = 0
 
 
 def build_regions(bam: BamFile, fasta: FastaFile, cfg: CallerConfig,
@@ -129,12 +135,16 @@ def run(bam_path: str, ref_path: str, output_prefix: str, cfg: CallerConfig,
         zip(regions, results), key=lambda t: (order.get(t[0].chr, 1 << 30), t[0].start))
     vcf_path = output_prefix + ".vcf"
     n_records = 0
+    n_phased = 0
     with open(vcf_path, "w") as vf:
         write_vcf_header(vf, fasta.contig_lengths)
         for _, res in results_sorted:
             for line in res.vcf_lines:
                 vf.write(line + "\n")
                 n_records += 1
+                gt = line.split("\t")[9].split(":", 1)[0]
+                if gt in ("0|1", "1|0"):
+                    n_phased += 1
     stage["vcf"] = time.monotonic() - t3
 
     # --- phased BAM (thread.rs:307-361) ---
@@ -177,9 +187,14 @@ def run(bam_path: str, ref_path: str, output_prefix: str, cfg: CallerConfig,
         stage["phased_bam"] = time.monotonic() - t4
 
     stage["total"] = time.monotonic() - t0
+    n_assigned = sum(1 for _, res in results_sorted
+                     for v in res.read_assignments.values() if v != 0)
     return CallerOutputs(vcf_path=vcf_path, phased_bam_path=phased_bam_path,
                          n_regions=len(regions), n_records=n_records,
-                         n_reads_tagged=n_tagged, stage_seconds=stage)
+                         n_reads_tagged=n_tagged, stage_seconds=stage,
+                         n_phased_sites=n_phased, n_assigned_reads=n_assigned,
+                         n_fragments=sum(r.n_fragments for _, r in results_sorted),
+                         n_candidates=sum(r.n_candidates for _, r in results_sorted))
 
 
 def _exon_mask_for(reg: Region, exon_regions: Dict[str, List[Tuple[int, int]]]):
