@@ -72,18 +72,8 @@ def main() -> int:
     here = os.path.dirname(os.path.abspath(__file__))
     data_dir = os.path.join(here, "data")
     os.makedirs(data_dir, exist_ok=True)
-    try:  # persistent XLA compile cache across bench runs, scoped by host
-        # fingerprint: with remote compilation, CPU AOT artifacts baked for a
-        # different machine's ISA can otherwise be loaded here (SIGILL risk)
-        import hashlib
-        import platform as _plat
-        fp = hashlib.sha1(
-            (_plat.machine() + _plat.processor()
-             + open("/proc/cpuinfo").read()[:4000]).encode()).hexdigest()[:12]
-        jax.config.update("jax_compilation_cache_dir",
-                          os.path.join(data_dir, f"jax_cache_{fp}"))
-    except Exception:
-        pass
+    from longcallr_tpu.utils.device import setup_compile_cache
+    setup_compile_cache(os.path.join(data_dir))
     from longcallr_tpu.utils.demo import make_scaled_demo
 
     ref_fa = os.path.join(data_dir, "demo_chr20_consensus.fa")

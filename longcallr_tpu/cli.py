@@ -95,6 +95,8 @@ def main(argv: Optional[List[str]] = None) -> int:
                         format="%(asctime)s %(levelname)s %(message)s")
     from .utils import malloc_tune
     malloc_tune.tune()
+    from .utils.device import setup_compile_cache
+    setup_compile_cache()
     cfg = config_from_args(args)
     print(f"Preset: {args.preset}")
 

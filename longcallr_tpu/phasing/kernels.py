@@ -33,9 +33,13 @@ f64 = jnp.float64
 
 # log10 emission tables indexed by capped baseq: error term and 1-error term
 # (prob = 10^(-q/10), fragment.rs:133)
-_QS = jnp.arange(MAX_BASE_QUALITY + 1, dtype=f64)
+# numpy (NOT jnp): module-level device arrays would initialize the JAX
+# backend at import — on this deployment that is a tunneled-TPU handshake
+# every CLI invocation would pay, even pure-host paths like --get-blocks
+_QS = _np.arange(MAX_BASE_QUALITY + 1, dtype=_np.float64)
 LOG10_ERR_T = -_QS / 10.0  # log10(10^(-q/10)) == -q/10 exactly
-LOG10_1MERR_T = jnp.log10(-jnp.expm1(-_QS / 10.0 * math.log(10.0)))
+with _np.errstate(divide="ignore"):
+    LOG10_1MERR_T = _np.log10(-_np.expm1(-_QS / 10.0 * math.log(10.0)))
 # q = 0: err = 1 → log10(1-err) = -inf, as in the reference
 
 # genotype priors (phase.rs:136-144)
@@ -55,8 +59,8 @@ class CellTables(NamedTuple):
     exists: jnp.ndarray   # [K,I] bool
 
 
-_LOG10_ERR_NP = _np.asarray(LOG10_ERR_T)
-_LOG10_1MERR_NP = _np.asarray(LOG10_1MERR_T)
+_LOG10_ERR_NP = LOG10_ERR_T
+_LOG10_1MERR_NP = LOG10_1MERR_T
 
 
 def make_cell_tables_np(p_np, baseq_np) -> CellTables:

@@ -41,3 +41,28 @@ def small_problem_device(n_cells: int) -> Optional[jax.Device]:
         return jax.devices("cpu")[0]
     except RuntimeError:
         return None
+
+
+def setup_compile_cache(cache_root: Optional[str] = None) -> None:
+    """Enable the persistent XLA compile cache, scoped by a host fingerprint
+    (remote compilation can bake CPU AOT artifacts for a different ISA)."""
+    import hashlib
+    import platform as _plat
+
+    try:
+        base = cache_root or os.path.join(
+            os.path.expanduser("~"), ".cache", "longcallr_tpu")
+        cpuinfo = ""
+        try:
+            with open("/proc/cpuinfo") as f:
+                cpuinfo = f.read()[:4000]
+        except OSError:
+            pass
+        fp = hashlib.sha1(
+            (_plat.machine() + _plat.processor() + cpuinfo).encode()
+        ).hexdigest()[:12]
+        path = os.path.join(base, f"jax_cache_{fp}")
+        os.makedirs(path, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", path)
+    except Exception:
+        pass
