@@ -259,3 +259,29 @@ def test_region_arg(tmp_path, rng):
     pos = [int(l.split("\t")[1]) for l in open(out.vcf_path)
            if not l.startswith("#")]
     assert pos and min(pos) >= 2000 and max(pos) < 4000
+
+
+def test_determinism_double_execution(tmp_path, rng):
+    """Same inputs → byte-identical VCF and phased BAM across two runs
+    (the determinism harness of SURVEY.md §5; the reference itself is only
+    reproducible on its deterministic paths due to unseeded thread_rng)."""
+    import hashlib
+    cfg = preset("hifi-masseq").replace(min_read_length=100, threads=2)
+    ref = make_reference(rng, 8000)
+    truth = plant_snps(rng, ref, n_het=13, n_hom=2, min_gap=450)
+    bam_path = str(tmp_path / "det.bam")
+    simulate_bam(bam_path, rng, ref, truth, n_reads=80, read_len=3500,
+                 err_rate=0.01)
+    fa = bam_path.replace(".bam", ".fa")
+    h = []
+    for i in range(2):
+        out = run(bam_path, fa, str(tmp_path / f"d{i}"), cfg)
+        h.append((hashlib.sha1(open(out.vcf_path, "rb").read()).hexdigest(),
+                  hashlib.sha1(open(out.phased_bam_path, "rb").read()).hexdigest()))
+    assert h[0] == h[1]
+    # batched path is deterministic too
+    h2 = []
+    for i in range(2):
+        out = run(bam_path, fa, str(tmp_path / f"db{i}"), cfg, batched=True)
+        h2.append(hashlib.sha1(open(out.vcf_path, "rb").read()).hexdigest())
+    assert h2[0] == h2[1]
