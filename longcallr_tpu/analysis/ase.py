@@ -258,6 +258,12 @@ def load_longcallr_phased_vcf(vcf_file: str, with_dp_af: bool = False
             continue
         ps = sample.get("PS")
         if ps and ps != ".":
+            # keys must match the integer PS aux tags read from the BAM
+            # (pysam-typed Integer FORMAT fields are ints in the reference)
+            try:
+                ps = int(ps)
+            except ValueError:
+                pass
             if with_dp_af:
                 try:
                     dp = int(sample["DP"])

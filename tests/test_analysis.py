@@ -249,3 +249,110 @@ def test_somatic_flag_end_to_end(tmp_path, rng):
     # the somatic flag ran without breaking the pipeline; if the site was
     # retained as a cand-somatic and each hap had reads, it gets scored
     assert res.n_candidates > 0
+
+
+def _phased_setup(tmp_path, rng, n_reads=60):
+    """Simulated phased BAM + caller VCF + matching GTF for ASE modes."""
+    cfg = preset("hifi-masseq").replace(min_read_length=100)
+    ref = make_reference(rng, 8000)
+    truth = plant_snps(rng, ref, n_het=10, n_hom=0, min_gap=600)
+    bam_path = str(tmp_path / "pm.bam")
+    simulate_bam(bam_path, rng, ref, truth, n_reads=n_reads, read_len=4000,
+                 err_rate=0.01)
+    out = run(bam_path, bam_path.replace(".bam", ".fa"), str(tmp_path / "pm"), cfg)
+    gtf = str(tmp_path / "pm.gtf")
+    _write_gtf(gtf, "chrS", [("G1", "GENE1", 1, 8000, [(1, 8000)])])
+    return truth, out, gtf
+
+
+def test_ase_patmat_mode(tmp_path, rng):
+    """--vcf1 + --vcf2: haplotypes resolved to paternal/maternal via a
+    phased DNA VCF (longcallR-ase.py:481-553)."""
+    truth, out, gtf = _phased_setup(tmp_path, rng)
+    # phased DNA VCF: declare ALT (carried by hap1 in simulation truth) as
+    # paternal at every het site → one haplotype should be all-paternal
+    dna_vcf = str(tmp_path / "dna.vcf")
+    with open(dna_vcf, "w") as f:
+        f.write("##fileformat=VCFv4.3\n#CHROM\tPOS\tID\tREF\tALT\tQUAL\t"
+                "FILTER\tINFO\tFORMAT\tS\n")
+        for p, (refb, altb) in sorted(truth.het_snps.items()):
+            f.write(f"chrS\t{p+1}\t.\t{chr(refb)}\t{chr(altb)}\t60\tPASS\t.\t"
+                    f"GT\t0|1\n")
+    out_tsv = str(tmp_path / "pm.patmat_ase.tsv")
+    ase.analyze_ase_genes(gtf, out.phased_bam_path, out_tsv, threads=1,
+                          gene_types={"protein_coding"}, min_support=5,
+                          overdispersion=0.001,
+                          vcf1=out.vcf_path, vcf2=dna_vcf)
+    rows = [l.split("\t") for l in open(out_tsv).read().splitlines()[1:]]
+    assert len(rows) == 1
+    hdr = open(out_tsv).read().splitlines()[0].split("\t")
+    assert hdr[-4:] == ["H1_Paternal", "H1_Maternal", "H2_Paternal",
+                        "H2_Maternal"]
+    h1p, h1m, h2p, h2m = (int(x) for x in rows[0][6:10])
+    # each haplotype's reads resolve consistently to one parent
+    assert h1p + h1m > 0 and h2p + h2m > 0
+    assert (h1p == 0 or h1m == 0) and (h2p == 0 or h2m == 0)
+    # and the two haplotypes resolve to OPPOSITE parents
+    assert (h1p > 0) != (h2p > 0)
+
+
+def test_ase_filtering_mode(tmp_path, rng):
+    """--vcf1 + --vcf3: genes kept only when a DNA-supported phase-set
+    variant shows significantly imbalanced allele fraction
+    (longcallR-ase.py:583-595 — balanced hets do NOT count as support)."""
+    # imbalanced 70/30 haplotype expression → called het sites have af≈0.3
+    from longcallr_tpu.io import bam as bamio
+    from longcallr_tpu.io.fasta import write_fasta
+    from simulate import haplotype_seq, BASES
+    cfg = preset("hifi-masseq").replace(min_read_length=100)
+    ref = make_reference(rng, 8000)
+    truth = plant_snps(rng, ref, n_het=10, n_hom=0, min_gap=600)
+    haps = {1: haplotype_seq(truth, ref, 1), 2: haplotype_seq(truth, ref, 2)}
+    rows = []
+    for i in range(80):
+        hap = 1 if i % 10 < 3 else 2
+        pos = int(rng.integers(0, 3000))
+        seq = haps[hap][pos:pos + 4500].copy()
+        errs = rng.random(len(seq)) < 0.01
+        seq[errs] = BASES[rng.integers(0, 4, size=int(errs.sum()))]
+        truth.hap_of_read[f"f{i:03d}"] = hap
+        rows.append((pos, f"f{i:03d}", seq))
+    rows.sort(key=lambda t: t[0])
+    bam_path = str(tmp_path / "fm.bam")
+    with bamio.BamWriter(bam_path, ["chrS"], [len(ref)]) as w:
+        for pos, qn, seq in rows:
+            w.write_record(qname=qn, flag=0, ref_id=0, pos=pos, mapq=60,
+                           cigar=bamio.encode_cigar([(len(seq), "M")]),
+                           seq=bytes(seq), qual=np.full(len(seq), 30),
+                           tags=bamio.make_tag_bytes("de", "f", 0.001))
+    write_fasta(bam_path.replace(".bam", ".fa"), {"chrS": bytes(ref)})
+    out = run(bam_path, bam_path.replace(".bam", ".fa"), str(tmp_path / "fm"), cfg)
+    gtf = str(tmp_path / "fm.gtf")
+    _write_gtf(gtf, "chrS", [("G1", "GENE1", 1, 8000, [(1, 8000)])])
+    # DNA VCF supporting the called het sites
+    dna_vcf = str(tmp_path / "dna3.vcf")
+    with open(dna_vcf, "w") as f:
+        f.write("##fileformat=VCFv4.3\n#CHROM\tPOS\tID\tREF\tALT\tQUAL\t"
+                "FILTER\tINFO\tFORMAT\tS\n")
+        for p, (refb, altb) in sorted(truth.het_snps.items()):
+            f.write(f"chrS\t{p+1}\t.\t{chr(refb)}\t{chr(altb)}\t60\tPASS\t.\t"
+                    f"GT\t0/1\n")
+    out_tsv = str(tmp_path / "pm.filter_ase.tsv")
+    ase.analyze_ase_genes(gtf, out.phased_bam_path, out_tsv, threads=1,
+                          gene_types={"protein_coding"}, min_support=5,
+                          overdispersion=0.001,
+                          vcf1=out.vcf_path, vcf3=dna_vcf)
+    rows = [l.split("\t") for l in open(out_tsv).read().splitlines()[1:]]
+    assert len(rows) == 1  # gene retained (DNA-supported)
+    # empty DNA VCF → gene filtered out (h1=h2=0 rows are dropped)
+    empty_vcf = str(tmp_path / "empty.vcf")
+    with open(empty_vcf, "w") as f:
+        f.write("##fileformat=VCFv4.3\n#CHROM\tPOS\tID\tREF\tALT\tQUAL\t"
+                "FILTER\tINFO\tFORMAT\tS\n")
+    out_tsv2 = str(tmp_path / "pm2.filter_ase.tsv")
+    ase.analyze_ase_genes(gtf, out.phased_bam_path, out_tsv2, threads=1,
+                          gene_types={"protein_coding"}, min_support=5,
+                          overdispersion=0.001,
+                          vcf1=out.vcf_path, vcf3=empty_vcf)
+    rows2 = [l.split("\t") for l in open(out_tsv2).read().splitlines()[1:]]
+    assert len(rows2) == 0
