@@ -244,3 +244,36 @@ def batched_overall_probability(batch: BatchedRegions, sigma, delta, eta,
                 a, NamedSharding(mesh, P("regions", *([None] * (a.ndim - 1)))))
             for a in args)
     return jax.vmap(one)(*args)
+
+
+@partial(jax.jit, static_argnames=("mesh",))
+def batched_enum_cross_optimize(batch: BatchedRegions, sigma0, configs, eta0,
+                                mesh: Optional[Mesh] = None):
+    """Enumeration path over a bucket: regions axis × configs axis.
+
+    sigma0 [B,C,K] per-region per-config random inits; configs [C,I] shared
+    (regions in a bucket have the same logical candidate count); eta0 [B,I].
+    Returns (sigma, delta, eta)[B,C,...] and prob[B,C]."""
+
+    def one_cfg(p, lerr, l1m, exists, rb, sm, et, sg0, cfg_delta):
+        from ..phasing.kernels import CellTables
+        from ..phasing.optimize import PhaseState
+        ct = CellTables(p, lerr, l1m, exists)
+        st, prob = selected_loop()(
+            ct, PhaseState(sg0, cfg_delta, et), rb, sm,
+            jnp.zeros_like(sm), True, False)
+        return st.sigma, st.delta, st.eta, prob
+
+    def one_region(p, lerr, l1m, exists, rb, sm, et, sg0):
+        return jax.vmap(one_cfg,
+                        in_axes=(None,) * 7 + (0, 0)
+                        )(p, lerr, l1m, exists, rb, sm, et, sg0, configs)
+
+    args = (batch.p, batch.lerr, batch.l1m, batch.exists, batch.read_base,
+            batch.site_mask, eta0, sigma0)
+    if mesh is not None:
+        args = tuple(
+            jax.lax.with_sharding_constraint(
+                a, NamedSharding(mesh, P("regions", *([None] * (a.ndim - 1)))))
+            for a in args)
+    return jax.vmap(one_region)(*args)

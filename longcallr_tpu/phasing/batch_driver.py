@@ -44,21 +44,104 @@ def phase_regions_batched(items: List[Tuple[FragmentMatrix, CandidateSet, int, b
     shapes) in input order. Items with no candidates/fragments → None."""
     out: List[Optional[PhaseState]] = [None] * len(items)
     buckets: Dict[Tuple[int, int], List[_Prepared]] = {}
+    enum_buckets: Dict[Tuple[int, int], List[_Prepared]] = {}
     for idx, (frags, cands, seed, apply_ds) in enumerate(items):
         K0, I0 = frags.p.shape
         if I0 == 0 or K0 == 0:
             continue
         if I0 <= cfg.max_enum_snps:
-            # enumeration path: already one chunked-vmap device call
-            out[idx] = phase_region(frags, cands, cfg, seed, apply_ds)
+            # enumeration regions batch by (K bucket, exact candidate count):
+            # same logical I shares the 2^I config matrix
+            enum_buckets.setdefault((_bucket(K0), I0), []).append(
+                _Prepared(idx, frags, cands, seed, apply_ds))
             continue
         key = (_bucket(K0), _bucket(I0))
         buckets.setdefault(key, []).append(
             _Prepared(idx, frags, cands, seed, apply_ds))
 
+    for (K, I0), group in sorted(enum_buckets.items()):
+        if len(group) == 1:
+            it = group[0]
+            out[it.index] = phase_region(it.frags, it.cands, cfg, it.seed,
+                                         it.apply_ds)
+        else:
+            _phase_enum_bucket(group, cfg, K, I0, mesh, out)
     for (K, I_pad), group in sorted(buckets.items()):
         _phase_bucket(group, cfg, K, I_pad, mesh, out)
     return out
+
+
+def _phase_enum_bucket(group: List[_Prepared], cfg: CallerConfig, K: int,
+                       I0: int, mesh, out: List[Optional[PhaseState]]) -> None:
+    """Batched 2^I enumeration (phase.rs:1097-1122) for regions sharing the
+    same config matrix; chunked over configs to bound memory."""
+    from ..parallel.mesh import BatchedRegions, batched_enum_cross_optimize
+    from .optimize import enumeration_order
+
+    B = len(group)
+    I_pad = _bucket(max(1, I0))
+    p = np.zeros((B, K, I_pad), np.int8)
+    bq = np.zeros((B, K, I_pad), np.uint8)
+    read_base = np.zeros((B, K), bool)
+    site_mask = np.zeros((B, I_pad), bool)
+    eta0 = np.ones((B, I_pad), np.float64)
+    rngs = []
+    for b, it in enumerate(group):
+        K0, _ = it.frags.p.shape
+        p[b, :K0, :I0] = it.frags.p
+        bq[b, :K0, :I0] = it.frags.baseq
+        ds = it.frags.downsampled if it.apply_ds else np.ones(K0, bool)
+        read_base[b, :K0] = it.frags.for_phasing & ds
+        site_mask[b, :I0] = it.cands.for_phasing
+        eta0[b, :I0] = init_genotype(it.cands)
+        rngs.append(np.random.default_rng(
+            np.random.SeedSequence([cfg.seed, it.seed & 0x7FFFFFFF])))
+    configs = enumeration_order(I0).astype(np.float64)
+    configs = np.pad(configs, ((0, 0), (0, I_pad - I0)), constant_values=1.0)
+    C = configs.shape[0]
+    sig0 = np.zeros((B, C, K), np.float64)
+    for b in range(B):
+        s = np.where(rngs[b].random((C, K)) < 0.5, -1.0, 1.0)
+        sig0[b] = np.where(read_base[b][None, :], s, 0.0)
+
+    cts_np = make_cell_tables_np(p.reshape(B * K, I_pad),
+                                 bq.reshape(B * K, I_pad))
+    shape3 = (B, K, I_pad)
+    dev = small_problem_device(B * C * K * I_pad) if mesh is None else None
+
+    def dp(a):
+        a = jnp.asarray(a)
+        return jax.device_put(a, dev) if dev is not None else a
+
+    batch = BatchedRegions(
+        p=dp(np.asarray(cts_np.p).reshape(shape3)),
+        lerr=dp(np.asarray(cts_np.lerr).reshape(shape3)),
+        l1m=dp(np.asarray(cts_np.l1m).reshape(shape3)),
+        exists=dp(np.asarray(cts_np.exists).reshape(shape3)),
+        read_base=dp(read_base), site_mask=dp(site_mask),
+        conserved=dp(np.zeros((B, I_pad), bool)))
+
+    chunk = max(1, int(2 ** 24 // max(1, B * K * I_pad)))
+    chunk = min(C, 1 << (chunk.bit_length() - 1))
+    best_prob = np.full(B, -np.inf)
+    best = [None] * B
+    for c0 in range(0, C, chunk):
+        sg, dl, et, pr = batched_enum_cross_optimize(
+            batch, dp(sig0[:, c0:c0 + chunk]),
+            dp(configs[c0:c0 + chunk]), dp(eta0), mesh=mesh)
+        pr = np.asarray(pr)                      # [B, chunk]
+        sg, dl, et = (np.asarray(a) for a in (sg, dl, et))
+        for b in range(B):
+            j = int(np.argmax(pr[b]))
+            if pr[b, j] > best_prob[b]:
+                best_prob[b] = float(pr[b, j])
+                best[b] = (sg[b, j], dl[b, j], et[b, j])
+    for b, it in enumerate(group):
+        K0, _ = it.frags.p.shape
+        sgb, dlb, etb = best[b]
+        out[it.index] = PhaseState(jnp.asarray(sgb[:K0]),
+                                   jnp.asarray(dlb[:I0]),
+                                   jnp.asarray(etb[:I0]))
 
 
 def _phase_bucket(group: List[_Prepared], cfg: CallerConfig, K: int,

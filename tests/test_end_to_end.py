@@ -285,3 +285,67 @@ def test_determinism_double_execution(tmp_path, rng):
         out = run(bam_path, fa, str(tmp_path / f"db{i}"), cfg, batched=True)
         h2.append(hashlib.sha1(open(out.vcf_path, "rb").read()).hexdigest())
     assert h2[0] == h2[1]
+
+
+def test_batched_enum_path(tmp_path, rng):
+    """Multiple small (enumeration-path) regions batch into one program and
+    still recover truth."""
+    from longcallr_tpu.io import bam as bamio
+    from longcallr_tpu.io.fasta import write_fasta
+    from simulate import haplotype_seq, BASES, Truth
+
+    cfg = preset("hifi-masseq").replace(min_read_length=100, threads=2)
+    L = 40000
+    ref = make_reference(rng, L)
+    truth = Truth(ref=bytes(ref))
+    # 4 isolated loci, each with 4 het SNPs (enumeration path: 4 <= 10)
+    loci = [(2000, 8000), (12000, 18000), (22000, 28000), (32000, 38000)]
+    for (s, e) in loci:
+        for j in range(4):
+            pos = s + 1000 + j * 1000
+            refb = int(ref[pos])
+            altb = int(BASES[(list(BASES).index(refb) + 1) % 4])
+            truth.het_snps[pos] = (refb, altb)
+    haps = {1: haplotype_seq(truth, ref, 1), 2: haplotype_seq(truth, ref, 2)}
+    rows = []
+    n = 0
+    for (s, e) in loci:
+        for i in range(30):
+            hap = int(rng.integers(1, 3))
+            pos = int(rng.integers(s, s + 800))
+            seq = haps[hap][pos:pos + 5000].copy()
+            errs = rng.random(len(seq)) < 0.01
+            seq[errs] = BASES[rng.integers(0, 4, size=int(errs.sum()))]
+            qn = f"e{n:04d}"
+            n += 1
+            truth.hap_of_read[qn] = hap
+            rows.append((pos, qn, seq))
+    rows.sort(key=lambda t: t[0])
+    bam_path = str(tmp_path / "en.bam")
+    with bamio.BamWriter(bam_path, ["chrS"], [L]) as w:
+        for pos, qn, seq in rows:
+            w.write_record(qname=qn, flag=0, ref_id=0, pos=pos, mapq=60,
+                           cigar=bamio.encode_cigar([(len(seq), "M")]),
+                           seq=bytes(seq), qual=np.full(len(seq), 30),
+                           tags=bamio.make_tag_bytes("de", "f", 0.001))
+    write_fasta(bam_path.replace(".bam", ".fa"), {"chrS": bytes(ref)})
+    out = run(bam_path, bam_path.replace(".bam", ".fa"), str(tmp_path / "oen"),
+              cfg, batched=True)
+    assert out.n_regions == 4
+    recs = _parse_vcf(out.vcf_path)
+    by_pos = {r["pos"] - 1: r for r in recs}
+    phased = sum(1 for p in truth.het_snps
+                 if by_pos.get(p, {}).get("sample", {}).get("GT") in ("0|1", "1|0"))
+    assert phased >= len(truth.het_snps) * 0.75, (phased, len(truth.het_snps))
+    # per-locus phase consistency vs truth (up to per-phase-set flip)
+    pb = BamFile(out.phased_bam_path)
+    per_ps = {}
+    for r in pb:
+        hp, psv = r.get_tag("HP"), r.get_tag("PS")
+        if hp is None or psv is None:
+            continue
+        per_ps.setdefault(psv, []).append((truth.hap_of_read[r.qname], hp))
+    assert len(per_ps) >= 3
+    for psv, pairs in per_ps.items():
+        agree = np.mean([t == h for t, h in pairs])
+        assert agree > 0.9 or agree < 0.1, (psv, agree)
