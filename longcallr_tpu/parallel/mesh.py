@@ -277,3 +277,118 @@ def batched_enum_cross_optimize(batch: BatchedRegions, sigma0, configs, eta0,
                 a, NamedSharding(mesh, P("regions", *([None] * (a.ndim - 1)))))
             for a in args)
     return jax.vmap(one_region)(*args)
+
+
+def sharded_cross_optimize(mesh: Mesh, with_genotype: bool = False,
+                           keep_conserved: bool = False):
+    """Full coordinate ascent for ONE giant region with the reads axis
+    sharded over the mesh's "reads" axis (the sequence-parallel analog):
+    the σ half-step is row-local, the (δ, η) half-step's column sums and
+    the convergence/objective scalars reduce with psum over ICI.
+
+    Returns a jitted fn(p, lerr, l1m, sigma0, delta0, eta0, read_base,
+    site_mask, conserved) → (sigma, delta, eta, prob) with sigma sharded
+    like the inputs and δ/η/prob replicated.
+    """
+    from ..phasing.kernels import prior_het_log, snp_q_for, snp_qs, sigma_q
+    from ..phasing.optimize import PhaseState
+
+    ax = "reads"
+
+    def local(p, lerr, l1m, sigma0, delta0, eta0, read_base, site_mask,
+              conserved):
+        exists = p != 0
+        m = site_mask[None, :] & exists
+        diff = jnp.where(m, l1m - lerr, 0.0)
+        lerr_m = jnp.where(m, lerr, 0.0)
+        dp = diff * p
+        row_b = lerr_m.sum(axis=1)
+        row_dif = diff.sum(axis=1)
+        row_cells = m.sum(axis=1)
+        rm0 = read_base & (sigma0 != 0)
+        ms = m & rm0[:, None]
+        col_b = jax.lax.psum(jnp.where(ms, lerr, 0.0).sum(axis=0), ax)
+        col_dif = jax.lax.psum(jnp.where(ms, diff, 0.0).sum(axis=0), ax)
+        col_dp = jax.lax.psum(jnp.where(ms, dp, 0.0).sum(axis=0), ax)
+        cov = jax.lax.psum(ms.sum(axis=0), ax)
+
+        def sigma_step(st):
+            u = jnp.where(st.eta == 0, st.delta, 0.0)
+            v = jnp.where(st.eta == 0, 0.0, st.eta)
+            du = dp @ u
+            dv = dp @ v
+            base = row_b + 0.5 * row_dif + 0.5 * dv
+            lp, lm = base + 0.5 * du, base - 0.5 * du
+            upd = rm0 & (row_cells > 0)
+            q, qn = sigma_q(lp, lm, st.sigma)
+            flip = upd & (q < qn)
+            new_sigma = jnp.where(flip, -st.sigma, st.sigma)
+            q_new = jnp.where(flip, qn, q)
+            inc = (jax.lax.psum(jnp.where(upd, q_new, 0.0).sum(), ax)
+                   > jax.lax.psum(jnp.where(upd, q, 0.0).sum(), ax))
+            return new_sigma, inc
+
+        def snp_step(st):
+            dts = jax.lax.psum(dp.T @ jnp.where(rm0, st.sigma, 0.0), ax)
+            base = col_b + 0.5 * col_dif
+            half = 0.5 * st.delta * dts
+            sums = (base + half, base - half, base + 0.5 * col_dp,
+                    base - 0.5 * col_dp, cov)
+            q1, q2, q3, q4 = snp_qs(*sums)
+            upd = site_mask & (cov > 0)
+            if keep_conserved:
+                upd &= ~conserved
+            if with_genotype:
+                mx = jnp.maximum(jnp.maximum(q1, q2), jnp.maximum(q3, q4))
+                pick = jnp.where(q1 == mx, 0,
+                                 jnp.where(q2 == mx, 1,
+                                           jnp.where(q3 == mx, 2, 3)))
+            else:
+                het = st.eta == 0
+                pick = jnp.where(het, jnp.where(q1 >= q2, 0, 1),
+                                 jnp.where(q3 >= q4, 2, 3))
+            new_delta = jnp.where(upd & (pick == 1), -st.delta, st.delta)
+            new_eta = jnp.where(
+                upd, jnp.where(pick <= 1, 0.0,
+                               jnp.where(pick == 2, 1.0, -1.0)), st.eta)
+            q_new = jnp.where(pick == 0, q1, jnp.where(pick == 1, q2,
+                              jnp.where(pick == 2, q3, q4)))
+            q_old = snp_q_for(*sums, st.eta)
+            inc = (jnp.where(upd, q_new, 0.0).sum()
+                   > jnp.where(upd, q_old, 0.0).sum())
+            return new_delta, new_eta, inc
+
+        def cond(carry):
+            st, it, go = carry
+            return go & (it < 21)
+
+        def body(carry):
+            st, it, _ = carry
+            sg, s_inc = sigma_step(st)
+            st = st._replace(sigma=sg)
+            dl, et, d_inc = snp_step(st)
+            st = st._replace(delta=dl, eta=et)
+            return st, it + 1, s_inc | d_inc
+
+        st0 = PhaseState(sigma0, delta0, eta0)
+        st, _, _ = jax.lax.while_loop(cond, body,
+                                      (st0, jnp.int32(0), jnp.bool_(True)))
+        # objective (matvec form), psum over shards
+        u = jnp.where(st.eta == 0, st.delta, 0.0)
+        v = jnp.where(st.eta == 0, 0.0, st.eta)
+        per_read = (row_b + 0.5 * row_dif
+                    + 0.5 * (st.sigma * (dp @ u) + (dp @ v)))
+        prob = jax.lax.psum(jnp.where(rm0, per_read, 0.0).sum(), ax)
+        return st.sigma, st.delta, st.eta, prob
+
+    spec_ki = P(ax, None)
+    spec_k = P(ax)
+    spec_i = P(None)
+    fn = shard_map(
+        local, mesh=mesh,
+        in_specs=(spec_ki, spec_ki, spec_ki, spec_k, spec_i, spec_i,
+                  spec_k, spec_i, spec_i),
+        out_specs=(spec_k, spec_i, spec_i, P()),
+        check_rep=False,
+    )
+    return jax.jit(fn)

@@ -88,3 +88,32 @@ def test_read_sharded_sums_psum(rng):
     np.testing.assert_allclose(np.asarray(s_alte),
                                np.where(m, t(-1.0), 0.0).sum(0), rtol=1e-12)
     np.testing.assert_array_equal(np.asarray(cov), m.sum(0))
+
+
+def test_sharded_cross_optimize_matches_unsharded(rng):
+    """The reads-sharded ascent converges to the same state/objective as the
+    single-device fast-kernel ascent (psum reorders f64 sums at the ulp)."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    from longcallr_tpu.parallel.mesh import sharded_cross_optimize
+    from longcallr_tpu.phasing.optimize import (PhaseState,
+                                                _cross_optimize_fast_loop)
+    mesh = make_mesh(1, 8)
+    K, I = 128, 24
+    p = rng.choice([-1, 0, 1], size=(K, I), p=[0.3, 0.4, 0.3]).astype(np.float64)
+    q = rng.integers(3, 31, size=(K, I)).astype(np.uint8)
+    ct = make_cell_tables(p.astype(np.int8), q)
+    sigma0 = jnp.asarray(np.where(rng.random(K) < 0.5, -1.0, 1.0))
+    delta0 = jnp.asarray(rng.choice([-1.0, 1.0], size=I))
+    eta0 = jnp.zeros(I, jnp.float64)
+    rb = jnp.ones(K, bool)
+    sm = jnp.ones(I, bool)
+    cons = jnp.zeros(I, bool)
+    fn = sharded_cross_optimize(mesh, with_genotype=True)
+    sg_s, dl_s, et_s, prob_s = fn(ct.p, ct.lerr, ct.l1m, sigma0, delta0,
+                                  eta0, rb, sm, cons)
+    st_u, prob_u = _cross_optimize_fast_loop(
+        ct, PhaseState(sigma0, delta0, eta0), rb, sm, cons, True, False)
+    np.testing.assert_allclose(float(prob_s), float(prob_u), rtol=1e-9)
+    assert (np.asarray(sg_s) == np.asarray(st_u.sigma)).mean() > 0.95
+    np.testing.assert_array_equal(np.asarray(dl_s), np.asarray(st_u.delta))
