@@ -23,7 +23,10 @@ from typing import NamedTuple, Optional, Tuple
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax.experimental.shard_map import shard_map
+try:
+    from jax import shard_map  # jax >= 0.8
+except ImportError:  # pragma: no cover
+    from jax.experimental.shard_map import shard_map
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..phasing.kernels import CellTables, f64
@@ -120,7 +123,7 @@ def read_sharded_snp_sums(mesh: Mesh):
         local_sums, mesh=mesh,
         in_specs=(spec_ki, spec_ki, spec_ki, spec_k, spec_k, spec_i, spec_i),
         out_specs=(spec_i,) * 5,
-        check_rep=False,
+        check_vma=False,
     )
     return jax.jit(fn)
 
@@ -389,6 +392,6 @@ def sharded_cross_optimize(mesh: Mesh, with_genotype: bool = False,
         in_specs=(spec_ki, spec_ki, spec_ki, spec_k, spec_i, spec_i,
                   spec_k, spec_i, spec_i),
         out_specs=(spec_k, spec_i, spec_i, P()),
-        check_rep=False,
+        check_vma=False,
     )
     return jax.jit(fn)

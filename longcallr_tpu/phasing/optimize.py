@@ -520,6 +520,16 @@ def _phase_region_padded(frags: FragmentMatrix, cands: CandidateSet,
                          apply_downsampling: bool) -> PhaseState:
     K0, I0 = frags.p.shape
     K, I_pad = _bucket(max(1, K0)), _bucket(max(1, I0))
+    # route giant iterative regions to the reads-sharded ascent (the
+    # sequence-parallel analog; parallel/giant.py) when a multi-device mesh
+    # exists — the reference serialises such loci on one rayon worker
+    if I0 > cfg.max_enum_snps:
+        from ..parallel.giant import GIANT_CELLS, phase_region_sharded, reads_mesh
+        if K * I_pad >= GIANT_CELLS:
+            mesh = reads_mesh()
+            if mesh is not None:
+                return phase_region_sharded(frags, cands, cfg, seed,
+                                            apply_downsampling, mesh)
     # route tiny regions to the host CPU backend (see utils/device.py)
     dev = small_problem_device(K * I_pad)
     if dev is not None:

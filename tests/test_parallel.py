@@ -157,3 +157,63 @@ def test_gather_results_identity():
     from longcallr_tpu.parallel.multihost import gather_results
     local = {3: {"vcf_lines": ["a\tb"], "n_fragments": 7}}
     assert gather_results(local) == local
+
+
+def test_phase_region_sharded_truth(tmp_path, rng, monkeypatch):
+    """Giant-region routing: with the threshold forced to 0 the iterative
+    path runs through parallel/giant.py (reads-sharded ascent on the 8-device
+    mesh); the result matches simulation truth and reruns are deterministic."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    from longcallr_tpu.config import preset
+    from longcallr_tpu.io.bam import BamFile
+    from longcallr_tpu.ops.candidates import select_candidates
+    from longcallr_tpu.parallel import giant
+    from longcallr_tpu.phasing.fragments import get_fragments
+    from longcallr_tpu.phasing.optimize import phase_region
+    from longcallr_tpu.tiles.pileup import build_pileup
+    from longcallr_tpu.tiles.regions import Region
+    from simulate import make_reference, plant_snps, simulate_bam
+
+    cfg = preset("hifi-masseq").replace(min_read_length=100)
+    ref = make_reference(rng, 9000)
+    truth = plant_snps(rng, ref, n_het=18, n_hom=0, min_gap=8000 // 19)
+    path = str(tmp_path / "giant.bam")
+    simulate_bam(path, rng, ref, truth, n_reads=80, read_len=4000,
+                 err_rate=0.01)
+    bam = BamFile(path)
+    region = Region(chr="chrS", start=1, end=len(ref) + 1)
+    pl = build_pileup(bam, region, ref, cfg)
+    cands = select_candidates(pl, cfg)
+    assert cands.n > cfg.max_enum_snps  # iterative path
+    frags = get_fragments(bam, region, cands, cfg)
+
+    calls = []
+    orig = giant.phase_region_sharded
+
+    def spy(*a, **kw):
+        calls.append(1)
+        return orig(*a, **kw)
+
+    monkeypatch.setattr(giant, "GIANT_CELLS", 0)
+    monkeypatch.setattr(giant, "phase_region_sharded", spy)
+    st = phase_region(frags, cands, cfg, seed=1)
+    assert calls, "giant routing not taken"
+
+    sig = np.sign(np.asarray(st.sigma))
+    hap_true = np.array([truth.hap_of_read[qn] for qn in frags.qnames])
+    act = sig != 0
+    same = (sig[act] == np.where(hap_true[act] == 1, 1, -1)).mean()
+    assert same > 0.9 or same < 0.1, same
+    het_pos = set(truth.het_snps)
+    delta = np.sign(np.asarray(st.delta))
+    sel = [i for i in range(cands.n)
+           if int(cands.pos[i]) in het_pos and cands.for_phasing[i]]
+    if sel:
+        d = delta[sel]
+        assert (d == d[0]).mean() > 0.85
+
+    st2 = phase_region(frags, cands, cfg, seed=1)  # deterministic rerun
+    np.testing.assert_array_equal(np.asarray(st.sigma), np.asarray(st2.sigma))
+    np.testing.assert_array_equal(np.asarray(st.delta), np.asarray(st2.delta))
+    np.testing.assert_array_equal(np.asarray(st.eta), np.asarray(st2.eta))
