@@ -46,6 +46,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--downsample", action="store_true")
     p.add_argument("--exon-only", action="store_true")
     p.add_argument("--no-bam-output", action="store_true")
+    p.add_argument("--index-output", action="store_true",
+                   help="Write a .bai index for the phased BAM output")
     p.add_argument("--get-blocks", action="store_true",
                    help="Show all regions to be processed and exit")
     p.add_argument("--resume", action="store_true",
@@ -139,6 +141,9 @@ def main(argv: Optional[List[str]] = None) -> int:
           f"{out.n_assigned_reads}/{out.n_fragments} reads haplotagged)")
     if out.phased_bam_path:
         print(f"wrote phased BAM to {out.phased_bam_path}")
+        if args.index_output:
+            from .io.bai import build_bai
+            print(f"wrote index to {build_bai(out.phased_bam_path)}")
     for k, v in out.stage_seconds.items():
         print(f"  stage {k}: {v:.2f}s")
     return 0

@@ -246,14 +246,40 @@ class BamFile:
     for vectorised filtering and region grouping.
     """
 
-    def __init__(self, path: str, threads: int = 4):
+    def __init__(self, path: str, threads: int = 4,
+                 region: Optional[Tuple[str, int, int]] = None,
+                 bai_path: Optional[str] = None):
+        """``region=(chrom, start0, end0)`` + a ``.bai`` beside the BAM (or at
+        ``bai_path``) loads ONLY the BGZF blocks covering that window (the
+        rust-htslib IndexedReader.fetch analog, util.rs:560-613); without an
+        index, or without ``region``, the whole stream is loaded."""
+        import os
+
         self.path = path
+        if region is not None:
+            bp = bai_path or path + ".bai"
+            if os.path.exists(bp) and self._load_window(path, threads,
+                                                        region, bp):
+                return
         data = decompress_file(path, threads=threads)
+        p = self._parse_header(data)
+        self._set_data(data)
+        self._records_start = p
+        self._scan_records(p)
+
+    def _set_data(self, data: bytes) -> None:
         self._data = data
         self._buf = memoryview(data)
+
+    def _parse_header(self, data: bytes) -> int:
+        """Parse magic/text/references; returns the records-start offset.
+        Raises IndexError/struct.error on a truncated prefix (the windowed
+        loader grows its read until this succeeds)."""
         if data[:4] != BAM_MAGIC:
-            raise ValueError(f"{path}: not a BAM file")
+            raise ValueError(f"{self.path}: not a BAM file")
         l_text = struct.unpack_from("<i", data, 4)[0]
+        if len(data) < 8 + l_text + 4:
+            raise IndexError("truncated header")
         self.header_text = data[8:8 + l_text].rstrip(b"\x00").decode()
         p = 8 + l_text
         n_ref = struct.unpack_from("<i", data, p)[0]
@@ -263,13 +289,85 @@ class BamFile:
         for _ in range(n_ref):
             l_name = struct.unpack_from("<i", data, p)[0]
             p += 4
+            if len(data) < p + l_name + 4:
+                raise IndexError("truncated header")
             self.references.append(data[p:p + l_name - 1].decode())
             p += l_name
             self.lengths.append(struct.unpack_from("<i", data, p)[0])
             p += 4
         self._ref_index = {name: i for i, name in enumerate(self.references)}
-        self._records_start = p
-        self._scan_records(p)
+        return p
+
+    def _load_window(self, path: str, threads: int,
+                     region: Tuple[str, int, int], bai_path: str) -> bool:
+        """BAI-guided windowed load; returns False to fall back to a full
+        load (e.g. unparsable index)."""
+        from .bai import BaiIndex
+        from .bgzf import (MAX_BLOCK_SIZE, BgzfError, _block_size_at,
+                           decompress_blocks)
+
+        try:
+            bai = BaiIndex.load(bai_path)
+        except (ValueError, OSError):
+            return False
+        with open(path, "rb") as f:
+            # header: grow the raw prefix until it parses (rarely >64 KiB)
+            raw = b""
+            need = 1 << 16
+            while True:
+                more = f.read(need - len(raw))
+                raw += more
+                spans = []
+                off = 0
+                try:
+                    while off < len(raw):
+                        b = _block_size_at(raw, off)
+                        if off + b > len(raw):
+                            break
+                        spans.append((off, b))
+                        off += b
+                except BgzfError:
+                    return False
+                head = decompress_blocks(raw, spans, threads=threads)
+                try:
+                    hdr_end = self._parse_header(head)
+                    break
+                except (IndexError, struct.error):
+                    if not more and off + MAX_BLOCK_SIZE > len(raw):
+                        return False
+                    need *= 2
+            chrom, start0, end0 = region
+            tid = self._ref_index.get(chrom)
+            span = None if tid is None else bai.chunk_span(tid, start0, end0)
+            if span is None:                      # no records in window
+                self._set_data(head[:hdr_end])
+                self._records_start = hdr_end
+                self._scan_records(hdr_end)
+                return True
+            cbeg, cend = span
+            c0, c1 = cbeg >> 16, cend >> 16
+            f.seek(c0)
+            raw = f.read(c1 - c0 + MAX_BLOCK_SIZE)
+        spans = []
+        ustarts = []
+        off, total = 0, 0
+        while off <= c1 - c0 and off < len(raw):
+            b = _block_size_at(raw, off)
+            if off + b > len(raw):
+                break
+            spans.append((off, b))
+            ustarts.append(total)
+            total += struct.unpack_from("<I", raw, off + b - 4)[0]
+            off += b
+        out = decompress_blocks(raw, spans, threads=threads)
+        tail = len(out)
+        j = next((j for j, (o, _) in enumerate(spans) if o == c1 - c0), None)
+        if j is not None:                         # cut inside cend's block
+            tail = ustarts[j] + (cend & 0xFFFF)
+        self._set_data(out[(cbeg & 0xFFFF):tail])
+        self._records_start = 0
+        self._scan_records(0)
+        return True
 
     def _scan_records(self, p: int) -> None:
         data = self._data
@@ -286,10 +384,12 @@ class BamFile:
         ncigs: List[int] = []
         lnames: List[int] = []
         unpack = _FIXED.unpack_from
-        while p + 4 <= n:
+        while p + 36 <= n:    # 4-byte block_size + 32-byte fixed prefix
             (block_size, ref_id, pos, l_read_name, mapq, _bin, n_cigar, flag,
              l_seq, _nref, _npos, _tlen) = unpack(data, p)
             rec_off = p + 4
+            if rec_off + block_size > n:          # truncated tail record
+                break
             offs.append(rec_off)
             ends.append(rec_off + block_size)
             ref_ids.append(ref_id)

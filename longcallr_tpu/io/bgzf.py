@@ -67,12 +67,19 @@ def decompress_block(data: bytes, off: int, bsize: int, check_crc: bool = False)
 
 
 def decompress_all(data: bytes, threads: int = 4, check_crc: bool = False) -> bytes:
-    """Decompress a whole BGZF byte string (e.g. an entire BAM file).
+    """Decompress a whole BGZF byte string (e.g. an entire BAM file)."""
+    return decompress_blocks(data, list(iter_block_spans(data)),
+                             threads=threads, check_crc=check_crc)
+
+
+def decompress_blocks(data: bytes, spans: List[Tuple[int, int]],
+                      threads: int = 4, check_crc: bool = False) -> bytes:
+    """Decompress an explicit list of (offset, bsize) BGZF blocks of ``data``
+    (the whole file, or a BAI-selected span of it).
 
     Uses the native multi-threaded inflater when available (zlib in C++,
     one pass, no per-block Python objects); falls back to a Python thread
     pool over blocks."""
-    spans = list(iter_block_spans(data))
     if not check_crc and len(spans) > 4:
         out = _decompress_all_native(data, spans, threads)
         if out is not None:

@@ -76,7 +76,16 @@ def run(bam_path: str, ref_path: str, output_prefix: str, cfg: CallerConfig,
     reference restarts from scratch — SURVEY.md §5)."""
     t0 = time.monotonic()
     stage: Dict[str, float] = {}
-    bam = BamFile(bam_path, threads=max(1, cfg.threads))
+    # -r chr:start-end + a .bai beside the BAM → BAI-windowed load: only the
+    # BGZF blocks covering the window are read (io/bam.py::_load_window)
+    window = None
+    if input_region is not None:
+        r = Region.parse(input_region)
+        if r.start < r.end:   # bare-contig regions load the whole stream
+            # ±1 widening covers the replicated fetch off-by-one quirk;
+            # overlap_range() does the exact filtering afterwards
+            window = (r.chr, max(0, r.start - 1), r.end)
+    bam = BamFile(bam_path, threads=max(1, cfg.threads), region=window)
     fasta = FastaFile(ref_path)
     stage["load"] = time.monotonic() - t0
 

@@ -278,7 +278,18 @@ def build_pileup(bam: BamFile, region: Region, ref_seq: np.ndarray,
     Dispatches to the C++ decoder when available; the numpy path is the
     reference implementation and the fallback."""
     start0 = region.start - 1
+    if start0 >= ref_seq.shape[0]:
+        # htslib fetch errors (→ reference panic) when beg is past the
+        # contig end; surface it as a clear error instead of a shape crash
+        raise ValueError(
+            f"region {region} starts beyond the end of {region.chr} "
+            f"({ref_seq.shape[0]} bp)")
     ref_window = ref_seq[start0:region.end - 1].copy()
+    if ref_window.shape[0] < region.end - region.start:
+        # htslib clamps a fetch end past the contig end; mirror that so the
+        # pileup tensors stay consistent with the reference window
+        from dataclasses import replace as _dc_replace
+        region = _dc_replace(region, end=region.start + ref_window.shape[0])
     acc = _empty_tensors(region, ref_window)
     # The reference passes its 1-based Region coords straight into
     # rust-htslib fetch, which interprets them as 0-based half-open
