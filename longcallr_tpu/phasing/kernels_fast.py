@@ -104,3 +104,115 @@ def fast_overall_probability(ft: FastTables, sigma, delta, eta) -> jnp.ndarray:
     dv = ft.dp @ v
     per_read = ft.row_b + 0.5 * ft.row_dif + 0.5 * (sigma * du + dv)
     return jnp.where(ft.read_mask, per_read, 0.0).sum()
+
+
+# ---------------------------------------------------------------------------
+# hi/lo f32-split mode: the Dp matvecs on the MXU
+# ---------------------------------------------------------------------------
+#
+# The TPU MXU has no f64 datapath — XLA *emulates* every f64 op in software
+# (double-float arithmetic), so the f64 matvecs above never touch the
+# systolic array. In split mode Dp is stored as an exact two-term f32 sum
+# (dp = hi + lo with hi = f32(dp), lo = f32(dp − hi); |lo| ≤ ulp(hi), so the
+# representation is f64-exact to ~2⁻⁴⁸ relative) and each matvec runs as two
+# f32 contractions — native MXU work — whose partials are combined in f64.
+# The contraction axis is chunked (F32_CHUNK) so f32 accumulation error stays
+# bounded by ~chunk·2⁻²⁴ per partial before the exact f64 chunk-sum; the
+# sigma/delta/eta operands are in {−1, 0, +1} and therefore f32-exact.
+#
+# Accuracy: sums agree with the f64 kernels to ~1e-4 absolute (vs magnitudes
+# of 1–10³), which can flip near-tie ascent decisions; the optimizer's
+# keep-best-by-objective structure makes the final states equivalent in
+# practice (equivalence-tested end to end). Opt-in: LONGCALLR_F32_KERNELS=1
+# on top of LONGCALLR_FAST_KERNELS=1.
+
+F32_CHUNK = 512
+f32 = jnp.float32
+
+
+class FastTables32(NamedTuple):
+    """FastTables with Dp in hi/lo f32-split form (vectors stay f64 — they
+    are built once per ascent call; the per-iteration matvecs are the hot
+    path)."""
+
+    dp_hi: jnp.ndarray    # [K,I] f32
+    dp_lo: jnp.ndarray    # [K,I] f32 residual (dp == hi + lo in f64)
+    row_b: jnp.ndarray
+    row_dif: jnp.ndarray
+    col_b: jnp.ndarray
+    col_dif: jnp.ndarray
+    col_dp: jnp.ndarray
+    row_cells: jnp.ndarray
+    cov: jnp.ndarray
+    read_mask: jnp.ndarray
+
+
+def split_f32(a: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    hi = a.astype(f32)
+    lo = (a - hi.astype(f64)).astype(f32)
+    return hi, lo
+
+
+def make_fast_tables32(ct: CellTables, read_mask, site_mask) -> FastTables32:
+    ft = make_fast_tables(ct, read_mask, site_mask)
+    hi, lo = split_f32(ft.dp)
+    return FastTables32(hi, lo, ft.row_b, ft.row_dif, ft.col_b, ft.col_dif,
+                        ft.col_dp, ft.row_cells, ft.cov, ft.read_mask)
+
+
+def _chunks(n: int) -> int:
+    c = min(F32_CHUNK, n)
+    while n % c:          # shapes are power-of-two padded; guard odd callers
+        c -= 1
+    return c
+
+
+def _matvec_rows(dp_hi, dp_lo, x) -> jnp.ndarray:
+    """dp @ x with I-axis-chunked f32 contractions, f64 chunk accumulation."""
+    K, I = dp_hi.shape
+    c = _chunks(I)
+    x32 = x.astype(f32).reshape(I // c, c)
+    h = dp_hi.reshape(K, I // c, c)
+    l = dp_lo.reshape(K, I // c, c)
+    ph = jnp.einsum("kjc,jc->kj", h, x32, preferred_element_type=f32)
+    pl = jnp.einsum("kjc,jc->kj", l, x32, preferred_element_type=f32)
+    return (ph.astype(f64) + pl.astype(f64)).sum(axis=1)
+
+
+def _matvec_cols(dp_hi, dp_lo, s) -> jnp.ndarray:
+    """dp.T @ s with K-axis-chunked f32 contractions, f64 accumulation."""
+    K, I = dp_hi.shape
+    c = _chunks(K)
+    s32 = s.astype(f32).reshape(K // c, c)
+    h = dp_hi.reshape(K // c, c, I)
+    l = dp_lo.reshape(K // c, c, I)
+    ph = jnp.einsum("jci,jc->ji", h, s32, preferred_element_type=f32)
+    pl = jnp.einsum("jci,jc->ji", l, s32, preferred_element_type=f32)
+    return (ph.astype(f64) + pl.astype(f64)).sum(axis=0)
+
+
+def fast_read_logliks32(ft: FastTables32, delta, eta):
+    u = jnp.where(eta == 0, delta, 0.0)
+    v = jnp.where(eta == 0, 0.0, eta)
+    du = _matvec_rows(ft.dp_hi, ft.dp_lo, u)
+    dv = _matvec_rows(ft.dp_hi, ft.dp_lo, v)
+    base = ft.row_b + 0.5 * ft.row_dif + 0.5 * dv
+    return base + 0.5 * du, base - 0.5 * du, ft.row_cells
+
+
+def fast_snp_sums32(ft: FastTables32, sigma, delta):
+    dts = _matvec_cols(ft.dp_hi, ft.dp_lo,
+                       jnp.where(ft.read_mask, sigma, 0.0))
+    base = ft.col_b + 0.5 * ft.col_dif
+    half = 0.5 * delta * dts
+    return (base + half, base - half, base + 0.5 * ft.col_dp,
+            base - 0.5 * ft.col_dp, ft.cov)
+
+
+def fast_overall_probability32(ft: FastTables32, sigma, delta, eta):
+    u = jnp.where(eta == 0, delta, 0.0)
+    v = jnp.where(eta == 0, 0.0, eta)
+    du = _matvec_rows(ft.dp_hi, ft.dp_lo, u)
+    dv = _matvec_rows(ft.dp_hi, ft.dp_lo, v)
+    per_read = ft.row_b + 0.5 * ft.row_dif + 0.5 * (sigma * du + dv)
+    return jnp.where(ft.read_mask, per_read, 0.0).sum()

@@ -136,11 +136,20 @@ def _cross_optimize_fast_loop(ct: CellTables, st: PhaseState, read_base,
     """Matvec-form ascent (see kernels_fast.py): same argmax/tie rules as the
     reference-form loop, 2 matvecs per iteration instead of ~8 full-matrix
     passes. Opt-in (summation order differs at the ulp level)."""
-    from .kernels_fast import (fast_overall_probability, fast_read_logliks,
-                               fast_snp_sums, make_fast_tables)
+    from . import kernels_fast as KF
 
     rm0 = read_base & (st.sigma != 0)
-    ft = make_fast_tables(ct, rm0, site_mask)
+    if USE_F32_KERNELS:
+        # hi/lo f32-split Dp: the matvecs run on the MXU (see kernels_fast)
+        ft = KF.make_fast_tables32(ct, rm0, site_mask)
+        fast_read_logliks = KF.fast_read_logliks32
+        fast_snp_sums = KF.fast_snp_sums32
+        fast_overall_probability = KF.fast_overall_probability32
+    else:
+        ft = KF.make_fast_tables(ct, rm0, site_mask)
+        fast_read_logliks = KF.fast_read_logliks
+        fast_snp_sums = KF.fast_snp_sums
+        fast_overall_probability = KF.fast_overall_probability
 
     def sigma_step(st):
         lp, lm, ncell = fast_read_logliks(ft, st.delta, st.eta)
@@ -205,6 +214,10 @@ def cross_optimize_fast(ct: CellTables, st: PhaseState, read_base,
 # execution-mode switch: LONGCALLR_FAST_KERNELS=1 selects the matvec-form
 # ascent everywhere (perturbation schedule, enumeration, batched buckets)
 USE_FAST_KERNELS = os.environ.get("LONGCALLR_FAST_KERNELS", "0") == "1"
+# LONGCALLR_F32_KERNELS=1 additionally runs the Dp matvecs in hi/lo f32-split
+# form on the MXU (kernels_fast.py; ~1e-4 absolute on the sums — near-tie
+# decisions may differ from the f64 spec, outputs equivalence-tested)
+USE_F32_KERNELS = os.environ.get("LONGCALLR_F32_KERNELS", "0") == "1"
 
 
 def selected_loop():

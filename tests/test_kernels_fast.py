@@ -61,3 +61,88 @@ def test_fast_cross_optimize_equivalent(rng):
     np.testing.assert_allclose(float(prob_a), float(prob_b), rtol=1e-9)
     agree = (np.asarray(st_a.sigma) == np.asarray(st_b.sigma)).mean()
     assert agree > 0.97, agree
+
+
+def test_f32_split_matvecs_accurate(rng):
+    """hi/lo split matvecs vs the f64 matvec: representation is f64-exact to
+    ~2^-48, so the only error is chunked-f32 accumulation (~1e-5 here)."""
+    from longcallr_tpu.phasing.kernels_fast import (_matvec_cols,
+                                                    _matvec_rows,
+                                                    make_fast_tables32,
+                                                    split_f32)
+    ct, sigma, delta, eta, site, rbase = _data(rng, K=600, I=96)
+    rm = rbase & (sigma != 0)
+    ft = make_fast_tables(ct, rm, site)
+    hi, lo = split_f32(ft.dp)
+    # split is an exact two-term decomposition at f64 precision
+    np.testing.assert_allclose(
+        np.asarray(hi, np.float64) + np.asarray(lo, np.float64),
+        np.asarray(ft.dp), rtol=0, atol=3e-13)
+    u = jnp.where(eta == 0, delta, 0.0)
+    want_r = np.asarray(ft.dp @ u)
+    got_r = np.asarray(_matvec_rows(hi, lo, u))
+    np.testing.assert_allclose(got_r, want_r, atol=2e-4)
+    s = jnp.where(rm, sigma, 0.0)
+    want_c = np.asarray(ft.dp.T @ s)
+    got_c = np.asarray(_matvec_cols(hi, lo, s))
+    np.testing.assert_allclose(got_c, want_c, atol=2e-4)
+    ft32 = make_fast_tables32(ct, rm, site)
+    np.testing.assert_array_equal(np.asarray(ft32.row_b),
+                                  np.asarray(ft.row_b))
+
+
+def test_f32_mode_cross_optimize_equivalent(rng, monkeypatch):
+    """Decision stability: the f32-split ascent reaches a state of the same
+    quality as the f64 ascent (objectives match to ~1e-6 relative; individual
+    near-tie flips allowed)."""
+    from longcallr_tpu.phasing import optimize as opt
+    ct, sigma, delta, eta, site, rbase = _data(rng, K=512, I=32)
+    st0 = opt.PhaseState(jnp.where(rbase, sigma, 0.0), delta, eta)
+    cons = jnp.zeros(delta.shape[0], bool)
+    st_a, prob_a = opt._cross_optimize_fast_loop(
+        ct, st0, rbase, site, cons, False, False)
+    monkeypatch.setattr(opt, "USE_F32_KERNELS", True)
+    st_b, prob_b = opt._cross_optimize_fast_loop(
+        ct, st0, rbase, site, cons, False, False)
+    np.testing.assert_allclose(float(prob_a), float(prob_b), rtol=1e-6)
+    agree = (np.asarray(st_a.sigma) == np.asarray(st_b.sigma)).mean()
+    assert agree > 0.95, agree
+    agree_d = (np.asarray(st_a.delta) == np.asarray(st_b.delta)).mean()
+    assert agree_d > 0.9, agree_d
+
+
+def test_f32_mode_phase_region_truth(tmp_path, rng, monkeypatch, request):
+    """End-to-end under LONGCALLR_F32_KERNELS: simulated truth recovered."""
+    from longcallr_tpu.config import preset
+    from longcallr_tpu.io.bam import BamFile
+    from longcallr_tpu.ops.candidates import select_candidates
+    from longcallr_tpu.phasing import optimize as opt
+    from longcallr_tpu.phasing.fragments import get_fragments
+    from longcallr_tpu.tiles.pileup import build_pileup
+    from longcallr_tpu.tiles.regions import Region
+    from simulate import make_reference, plant_snps, simulate_bam
+
+    import jax
+    monkeypatch.setattr(opt, "USE_FAST_KERNELS", True)
+    monkeypatch.setattr(opt, "USE_F32_KERNELS", True)
+    # mode flags are baked into traces at trace time: drop any executables
+    # compiled for these shapes under other modes, and drop ours afterwards
+    jax.clear_caches()
+    request.addfinalizer(jax.clear_caches)
+    cfg = preset("hifi-masseq").replace(min_read_length=100)
+    ref = make_reference(rng, 9000)
+    truth = plant_snps(rng, ref, n_het=18, n_hom=0, min_gap=8000 // 19)
+    path = str(tmp_path / "f32.bam")
+    simulate_bam(path, rng, ref, truth, n_reads=80, read_len=4000,
+                 err_rate=0.01)
+    bam = BamFile(path)
+    region = Region(chr="chrS", start=1, end=len(ref) + 1)
+    pl = build_pileup(bam, region, ref, cfg)
+    cands = select_candidates(pl, cfg)
+    frags = get_fragments(bam, region, cands, cfg)
+    st = opt.phase_region(frags, cands, cfg, seed=1)
+    sig = np.sign(np.asarray(st.sigma))
+    hap_true = np.array([truth.hap_of_read[qn] for qn in frags.qnames])
+    act = sig != 0
+    same = (sig[act] == np.where(hap_true[act] == 1, 1, -1)).mean()
+    assert same > 0.9 or same < 0.1, same
