@@ -53,6 +53,12 @@ def _declare(lib: ctypes.CDLL) -> None:
         ctypes.c_int, _f64p, _f64p,                    # min_baseq, tables
         _i32p, _i32p, _i32p, _i32p, _i32p, _i32p,      # cnt..bwd
         _i32p, _i32p, _f64p, _f64p, _i32p]             # strands, ts, sums, bqp
+    try:
+        lib.pileup_fill_mt.restype = ctypes.c_int
+        lib.pileup_fill_mt.argtypes = (list(lib.pileup_fill.argtypes)
+                                       + [ctypes.c_int])
+    except AttributeError:  # stale .so without the mt entry point
+        pass
     lib.fragment_cells.restype = ctypes.c_int
     lib.fragment_cells.argtypes = [
         _u8p, _i64p, _i64p, ctypes.c_int64,

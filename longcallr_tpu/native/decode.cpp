@@ -189,17 +189,19 @@ struct PileupOut {
     int32_t* bq_pass;    // [P*4]
 };
 
-// returns 0 ok
-int pileup_fill(const uint8_t* data, const int64_t* rec_off,
-                const int64_t* rec_end, int64_t n_reads,
-                int64_t start0, int64_t P, const uint8_t* ref_window,
-                int is_ont, int64_t dist_end, int64_t polya_len,
-                int min_baseq, const double* log_err, const double* log_1merr,
-                int32_t* cnt, int32_t* n_intron, int32_t* n_del,
-                int32_t* n_ins, int32_t* fwd, int32_t* bwd, int32_t* strands,
-                int32_t* ts_out, double* s_err, double* s_1merr,
-                int32_t* bq_pass) {
-    for (int64_t r = 0; r < n_reads; ++r) {
+// Per-read accumulation over a contiguous read range [r0, r1), writing into
+// the given output buffers. Shared by the serial and chunked entry points.
+static int pileup_fill_range(
+        const uint8_t* data, const int64_t* rec_off, const int64_t* rec_end,
+        int64_t r0, int64_t r1,
+        int64_t start0, int64_t P, const uint8_t* ref_window,
+        int is_ont, int64_t dist_end, int64_t polya_len,
+        int min_baseq, const double* log_err, const double* log_1merr,
+        int32_t* cnt, int32_t* n_intron, int32_t* n_del,
+        int32_t* n_ins, int32_t* fwd, int32_t* bwd, int32_t* strands,
+        int32_t* ts_out, double* s_err, double* s_1merr,
+        int32_t* bq_pass) {
+    for (int64_t r = r0; r < r1; ++r) {
         RecView v = view_record(data, rec_off[r], rec_end[r]);
         int strand = (v.flag & 0x10) ? 1 : 0;
         char tsc = aux_char_tag(v, 't', 's');
@@ -285,6 +287,97 @@ int pileup_fill(const uint8_t* data, const int64_t* rec_off,
             }
         }
     }
+    return 0;
+}
+
+// returns 0 ok (serial; bit-exact read-order f64 accumulation)
+int pileup_fill(const uint8_t* data, const int64_t* rec_off,
+                const int64_t* rec_end, int64_t n_reads,
+                int64_t start0, int64_t P, const uint8_t* ref_window,
+                int is_ont, int64_t dist_end, int64_t polya_len,
+                int min_baseq, const double* log_err, const double* log_1merr,
+                int32_t* cnt, int32_t* n_intron, int32_t* n_del,
+                int32_t* n_ins, int32_t* fwd, int32_t* bwd, int32_t* strands,
+                int32_t* ts_out, double* s_err, double* s_1merr,
+                int32_t* bq_pass) {
+    return pileup_fill_range(data, rec_off, rec_end, 0, n_reads, start0, P,
+                             ref_window, is_ont, dist_end, polya_len,
+                             min_baseq, log_err, log_1merr, cnt, n_intron,
+                             n_del, n_ins, fwd, bwd, strands, ts_out,
+                             s_err, s_1merr, bq_pass);
+}
+
+// Parallel pileup over FIXED 16 read-chunks with in-order reduction: the
+// result is identical for every thread count (chunk partials are combined
+// in chunk order), deterministic across runs, and differs from the serial
+// path only by f64 reassociation at the chunk boundaries (~1 ulp).
+// Chunks run in batches of n_threads, each into a private buffer set.
+int pileup_fill_mt(const uint8_t* data, const int64_t* rec_off,
+                   const int64_t* rec_end, int64_t n_reads,
+                   int64_t start0, int64_t P, const uint8_t* ref_window,
+                   int is_ont, int64_t dist_end, int64_t polya_len,
+                   int min_baseq, const double* log_err,
+                   const double* log_1merr,
+                   int32_t* cnt, int32_t* n_intron, int32_t* n_del,
+                   int32_t* n_ins, int32_t* fwd, int32_t* bwd,
+                   int32_t* strands, int32_t* ts_out, double* s_err,
+                   double* s_1merr, int32_t* bq_pass, int n_threads) {
+    const int C = 16;
+    if (n_threads <= 1 || n_reads < 2 * C || P > (1 << 20))
+        return pileup_fill_range(data, rec_off, rec_end, 0, n_reads, start0,
+                                 P, ref_window, is_ont, dist_end, polya_len,
+                                 min_baseq, log_err, log_1merr, cnt,
+                                 n_intron, n_del, n_ins, fwd, bwd, strands,
+                                 ts_out, s_err, s_1merr, bq_pass);
+    int T = std::min(n_threads, C);
+    struct Buf {
+        std::vector<int32_t> i32;  // cnt(4P) nint(P) ndel(P) nins(P) fwd(P)
+                                   // bwd(P) strands(8P) ts(2P) bq(4P)
+        std::vector<double> f64;   // s_err(4P) s_1merr(4P)
+    };
+    std::vector<Buf> bufs(T);
+    for (auto& b : bufs) { b.i32.assign(23 * P, 0); b.f64.assign(8 * P, 0.0); }
+    std::vector<int> errs(T, 0);
+    for (int k0 = 0; k0 < C; k0 += T) {
+        int nb = std::min(T, C - k0);
+        auto work = [&](int t) {
+            int k = k0 + t;
+            int64_t r0 = n_reads * k / C, r1 = n_reads * (k + 1) / C;
+            Buf& b = bufs[t];
+            std::fill(b.i32.begin(), b.i32.end(), 0);
+            std::fill(b.f64.begin(), b.f64.end(), 0.0);
+            int32_t* p32 = b.i32.data();
+            double* p64 = b.f64.data();
+            int rc = pileup_fill_range(
+                data, rec_off, rec_end, r0, r1, start0, P, ref_window,
+                is_ont, dist_end, polya_len, min_baseq, log_err, log_1merr,
+                p32, p32 + 4 * P, p32 + 5 * P, p32 + 6 * P, p32 + 7 * P,
+                p32 + 8 * P, p32 + 9 * P, p32 + 17 * P,
+                p64, p64 + 4 * P, p32 + 19 * P);
+            if (rc) errs[t] = rc;
+        };
+        std::vector<std::thread> ts;
+        for (int t = 0; t < nb; ++t) ts.emplace_back(work, t);
+        for (auto& th : ts) th.join();
+        for (int t = 0; t < nb; ++t) {       // reduce in chunk order
+            const int32_t* p32 = bufs[t].i32.data();
+            const double* p64 = bufs[t].f64.data();
+            for (int64_t j = 0; j < 4 * P; ++j) cnt[j] += p32[j];
+            for (int64_t j = 0; j < P; ++j) {
+                n_intron[j] += p32[4 * P + j];
+                n_del[j] += p32[5 * P + j];
+                n_ins[j] += p32[6 * P + j];
+                fwd[j] += p32[7 * P + j];
+                bwd[j] += p32[8 * P + j];
+            }
+            for (int64_t j = 0; j < 8 * P; ++j) strands[j] += p32[9 * P + j];
+            for (int64_t j = 0; j < 2 * P; ++j) ts_out[j] += p32[17 * P + j];
+            for (int64_t j = 0; j < 4 * P; ++j) bq_pass[j] += p32[19 * P + j];
+            for (int64_t j = 0; j < 4 * P; ++j) s_err[j] += p64[j];
+            for (int64_t j = 0; j < 4 * P; ++j) s_1merr[j] += p64[4 * P + j];
+        }
+    }
+    for (int e : errs) if (e) return e;
     return 0;
 }
 

@@ -318,27 +318,40 @@ def assign_phase_set(frags: FragmentMatrix, cands: CandidateSet,
         if ra != rb:
             parent[max(ra, rb)] = min(ra, rb)
 
-    # edges: per active frag, consistent ordered node pairs (snpfrags.rs:674-693)
+    # edges: per active frag, consistent node pairs (snpfrags.rs:674-693).
+    # Vectorised: flatten active reads' node cells, generate the unordered
+    # pairs grouped by per-read cell count, filter by hap-product consistency;
+    # unions run over the (small) set of unique consistent pairs. A read's PS
+    # comes from its lexicographically smallest consistent pair — identical
+    # to the loop form's sorted-edge, first-wins traversal.
     hap = cands.haplotype.astype(np.int64)
-    edge_frags: Dict[Tuple[int, int], List[int]] = {}
     active = np.nonzero(frags.for_phasing & (frags.assignment != 0))[0]
-    for k in active.tolist():
-        cols = np.nonzero((frags.p[k] != 0) & node_mask)[0]
-        if cols.size == 1:
-            i = int(cols[0])
-            edge_frags.setdefault((i, i), []).append(k)  # self loop
-        elif cols.size >= 2:
-            pvals = frags.p[k, cols].astype(np.int64)
-            for a in range(cols.size):
-                for b in range(cols.size):
-                    if a == b:
-                        continue
-                    i, j = int(cols[a]), int(cols[b])
-                    if hap[i] * hap[j] != pvals[a] * pvals[b]:
-                        continue
-                    union(i, j)
-                    key = (i, j) if i < j else (j, i)
-                    edge_frags.setdefault(key, []).append(k)
+    cellm = (frags.p[active] != 0) & node_mask[None, :]
+    kk, ii = np.nonzero(cellm)                  # row-major: grouped by read
+    pv = frags.p[active[kk], ii].astype(np.int64)
+    counts = cellm.sum(axis=1)
+    offs = np.concatenate([[0], np.cumsum(counts)])
+    read_key = np.full(len(active), np.iinfo(np.int64).max, np.int64)
+    self_rows = np.nonzero(counts == 1)[0]
+    read_key[self_rows] = ii[offs[self_rows]] * np.int64(I) + ii[offs[self_rows]]
+    pair_chunks = []
+    from .fragments import _triu_cached
+    for m in np.unique(counts):
+        if m < 2:
+            continue
+        rows = np.nonzero(counts == m)[0]
+        idx = offs[rows][:, None] + np.arange(m)[None, :]     # [R, m]
+        C = ii[idx].astype(np.int64)
+        Pm = pv[idx]
+        ia, ib = _triu_cached(int(m))
+        ci, cj = C[:, ia], C[:, ib]                           # i < j per read
+        cons = hap[ci] * hap[cj] == Pm[:, ia] * Pm[:, ib]
+        keys = np.where(cons, ci * I + cj, np.iinfo(np.int64).max)
+        np.minimum.at(read_key, np.repeat(rows, ia.size), keys.ravel())
+        pair_chunks.append(np.unique(keys[cons]))
+    if pair_chunks:
+        for key in np.unique(np.concatenate(pair_chunks)).tolist():
+            union(key // I, key % I)
     # components → PS id = 1-based pos of smallest-position member
     comp_nodes: Dict[int, List[int]] = {}
     for i in nodes.tolist():
@@ -349,8 +362,9 @@ def assign_phase_set(frags: FragmentMatrix, cands: CandidateSet,
         for i in members:
             cands.phase_set[i] = ps_id
             node_ps[i] = ps_id
-    for (i, j), ks in sorted(edge_frags.items()):
-        ps_id = node_ps[i]
-        for k in ks:
-            phase_sets.setdefault(frags.qnames[k], ps_id)
+    # reads in (smallest consistent pair, read index) order, first-wins
+    tagged = np.nonzero(read_key != np.iinfo(np.int64).max)[0]
+    for r in tagged[np.argsort(read_key[tagged], kind="stable")].tolist():
+        phase_sets.setdefault(frags.qnames[int(active[r])],
+                              node_ps[int(read_key[r]) // I])
     return phase_sets

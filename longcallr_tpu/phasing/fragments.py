@@ -26,6 +26,7 @@ no live code path consumes them — not materialised here.
 from __future__ import annotations
 
 from dataclasses import dataclass, field
+from functools import lru_cache
 from typing import Dict, List, Optional, Tuple
 
 import numpy as np
@@ -180,6 +181,13 @@ def _extract_cells(bam: BamFile, eligible: List[int], cands: CandidateSet,
     return out
 
 
+@lru_cache(maxsize=256)
+def _triu_cached(m: int):
+    """Upper-triangle pair indices, cached per size (the per-read pair loop
+    re-requests the same handful of sizes thousands of times)."""
+    return np.triu_indices(m, k=1)
+
+
 def get_fragments(bam: BamFile, region: Region, cands: CandidateSet,
                   cfg: CallerConfig, use_native: bool = True) -> FragmentMatrix:
     """Second BAM pass: build the fragment matrix for one region."""
@@ -230,7 +238,7 @@ def get_fragments(bam: BamFile, region: Region, cands: CandidateSet,
         lp = (1 - p[ld_ok].astype(np.int64)) // 2  # ref→0, alt→1
         m = len(li)
         if m >= 2:
-            ia, ib = np.triu_indices(m, k=1)
+            ia, ib = _triu_cached(m)
             # candidate indices are ascending within a read already
             pair_keys.append(li[ia] * I4 + li[ib] * 4 + lp[ia] * 2 + lp[ib])
         rows_i.append(ci)

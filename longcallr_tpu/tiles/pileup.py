@@ -36,6 +36,11 @@ from ..config import CallerConfig, MAX_BASE_QUALITY
 from ..io.bam import BamFile, BamRead
 from .regions import Region
 
+import os as _os
+
+# read count above which the native pileup uses the chunk-parallel fill
+PILEUP_MT_MIN = int(_os.environ.get("LONGCALLR_PILEUP_MT_MIN", "1024"))
+
 # CIGAR op codes
 _M, _I, _D, _N, _S, _H, _P, _EQ, _X = range(9)
 
@@ -328,7 +333,7 @@ def _native_pileup_fill(nlib, bam: BamFile, eligible: List[int],
     i64p = ctypes.POINTER(ctypes.c_int64)
     i32p = ctypes.POINTER(ctypes.c_int32)
     f64p = ctypes.POINTER(ctypes.c_double)
-    rc = nlib.pileup_fill(
+    args = (
         as_ptr(data, u8p), as_ptr(rec_off, i64p), as_ptr(rec_end, i64p),
         len(eligible), start0, acc.length, as_ptr(acc.ref_base, u8p),
         1 if cfg.is_ont else 0, cfg.distance_to_read_end,
@@ -340,5 +345,14 @@ def _native_pileup_fill(nlib, bam: BamFile, eligible: List[int],
         as_ptr(acc.strands, i32p), as_ptr(acc.ts, i32p),
         as_ptr(acc.s_err, f64p), as_ptr(acc.s_1merr, f64p),
         as_ptr(acc.bq_pass, i32p))
+    # chunk-parallel fill when the read count justifies it: 16 fixed chunks
+    # reduced in order — identical result for any thread count, ~1 ulp f64
+    # reassociation vs the serial read-order accumulation (the spec path)
+    nt = max(1, cfg.threads)
+    if (nt > 1 and len(eligible) >= PILEUP_MT_MIN
+            and hasattr(nlib, "pileup_fill_mt")):
+        rc = nlib.pileup_fill_mt(*args, nt)
+    else:
+        rc = nlib.pileup_fill(*args)
     if rc != 0:
         raise RuntimeError(f"native pileup_fill failed: rc={rc}")

@@ -80,3 +80,40 @@ def test_native_demo_region(demo_bam_path):
     a = build_pileup(bam, sub, ref, cfg, use_native=True)
     b = build_pileup(bam, sub, ref, cfg, use_native=False)
     _cmp_pileup(a, b)
+
+
+def test_native_pileup_mt_matches_serial(tmp_path, rng, monkeypatch):
+    """Chunk-parallel pileup: int tensors exactly equal the serial fill,
+    f64 log-qual sums within reassociation tolerance, and the result is
+    identical for every thread count (fixed 16-chunk in-order reduction)."""
+    if not native.available() or not hasattr(native.lib(), "pileup_fill_mt"):
+        pytest.skip("native mt not available")
+    from longcallr_tpu.tiles import pileup as PL
+    cfg = preset("hifi-masseq").replace(min_read_length=100, threads=4)
+    ref = make_reference(rng, 12000)
+    truth = plant_snps(rng, ref, n_het=6, n_hom=1, min_gap=1500)
+    path = str(tmp_path / "mt.bam")
+    simulate_bam(path, rng, ref, truth, n_reads=300, read_len=3000,
+                 err_rate=0.01)
+    bam = BamFile(path)
+    region = Region(chr="chrS", start=1, end=len(ref) + 1)
+    serial = build_pileup(bam, region, ref, cfg.replace(threads=1))
+    monkeypatch.setattr(PL, "PILEUP_MT_MIN", 1)
+    outs = {}
+    for th in (2, 4, 7):
+        outs[th] = build_pileup(bam, region, ref, cfg.replace(threads=th))
+    for th, mt in outs.items():
+        for f in ("cnt", "n_intron", "n_del", "n_ins", "fwd", "bwd",
+                  "strands", "ts", "bq_pass"):
+            np.testing.assert_array_equal(getattr(mt, f), getattr(serial, f),
+                                          err_msg=f"{f}@t{th}")
+        np.testing.assert_allclose(mt.s_err, serial.s_err, rtol=1e-12,
+                                   err_msg=f"s_err@t{th}")
+        np.testing.assert_allclose(mt.s_1merr, serial.s_1merr, rtol=1e-12,
+                                   err_msg=f"s_1merr@t{th}")
+    # thread-count invariance must be EXACT (same chunking, same order)
+    for f in ("s_err", "s_1merr"):
+        np.testing.assert_array_equal(getattr(outs[2], f),
+                                      getattr(outs[4], f), err_msg=f)
+        np.testing.assert_array_equal(getattr(outs[4], f),
+                                      getattr(outs[7], f), err_msg=f)
