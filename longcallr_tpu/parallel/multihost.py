@@ -3,16 +3,19 @@
 The reference's "distributed backend" is a rayon thread pool in one address
 space (thread.rs:52-77). Here a pod-slice run is N JAX processes
 (``jax.distributed.initialize`` over DCN): every host discovers the same
-region list deterministically, takes its shard (size-balanced round robin),
-runs the region pipeline against its local BAM copy, and the per-region
-results — tiny relative to compute — are gathered to every process with
-``process_allgather`` over the device mesh; process 0 serialises the VCF and
-phased BAM in contig order, mirroring the reference's serial writer
-(thread.rs:224-361).
+region list deterministically, takes its shard (size-balanced LPT), runs the
+region pipeline against its local BAM copy, and the per-region results —
+tiny relative to compute — are gathered to every process with
+``process_allgather`` over the device mesh; process 0 retries any regions a
+peer failed to deliver (regions are stateless, idempotent work units) and
+serialises the VCF and phased BAM in contig order, mirroring the reference's
+serial writer (thread.rs:224-361).
 
 Degenerates to the single-process pipeline when ``jax.process_count() == 1``
-(which is how it is exercised in tests; real pods only add the
-``jax.distributed.initialize`` call).
+(real pods only add the ``jax.distributed.initialize`` call). The shard and
+serialisation stages are plain functions (``run_local_shard``,
+``serialize_outputs``) so the multi-process data path is exercised in
+single-process tests by faking the shard split.
 """
 
 from __future__ import annotations
@@ -84,17 +87,134 @@ def gather_results(local: Dict[int, dict]) -> Dict[int, dict]:
     return merged
 
 
+def run_local_shard(bam, fasta, regions: Sequence[Region],
+                    mine: Sequence[int], cfg: CallerConfig
+                    ) -> Tuple[Dict[int, dict], List[int]]:
+    """Process this host's region shard with the batched device driver.
+    Returns (region index → result payload, failed region indices);
+    failures are isolated per region, never fatal to the shard."""
+    from ..phasing.batch_driver import phase_regions_batched
+    from ..pipeline.engine import finalize_region, prepare_region
+
+    local: Dict[int, dict] = {}
+    items, item_idx = [], []
+    prepared = {}
+    failed: List[int] = []
+    for i in mine:
+        reg = regions[i]
+        try:
+            ref_seq = fasta.fetch(reg.chr)
+            cands, frags, apply_ds = prepare_region(bam, reg, ref_seq, cfg)
+        except Exception:
+            failed.append(i)
+            continue
+        prepared[i] = (cands, frags, apply_ds)
+        if cands.n > 0 and frags.n_frags > 0:
+            items.append((frags, cands, reg.start, apply_ds))
+            item_idx.append(i)
+    states = phase_regions_batched(items, cfg)
+    st_by = {item_idx[j]: states[j] for j in range(len(item_idx))}
+    for i in mine:
+        if i not in prepared:
+            continue
+        cands, frags, apply_ds = prepared[i]
+        try:
+            res = finalize_region(regions[i], cands, frags, st_by.get(i), cfg,
+                                  apply_ds)
+        except Exception:
+            failed.append(i)
+            continue
+        local[i] = dict(vcf_lines=res.vcf_lines,
+                        read_assignments=res.read_assignments,
+                        phase_sets=res.phase_sets,
+                        n_fragments=res.n_fragments,
+                        n_candidates=res.n_candidates)
+    return local, failed
+
+
+def serialize_outputs(bam, fasta, regions: Sequence[Region],
+                      merged: Dict[int, dict], cfg: CallerConfig,
+                      output_prefix: str) -> dict:
+    """Process-0 output stage: retry regions missing from the gathered
+    results (peer crash / local failure — stateless re-run), then write the
+    VCF and phased BAM in contig order (thread.rs:224-361)."""
+    from ..io.vcf import write_vcf_header
+    from ..pipeline.engine import process_region
+
+    missing = [i for i in range(len(regions)) if i not in merged]
+    n_retried = len(missing)
+    for i in missing:
+        try:
+            reg = regions[i]
+            res = process_region(bam, reg, fasta.fetch(reg.chr), cfg)
+            merged[i] = dict(vcf_lines=res.vcf_lines,
+                             read_assignments=res.read_assignments,
+                             phase_sets=res.phase_sets,
+                             n_fragments=res.n_fragments,
+                             n_candidates=res.n_candidates)
+        except Exception:
+            continue  # genuinely poisoned region: skip, keep the run
+
+    order = {c: i for i, (c, _) in enumerate(fasta.contig_lengths)}
+    idx_sorted = sorted(range(len(regions)),
+                        key=lambda i: (order.get(regions[i].chr, 1 << 30),
+                                       regions[i].start))
+    vcf_path = output_prefix + ".vcf"
+    with open(vcf_path, "w") as vf:
+        write_vcf_header(vf, fasta.contig_lengths)
+        for i in idx_sorted:
+            for line in merged.get(i, {}).get("vcf_lines", []):
+                vf.write(line + "\n")
+
+    # phased BAM (thread.rs:307-361): first-wins merges over the gathered
+    # per-region assignments, raw record pass-through + appended HP/PS tags
+    phased_bam_path = None
+    if not cfg.no_bam_output:
+        from ..io.bam import (FLAG_SECONDARY, FLAG_SUPPLEMENTARY,
+                              FLAG_UNMAPPED, BamWriter, make_tag_bytes)
+        read_assignments: Dict[str, int] = {}
+        read_phasesets: Dict[str, int] = {}
+        for i in idx_sorted:
+            res = merged.get(i, {})
+            for k, v in res.get("read_assignments", {}).items():
+                read_assignments.setdefault(k, v)
+            for k, v in res.get("phase_sets", {}).items():
+                read_phasesets.setdefault(k, v)
+        bad = FLAG_UNMAPPED | FLAG_SECONDARY | FLAG_SUPPLEMENTARY
+        phased_bam_path = output_prefix + ".phased.bam"
+        with BamWriter(phased_bam_path, bam.references, bam.lengths,
+                       header_text=bam.header_text,
+                       threads=max(1, cfg.threads)) as w:
+            for i in idx_sorted:
+                reg = regions[i]
+                lo, hi, omask = bam.overlap_range(reg.chr, reg.start, reg.end)
+                keep = (omask & ((bam.flag[lo:hi] & bad) == 0)
+                        & (bam.pos[lo:hi] + 1 >= reg.start)
+                        & (bam.ref_end[lo:hi] + 1 <= reg.end))
+                for ridx in (lo + np.nonzero(keep)[0]).tolist():
+                    r = bam.read(ridx)
+                    tags = b""
+                    asg = read_assignments.get(r.qname)
+                    if asg is not None and asg != 0:
+                        tags += make_tag_bytes("HP", "i", asg)
+                    ps = read_phasesets.get(r.qname)
+                    if ps is not None:
+                        tags += make_tag_bytes("PS", "i", ps)
+                    w.write_raw(r.raw_record(), extra_tags=tags)
+    return {"process": 0, "vcf_path": vcf_path,
+            "phased_bam_path": phased_bam_path, "n_regions": len(regions),
+            "n_retried": n_retried}
+
+
 def run_multihost(bam_path: str, ref_path: str, output_prefix: str,
                   cfg: CallerConfig, **run_kwargs):
     """Pod-slice caller: shard regions across processes, gather, and let
-    process 0 write the outputs. Returns CallerOutputs on process 0 and a
-    summary dict elsewhere."""
+    process 0 write the outputs. Returns CallerOutputs on a single process,
+    the serialisation summary on process 0 of a pod, and a shard summary on
+    other processes."""
     from ..io.bam import BamFile
     from ..io.fasta import FastaFile
-    from ..io.vcf import write_vcf_header
     from ..pipeline.caller import build_regions, run
-    from ..pipeline.engine import RegionResult, prepare_region, finalize_region
-    from ..phasing.batch_driver import phase_regions_batched
 
     pid = jax.process_index()
     n_proc = jax.process_count()
@@ -108,42 +228,9 @@ def run_multihost(bam_path: str, ref_path: str, output_prefix: str,
         run_kwargs.get("contigs"), run_kwargs.get("anno_path"))
     mine = shard_regions(regions, n_proc, pid)
 
-    local: Dict[int, dict] = {}
-    items, item_idx = [], []
-    prepared = {}
-    for i in mine:
-        reg = regions[i]
-        ref_seq = fasta.fetch(reg.chr)
-        cands, frags, apply_ds = prepare_region(bam, reg, ref_seq, cfg)
-        prepared[i] = (cands, frags, apply_ds)
-        if cands.n > 0 and frags.n_frags > 0:
-            items.append((frags, cands, reg.start, apply_ds))
-            item_idx.append(i)
-    states = phase_regions_batched(items, cfg)
-    st_by = {item_idx[j]: states[j] for j in range(len(item_idx))}
-    for i in mine:
-        cands, frags, apply_ds = prepared[i]
-        res = finalize_region(regions[i], cands, frags, st_by.get(i), cfg,
-                              apply_ds)
-        local[i] = dict(vcf_lines=res.vcf_lines,
-                        read_assignments=res.read_assignments,
-                        phase_sets=res.phase_sets,
-                        n_fragments=res.n_fragments,
-                        n_candidates=res.n_candidates)
-
+    local, failed = run_local_shard(bam, fasta, regions, mine, cfg)
     merged = gather_results(local)
     if pid != 0:
-        return {"process": pid, "n_regions_local": len(mine)}
-
-    # process 0: contig-ordered serialisation (thread.rs:224-361)
-    order = {c: i for i, (c, _) in enumerate(fasta.contig_lengths)}
-    idx_sorted = sorted(range(len(regions)),
-                        key=lambda i: (order.get(regions[i].chr, 1 << 30),
-                                       regions[i].start))
-    vcf_path = output_prefix + ".vcf"
-    with open(vcf_path, "w") as vf:
-        write_vcf_header(vf, fasta.contig_lengths)
-        for i in idx_sorted:
-            for line in merged.get(i, {}).get("vcf_lines", []):
-                vf.write(line + "\n")
-    return {"process": 0, "vcf_path": vcf_path, "n_regions": len(regions)}
+        return {"process": pid, "n_regions_local": len(mine),
+                "n_failed_local": len(failed)}
+    return serialize_outputs(bam, fasta, regions, merged, cfg, output_prefix)

@@ -55,11 +55,22 @@ def setup_compile_cache(cache_root: Optional[str] = None) -> None:
         cpuinfo = ""
         try:
             with open("/proc/cpuinfo") as f:
-                cpuinfo = f.read()[:4000]
+                raw = f.read()
+            # model name + ALL flags lines (the feature sets XLA bakes into
+            # CPU AOT artifacts; a truncated prefix once collided across
+            # driver hosts and tripped the loader's SIGILL warning)
+            cpuinfo = "\n".join(l for l in raw.splitlines()
+                                if l.startswith(("model name", "flags")))
         except OSError:
             pass
+        ver = ""
+        try:
+            import jaxlib
+            ver = jax.__version__ + getattr(jaxlib, "__version__", "")
+        except Exception:
+            ver = jax.__version__
         fp = hashlib.sha1(
-            (_plat.machine() + _plat.processor() + cpuinfo).encode()
+            (_plat.machine() + _plat.processor() + cpuinfo + ver).encode()
         ).hexdigest()[:12]
         path = os.path.join(base, f"jax_cache_{fp}")
         os.makedirs(path, exist_ok=True)

@@ -217,3 +217,64 @@ def test_phase_region_sharded_truth(tmp_path, rng, monkeypatch):
     np.testing.assert_array_equal(np.asarray(st.sigma), np.asarray(st2.sigma))
     np.testing.assert_array_equal(np.asarray(st.delta), np.asarray(st2.delta))
     np.testing.assert_array_equal(np.asarray(st.eta), np.asarray(st2.eta))
+
+
+def test_multihost_shard_merge_retry(tmp_path, rng):
+    """Fake a 2-process split in one process: run both shards through
+    run_local_shard, drop one region from the merge (simulated peer crash),
+    and let serialize_outputs retry it — the VCF and phased BAM must equal
+    the single-process pipeline's outputs."""
+    from longcallr_tpu.config import preset
+    from longcallr_tpu.io.bam import BamFile
+    from longcallr_tpu.io.fasta import FastaFile
+    from longcallr_tpu.parallel.multihost import (run_local_shard,
+                                                  serialize_outputs,
+                                                  shard_regions)
+    from longcallr_tpu.pipeline.caller import build_regions, run
+    from simulate import make_reference, plant_snps, simulate_bam
+
+    cfg = preset("hifi-masseq").replace(min_read_length=100)
+    # two separated loci → two regions
+    ref = make_reference(rng, 16000)
+    truth = plant_snps(rng, ref, n_het=6, n_hom=1, min_gap=1800)
+    bam_path = str(tmp_path / "mh2.bam")
+    rng2 = np.random.default_rng(7)
+    # reads over two windows with a gap between
+    from simulate import simulate_bam as _sim
+    _sim(bam_path, rng, ref, truth, n_reads=60, read_len=3000, err_rate=0.01)
+    fa = bam_path.replace(".bam", ".fa")
+
+    single = run(bam_path, fa, str(tmp_path / "single"), cfg)
+
+    bam = BamFile(bam_path)
+    fasta = FastaFile(fa)
+    regions, _ = build_regions(bam, fasta, cfg)
+    assert regions
+    sh0 = shard_regions(regions, 2, 0)
+    sh1 = shard_regions(regions, 2, 1)
+    loc0, f0 = run_local_shard(bam, fasta, regions, sh0, cfg)
+    loc1, f1 = run_local_shard(bam, fasta, regions, sh1, cfg)
+    assert not f0 and not f1
+    merged = {**loc0, **loc1}
+    # simulated peer crash: one region's payload never arrives
+    dropped = sorted(merged)[0]
+    del merged[dropped]
+    out = serialize_outputs(bam, fasta, regions, merged, cfg,
+                            str(tmp_path / "pod"))
+    assert out["n_retried"] == 1
+    with open(out["vcf_path"]) as f:
+        pod_vcf = f.read()
+    with open(single.vcf_path) as f:
+        single_vcf = f.read()
+    assert pod_vcf == single_vcf
+    # phased BAMs: same reads, same HP/PS tags
+    pb = BamFile(out["phased_bam_path"])
+    sb = BamFile(single.phased_bam_path)
+    assert pb.n_records == sb.n_records
+    tags_p = {pb.read(i).qname: (pb.read(i).get_tag("HP"),
+                                 pb.read(i).get_tag("PS"))
+              for i in range(pb.n_records)}
+    tags_s = {sb.read(i).qname: (sb.read(i).get_tag("HP"),
+                                 sb.read(i).get_tag("PS"))
+              for i in range(sb.n_records)}
+    assert tags_p == tags_s
