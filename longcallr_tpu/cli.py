@@ -54,6 +54,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="Keep a region checkpoint and skip completed regions")
     p.add_argument("--batched", action="store_true",
                    help="Bucketed multi-region device phasing (TPU scaling path)")
+    p.add_argument("--stream", action="store_true",
+                   help="Whole-genome mode: one contig resident at a time "
+                        "(needs a .bai next to the BAM)")
     p.add_argument("--somatic", action="store_true",
                    help="Enable somatic-by-het detection (off in the reference)")
     p.add_argument("--profile-dir", default=None,
@@ -124,18 +127,25 @@ def main(argv: Optional[List[str]] = None) -> int:
               file=sys.stderr)
         return 2
 
+    if args.stream:
+        from .pipeline.caller import run_streaming
+        if args.region or args.input_vcf or args.annotation:
+            print("error: --stream supports only -x contig restriction "
+                  "(not -r/-v/-a)", file=sys.stderr)
+            return 2
+        go = lambda: run_streaming(args.bam_path, args.ref_path, args.output,
+                                   cfg, contigs=args.contigs)
+    else:
+        go = lambda: run(args.bam_path, args.ref_path, args.output, cfg,
+                         input_vcf=args.input_vcf, input_region=args.region,
+                         contigs=args.contigs, anno_path=args.annotation,
+                         resume=args.resume, batched=args.batched)
     if args.profile_dir:
         import jax
         with jax.profiler.trace(args.profile_dir):
-            out = run(args.bam_path, args.ref_path, args.output, cfg,
-                      input_vcf=args.input_vcf, input_region=args.region,
-                      contigs=args.contigs, anno_path=args.annotation,
-                      resume=args.resume, batched=args.batched)
+            out = go()
     else:
-        out = run(args.bam_path, args.ref_path, args.output, cfg,
-                  input_vcf=args.input_vcf, input_region=args.region,
-                  contigs=args.contigs, anno_path=args.annotation,
-                  resume=args.resume, batched=args.batched)
+        out = go()
     print(f"wrote {out.n_records} records to {out.vcf_path} "
           f"({out.n_phased_sites} phased sites, {out.n_candidates} candidates, "
           f"{out.n_assigned_reads}/{out.n_fragments} reads haplotagged)")

@@ -102,6 +102,11 @@ class FastaFile:
         self._cache[ck] = seq
         return seq
 
+    def evict(self, contig: str) -> None:
+        """Drop a contig from the process-global cache (streaming mode keeps
+        at most one contig resident)."""
+        self._cache.pop(self._key + (contig,), None)
+
 
 def write_fasta(path: str, contigs: Dict[str, bytes], line_width: int = 60) -> None:
     """Write a FASTA plus its .fai index (test fixtures / consensus refs)."""

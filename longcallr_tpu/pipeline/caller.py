@@ -206,6 +206,117 @@ def run(bam_path: str, ref_path: str, output_prefix: str, cfg: CallerConfig,
                          n_candidates=sum(r.n_candidates for _, r in results_sorted))
 
 
+def run_streaming(bam_path: str, ref_path: str, output_prefix: str,
+                  cfg: CallerConfig,
+                  contigs: Optional[Sequence[str]] = None) -> CallerOutputs:
+    """Whole-genome mode: one contig resident at a time.
+
+    Requires a ``.bai``: each contig's records are loaded with a BAI-windowed
+    read (io/bam.py::_load_window), regions are discovered and processed for
+    that contig, its VCF lines and phased records are written out, and the
+    window + reference contig are released before the next one. Peak memory
+    is one contig's reads + reference instead of the whole BAM (the
+    reference binary holds rust-htslib windows per rayon task but keeps the
+    whole run's outputs in memory; thread.rs:224-361)."""
+    import os
+
+    t0 = time.monotonic()
+    stage: Dict[str, float] = {}
+    if not os.path.exists(bam_path + ".bai"):
+        raise ValueError(
+            f"streaming mode needs a BAM index: {bam_path}.bai not found "
+            "(build one with longcallr_tpu.io.bai.build_bai)")
+    fasta = FastaFile(ref_path)
+    vcf_path = output_prefix + ".vcf"
+    phased_bam_path = (None if cfg.no_bam_output
+                       else output_prefix + ".phased.bam")
+    writer = None
+    n_regions_total = n_records = n_phased = n_tagged = 0
+    n_assigned = n_frag_total = n_cand_total = 0
+    from ..io.bam import (FLAG_SECONDARY, FLAG_SUPPLEMENTARY, FLAG_UNMAPPED,
+                          make_tag_bytes)
+    bad = FLAG_UNMAPPED | FLAG_SECONDARY | FLAG_SUPPLEMENTARY
+    try:
+        with open(vcf_path, "w") as vf:
+            write_vcf_header(vf, fasta.contig_lengths)
+            for chrom, clen in fasta.contig_lengths:
+                if contigs and chrom not in contigs:
+                    continue
+                win = BamFile(bam_path, threads=max(1, cfg.threads),
+                              region=(chrom, 0, clen))
+                if win.n_records == 0:
+                    continue
+                if writer is None and phased_bam_path:
+                    writer = BamWriter(phased_bam_path, win.references,
+                                       win.lengths,
+                                       header_text=win.header_text,
+                                       threads=max(1, cfg.threads))
+                regions = extract_isolated_regions_parallel(
+                    win, [(chrom, clen)], cfg, contigs=[chrom])
+                n_regions_total += len(regions)
+                ref_seq = fasta.fetch(chrom)
+
+                def work(reg: Region) -> RegionResult:
+                    return process_region(win, reg, ref_seq, cfg)
+
+                if cfg.threads > 1 and len(regions) > 1:
+                    with ThreadPoolExecutor(max_workers=cfg.threads) as ex:
+                        results = list(ex.map(work, regions))
+                else:
+                    results = [work(r) for r in regions]
+
+                for res in results:
+                    n_frag_total += res.n_fragments
+                    n_cand_total += res.n_candidates
+                    n_assigned += sum(1 for v in
+                                      res.read_assignments.values() if v != 0)
+                    for line in res.vcf_lines:
+                        vf.write(line + "\n")
+                        n_records += 1
+                        gt = line.split("\t")[9].split(":", 1)[0]
+                        if gt in ("0|1", "1|0"):
+                            n_phased += 1
+                if writer is not None:
+                    read_assignments: Dict[str, int] = {}
+                    read_phasesets: Dict[str, int] = {}
+                    for res in results:
+                        for k, v in res.read_assignments.items():
+                            read_assignments.setdefault(k, v)
+                        for k, v in res.phase_sets.items():
+                            read_phasesets.setdefault(k, v)
+                    for reg in regions:
+                        lo, hi, omask = win.overlap_range(
+                            reg.chr, reg.start, reg.end)
+                        keep = (omask & ((win.flag[lo:hi] & bad) == 0)
+                                & (win.pos[lo:hi] + 1 >= reg.start)
+                                & (win.ref_end[lo:hi] + 1 <= reg.end))
+                        for ridx in (lo + np.nonzero(keep)[0]).tolist():
+                            r = win.read(ridx)
+                            tags = b""
+                            asg = read_assignments.get(r.qname)
+                            if asg is not None and asg != 0:
+                                tags += make_tag_bytes("HP", "i", asg)
+                            ps = read_phasesets.get(r.qname)
+                            if ps is not None:
+                                tags += make_tag_bytes("PS", "i", ps)
+                            w = writer
+                            w.write_raw(r.raw_record(), extra_tags=tags)
+                            n_tagged += 1
+                del win
+                fasta.evict(chrom)
+    finally:
+        if writer is not None:
+            writer.close()
+    if writer is None:
+        phased_bam_path = None      # no records anywhere → no BAM written
+    stage["total"] = time.monotonic() - t0
+    return CallerOutputs(vcf_path=vcf_path, phased_bam_path=phased_bam_path,
+                         n_regions=n_regions_total, n_records=n_records,
+                         n_reads_tagged=n_tagged, stage_seconds=stage,
+                         n_phased_sites=n_phased, n_assigned_reads=n_assigned,
+                         n_fragments=n_frag_total, n_candidates=n_cand_total)
+
+
 def _exon_mask_for(reg: Region, exon_regions: Dict[str, List[Tuple[int, int]]]):
     """Exon coverage mask over the region window (thread.rs:80-92 +
     candidate.rs:80-89). Returns None when no exon covers the region's genes."""

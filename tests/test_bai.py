@@ -151,3 +151,80 @@ def test_region_beyond_contig(tmp_path, rng):
         build_pileup(bam, Region(chr="chrS", start=9000, end=9500), ref, cfg)
     pl = build_pileup(bam, Region(chr="chrS", start=7500, end=9000), ref, cfg)
     assert pl.length == pl.cnt.shape[0] == 8000 - 7500 + 1
+
+
+def _merge_two_contigs(tmp_path, rng, name="twoc"):
+    """Two simulated loci on two contigs in ONE coordinate-sorted BAM
+    (+ two-contig FASTA + .bai)."""
+    from longcallr_tpu.io.bam import BamWriter
+    from longcallr_tpu.io.fasta import write_fasta
+
+    parts = []
+    for tag in ("A", "B"):
+        ref = make_reference(rng, 9000)
+        truth = plant_snps(rng, ref, n_het=5, n_hom=1, min_gap=1300)
+        p = str(tmp_path / f"part{tag}.bam")
+        simulate_bam(p, rng, ref, truth, n_reads=50, read_len=3000,
+                     err_rate=0.01)
+        parts.append((ref, p))
+    bam_path = str(tmp_path / f"{name}.bam")
+    refs = [f"chr{t}" for t in ("A", "B")]
+    lens = [len(parts[0][0]), len(parts[1][0])]
+    w = BamWriter(bam_path, references=refs, lengths=lens)
+    for tid, (_, p) in enumerate(parts):
+        src = BamFile(p)
+        for i in range(src.n_records):
+            r = src.read(i)
+            w.write_record(qname=f"c{tid}_{r.qname}", flag=int(r.flag),
+                           ref_id=tid, pos=int(r.pos), mapq=int(r.mapq),
+                           cigar=r.cigar, seq=bytes(r.seq), qual=r.qual,
+                           tags=r.aux_bytes())
+    w.close()
+    fa_path = str(tmp_path / f"{name}.fa")
+    write_fasta(fa_path, {f"chr{t}": bytes(parts[i][0])
+                          for i, t in enumerate(("A", "B"))})
+    build_bai(bam_path)
+    return bam_path, fa_path
+
+
+def test_run_streaming_matches_run(tmp_path, rng):
+    """--stream (per-contig BAI windows) produces the same VCF and the same
+    HP/PS tags as the all-resident pipeline on a 2-contig BAM."""
+    from longcallr_tpu.pipeline.caller import run, run_streaming
+    bam_path, fa_path = _merge_two_contigs(tmp_path, rng)
+    cfg = preset("hifi-masseq").replace(min_read_length=100)
+    full = run(bam_path, fa_path, str(tmp_path / "full"), cfg)
+    stream = run_streaming(bam_path, fa_path, str(tmp_path / "stream"), cfg)
+    assert stream.n_records == full.n_records > 0
+    with open(full.vcf_path) as f:
+        v_full = f.read()
+    with open(stream.vcf_path) as f:
+        v_stream = f.read()
+    assert v_full == v_stream
+    fb = BamFile(full.phased_bam_path)
+    sb = BamFile(stream.phased_bam_path)
+    assert fb.n_records == sb.n_records
+    t_f = {fb.read(i).qname: (fb.read(i).get_tag("HP"),
+                              fb.read(i).get_tag("PS"))
+           for i in range(fb.n_records)}
+    t_s = {sb.read(i).qname: (sb.read(i).get_tag("HP"),
+                              sb.read(i).get_tag("PS"))
+           for i in range(sb.n_records)}
+    assert t_f == t_s
+    # contig restriction drops the other contig entirely
+    only_b = run_streaming(bam_path, fa_path, str(tmp_path / "onlyB"), cfg,
+                           contigs=["chrB"])
+    with open(only_b.vcf_path) as f:
+        body = [l for l in f if not l.startswith("#")]
+    assert body and all(l.split("\t")[0] == "chrB" for l in body)
+
+
+def test_run_streaming_needs_bai(tmp_path, rng):
+    from longcallr_tpu.pipeline.caller import run_streaming
+    ref = make_reference(rng, 6000)
+    truth = plant_snps(rng, ref, n_het=2, n_hom=0, min_gap=2000)
+    p = str(tmp_path / "nobai.bam")
+    simulate_bam(p, rng, ref, truth, n_reads=20, read_len=2500, err_rate=0.01)
+    cfg = preset("hifi-masseq").replace(min_read_length=100)
+    with pytest.raises(ValueError, match="needs a BAM index"):
+        run_streaming(p, p.replace(".bam", ".fa"), str(tmp_path / "x"), cfg)
