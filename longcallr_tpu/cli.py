@@ -129,12 +129,14 @@ def main(argv: Optional[List[str]] = None) -> int:
 
     if args.stream:
         from .pipeline.caller import run_streaming
-        if args.region or args.input_vcf or args.annotation:
-            print("error: --stream supports only -x contig restriction "
-                  "(not -r/-v/-a)", file=sys.stderr)
+        if args.region:
+            print("error: --stream does not take -r (use the default "
+                  "pipeline for single-region runs)", file=sys.stderr)
             return 2
         go = lambda: run_streaming(args.bam_path, args.ref_path, args.output,
-                                   cfg, contigs=args.contigs)
+                                   cfg, contigs=args.contigs,
+                                   input_vcf=args.input_vcf,
+                                   anno_path=args.annotation)
     else:
         go = lambda: run(args.bam_path, args.ref_path, args.output, cfg,
                          input_vcf=args.input_vcf, input_region=args.region,

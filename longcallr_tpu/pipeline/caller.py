@@ -208,7 +208,9 @@ def run(bam_path: str, ref_path: str, output_prefix: str, cfg: CallerConfig,
 
 def run_streaming(bam_path: str, ref_path: str, output_prefix: str,
                   cfg: CallerConfig,
-                  contigs: Optional[Sequence[str]] = None) -> CallerOutputs:
+                  contigs: Optional[Sequence[str]] = None,
+                  input_vcf: Optional[str] = None,
+                  anno_path: Optional[str] = None) -> CallerOutputs:
     """Whole-genome mode: one contig resident at a time.
 
     Requires a ``.bai``: each contig's records are loaded with a BAI-windowed
@@ -227,6 +229,14 @@ def run_streaming(bam_path: str, ref_path: str, output_prefix: str,
             f"streaming mode needs a BAM index: {bam_path}.bai not found "
             "(build one with longcallr_tpu.io.bai.build_bai)")
     fasta = FastaFile(ref_path)
+    input_candidates = (load_input_candidates(input_vcf)
+                        if input_vcf is not None else None)
+    gene_regions: Dict[str, List[Region]] = {}
+    exon_regions: Dict[str, List[Tuple[int, int]]] = {}
+    if anno_path:
+        gene_regions, exon_regions = parse_annotation(anno_path)
+    if cfg.exon_only and not anno_path:
+        raise ValueError("exon_only is set, but annotation file is not provided")
     vcf_path = output_prefix + ".vcf"
     phased_bam_path = (None if cfg.no_bam_output
                        else output_prefix + ".phased.bam")
@@ -253,11 +263,21 @@ def run_streaming(bam_path: str, ref_path: str, output_prefix: str,
                                        threads=max(1, cfg.threads))
                 regions = extract_isolated_regions_parallel(
                     win, [(chrom, clen)], cfg, contigs=[chrom])
+                if cfg.exon_only:
+                    regions = intersect_gene_regions(regions, gene_regions,
+                                                     merge=True)
                 n_regions_total += len(regions)
                 ref_seq = fasta.fetch(chrom)
 
                 def work(reg: Region) -> RegionResult:
-                    return process_region(win, reg, ref_seq, cfg)
+                    exon_mask = None
+                    if cfg.exon_only and reg.gene_id is not None:
+                        exon_mask = _exon_mask_for(reg, exon_regions)
+                        if exon_mask is None:
+                            return RegionResult(reg, [], {}, {}, 0, 0)
+                    return process_region(win, reg, ref_seq, cfg,
+                                          input_candidates=input_candidates,
+                                          exon_mask=exon_mask)
 
                 if cfg.threads > 1 and len(regions) > 1:
                     with ThreadPoolExecutor(max_workers=cfg.threads) as ex:

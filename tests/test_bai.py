@@ -228,3 +228,33 @@ def test_run_streaming_needs_bai(tmp_path, rng):
     cfg = preset("hifi-masseq").replace(min_read_length=100)
     with pytest.raises(ValueError, match="needs a BAM index"):
         run_streaming(p, p.replace(".bam", ".fa"), str(tmp_path / "x"), cfg)
+
+
+def test_run_streaming_with_input_vcf_and_annotation(tmp_path, rng):
+    """--stream composes with -v (input candidates) and -a/--exon-only,
+    matching the resident pipeline byte-for-byte."""
+    from longcallr_tpu.pipeline.caller import run, run_streaming
+    bam_path, fa_path = _merge_two_contigs(tmp_path, rng, name="sva")
+    cfg = preset("hifi-masseq").replace(min_read_length=100)
+
+    # input-VCF mode: feed the discovery run's calls back as candidates
+    disc = run(bam_path, fa_path, str(tmp_path / "disc"), cfg)
+    full_v = run(bam_path, fa_path, str(tmp_path / "fullv"), cfg,
+                 input_vcf=disc.vcf_path)
+    strm_v = run_streaming(bam_path, fa_path, str(tmp_path / "strmv"), cfg,
+                           input_vcf=disc.vcf_path)
+    assert open(full_v.vcf_path).read() == open(strm_v.vcf_path).read()
+    assert full_v.n_records == strm_v.n_records > 0
+
+    # exon-only mode: genes covering both loci on both contigs
+    anno = str(tmp_path / "sva.gtf")
+    with open(anno, "w") as f:
+        for chrom in ("chrA", "chrB"):
+            f.write(f'{chrom}\tsrc\tgene\t1\t9000\t.\t+\t.\tgene_id "g{chrom}";\n')
+            f.write(f'{chrom}\tsrc\tCDS\t1\t9000\t.\t+\t.\tgene_id "g{chrom}";\n')
+    cfg_eo = cfg.replace(exon_only=True)
+    full_a = run(bam_path, fa_path, str(tmp_path / "fulla"), cfg_eo,
+                 anno_path=anno)
+    strm_a = run_streaming(bam_path, fa_path, str(tmp_path / "strma"),
+                           cfg_eo, anno_path=anno)
+    assert open(full_a.vcf_path).read() == open(strm_a.vcf_path).read()
