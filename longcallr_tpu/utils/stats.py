@@ -12,7 +12,7 @@ import math
 from typing import Sequence, Tuple
 
 import numpy as np
-from scipy.stats import betabinom, fisher_exact as _scipy_fisher
+from scipy.stats import fisher_exact as _scipy_fisher
 
 
 def fdr_bh(p_values: Sequence[float], alpha: float = 0.05
@@ -39,24 +39,51 @@ def convert_mu_rho_to_alpha_beta(mu: float, rho: float) -> Tuple[float, float]:
     return mu * phi, (1.0 - mu) * phi
 
 
+def _betabinom_pmf(ks: np.ndarray, n, alpha: float, beta: float) -> np.ndarray:
+    """Beta-binomial pmf composed exactly like scipy's betabinom._logpmf
+    (combiln + betaln(k+a, n-k+b) - betaln(a, b)) so tie comparisons against
+    historical scipy-based p-values are preserved."""
+    from scipy.special import betaln, gammaln
+
+    ks = np.asarray(ks, dtype=np.float64)
+    n = np.asarray(n, dtype=np.float64)
+    combiln = gammaln(n + 1) - (gammaln(ks + 1) + gammaln(n - ks + 1))
+    return np.exp(combiln + betaln(ks + alpha, n - ks + beta)
+                  - betaln(alpha, beta))
+
+
 def beta_binomial_two_sided(k_obs: int, n: int, mu: float, rho: float) -> float:
     """Two-sided beta-binomial p: sum of pmf(k) over k with
     pmf(k) <= pmf(k_obs) (longcallR-ase.py:25-61)."""
     alpha, beta = convert_mu_rho_to_alpha_beta(mu, rho)
-    bb = betabinom(n, alpha, beta)
-    ks = np.arange(n + 1)
-    pmf = bb.pmf(ks)
-    p_obs = bb.pmf(k_obs)
+    pmf = _betabinom_pmf(np.arange(n + 1), n, alpha, beta)
+    p_obs = pmf[int(k_obs)]
     return float(pmf[pmf <= p_obs].sum())
 
 
 def beta_binomial_two_sided_many(k_obs: np.ndarray, n: np.ndarray,
                                  mu: float, rho: float) -> np.ndarray:
-    """Vectorised two-sided beta-binomial over many (k, n) observations."""
+    """Two-sided beta-binomial over many (k, n) observations, flattened
+    into ONE vectorised pmf evaluation (total work Σ(n_i+1) gammaln calls
+    instead of a scipy distribution object per gene)."""
+    alpha, beta = convert_mu_rho_to_alpha_beta(mu, rho)
+    k_obs = np.asarray(k_obs, dtype=np.int64)
+    n = np.asarray(n, dtype=np.int64)
     out = np.ones(len(k_obs), dtype=np.float64)
-    for i, (k, nn) in enumerate(zip(np.asarray(k_obs), np.asarray(n))):
-        if nn > 0:
-            out[i] = beta_binomial_two_sided(int(k), int(nn), mu, rho)
+    live = np.nonzero(n > 0)[0]
+    if live.size == 0:
+        return out
+    nl = n[live]
+    sizes = nl + 1
+    offs = np.concatenate([[0], np.cumsum(sizes)])
+    tot = int(offs[-1])
+    row = np.repeat(np.arange(live.size), sizes)
+    ks = np.arange(tot) - np.repeat(offs[:-1], sizes)
+    pmf = _betabinom_pmf(ks, nl[row], alpha, beta)
+    p_obs = pmf[offs[:-1] + k_obs[live]]
+    sel = pmf <= p_obs[row]
+    out[live] = np.bincount(row, weights=np.where(sel, pmf, 0.0),
+                            minlength=live.size)
     return out
 
 

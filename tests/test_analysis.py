@@ -356,3 +356,33 @@ def test_ase_filtering_mode(tmp_path, rng):
                           vcf1=out.vcf_path, vcf3=empty_vcf)
     rows2 = [l.split("\t") for l in open(out_tsv2).read().splitlines()[1:]]
     assert len(rows2) == 0
+
+
+def test_beta_binomial_matches_scipy(rng):
+    """The gammaln-composed pmf reproduces scipy.stats.betabinom (the
+    implementation the reference script uses) and the flattened many-path
+    equals the scalar path."""
+    from scipy.stats import betabinom
+    from longcallr_tpu.utils.stats import (beta_binomial_two_sided,
+                                           beta_binomial_two_sided_many,
+                                           convert_mu_rho_to_alpha_beta)
+    mu, rho = 0.5, 0.02
+    a, b = convert_mu_rho_to_alpha_beta(mu, rho)
+    ks, ns = [], []
+    for _ in range(60):
+        n = int(rng.integers(1, 500))
+        ks.append(int(rng.integers(0, n + 1)))
+        ns.append(n)
+    for k, n in zip(ks[:20], ns[:20]):
+        bb = betabinom(n, a, b)
+        pmf = bb.pmf(np.arange(n + 1))
+        want = float(pmf[pmf <= bb.pmf(k)].sum())
+        got = beta_binomial_two_sided(k, n, mu, rho)
+        assert abs(got - want) < 1e-10, (k, n)
+    many = beta_binomial_two_sided_many(np.array(ks), np.array(ns), mu, rho)
+    scal = [beta_binomial_two_sided(k, n, mu, rho) for k, n in zip(ks, ns)]
+    np.testing.assert_allclose(many, scal, rtol=0, atol=1e-15)
+    # n == 0 rows come back as p = 1
+    out = beta_binomial_two_sided_many(np.array([0, 2]), np.array([0, 7]),
+                                       mu, rho)
+    assert out[0] == 1.0
