@@ -88,13 +88,13 @@ def main() -> int:
     bam = BamFile(DEMO_BAM, threads=cfg.threads)
     n_reads = bam.n_records
     # warmup run: pays jit compiles / device tunnel setup once, so the
-    # measured runs reflect steady-state throughput; best-of-3 damps the
+    # measured runs reflect steady-state throughput; best-of-5 damps the
     # high-variance tunnel latency on sub-second measurements
     run(DEMO_BAM, ref_fa, out_prefix, cfg)
     from longcallr_tpu.pipeline import engine as _eng
     _eng.STAGE_TOTALS.clear()
     wall = float("inf")
-    for _ in range(3):
+    for _ in range(5):
         t0 = time.monotonic()
         out = run(DEMO_BAM, ref_fa, out_prefix, cfg)
         wall = min(wall, time.monotonic() - t0)
