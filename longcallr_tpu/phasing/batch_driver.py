@@ -55,6 +55,13 @@ def phase_regions_batched(items: List[Tuple[FragmentMatrix, CandidateSet, int, b
             enum_buckets.setdefault((_bucket(K0), I0), []).append(
                 _Prepared(idx, frags, cands, seed, apply_ds))
             continue
+        from ..parallel.giant import GIANT_CELLS
+        if _bucket(K0) * _bucket(I0) >= GIANT_CELLS:
+            # giant region: keep it out of the padded bucket (one such item
+            # would blow the whole batch's footprint) and let phase_region
+            # route it — to the reads-sharded ascent when a mesh exists
+            out[idx] = phase_region(frags, cands, cfg, seed, apply_ds)
+            continue
         key = (_bucket(K0), _bucket(I0))
         buckets.setdefault(key, []).append(
             _Prepared(idx, frags, cands, seed, apply_ds))

@@ -278,3 +278,49 @@ def test_multihost_shard_merge_retry(tmp_path, rng):
                                  sb.read(i).get_tag("PS"))
               for i in range(sb.n_records)}
     assert tags_p == tags_s
+
+
+def test_batched_driver_routes_giant_items(tmp_path, rng, monkeypatch):
+    """phase_regions_batched keeps giant regions out of padded buckets and
+    sends them through phase_region (→ sharded ascent when a mesh exists)."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    from longcallr_tpu.config import preset
+    from longcallr_tpu.io.bam import BamFile
+    from longcallr_tpu.ops.candidates import select_candidates
+    from longcallr_tpu.parallel import giant
+    from longcallr_tpu.phasing.batch_driver import phase_regions_batched
+    from longcallr_tpu.phasing.fragments import get_fragments
+    from longcallr_tpu.tiles.pileup import build_pileup
+    from longcallr_tpu.tiles.regions import Region
+    from simulate import make_reference, plant_snps, simulate_bam
+
+    cfg = preset("hifi-masseq").replace(min_read_length=100)
+    ref = make_reference(rng, 9000)
+    truth = plant_snps(rng, ref, n_het=18, n_hom=0, min_gap=8000 // 19)
+    path = str(tmp_path / "gb.bam")
+    simulate_bam(path, rng, ref, truth, n_reads=80, read_len=4000,
+                 err_rate=0.01)
+    bam = BamFile(path)
+    region = Region(chr="chrS", start=1, end=len(ref) + 1)
+    pl = build_pileup(bam, region, ref, cfg)
+    cands = select_candidates(pl, cfg)
+    frags = get_fragments(bam, region, cands, cfg)
+
+    calls = []
+    orig = giant.phase_region_sharded
+
+    def spy(*a, **kw):
+        calls.append(1)
+        return orig(*a, **kw)
+
+    monkeypatch.setattr(giant, "GIANT_CELLS", 0)
+    monkeypatch.setattr(giant, "phase_region_sharded", spy)
+    states = phase_regions_batched([(frags, cands, 1, False)], cfg)
+    assert calls, "batched driver did not route the giant item"
+    assert states[0] is not None
+    sig = np.sign(np.asarray(states[0].sigma))
+    hap_true = np.array([truth.hap_of_read[qn] for qn in frags.qnames])
+    act = sig != 0
+    same = (sig[act] == np.where(hap_true[act] == 1, 1, -1)).mean()
+    assert same > 0.9 or same < 0.1, same
