@@ -63,13 +63,7 @@ def _encode_results(results: Dict[int, dict]) -> np.ndarray:
     return np.frombuffer(raw, dtype=np.uint8)
 
 
-def gather_results(local: Dict[int, dict]) -> Dict[int, dict]:
-    """All-gather per-region result payloads across processes.
-
-    Payloads are JSON-serialised to uint8 and padded to the global max
-    length; with one process this is the identity."""
-    if jax.process_count() == 1:
-        return dict(local)
+def _gather_collective(local: Dict[int, dict]) -> Dict[int, dict]:
     from jax.experimental import multihost_utils
 
     raw = _encode_results(local)
@@ -85,6 +79,49 @@ def gather_results(local: Dict[int, dict]) -> Dict[int, dict]:
         part = json.loads(payload)
         merged.update({int(k): v for k, v in part.items()})
     return merged
+
+
+def gather_results(local: Dict[int, dict],
+                   timeout_s: Optional[float] = None) -> Dict[int, dict]:
+    """All-gather per-region result payloads across processes.
+
+    Payloads are JSON-serialised to uint8 and padded to the global max
+    length; with one process this is the identity.
+
+    ``timeout_s`` (or LONGCALLR_GATHER_TIMEOUT seconds, 0 = wait forever)
+    bounds the collective: a peer that dies INSIDE the allgather would
+    otherwise hang every process. On timeout the local payloads are
+    returned — process 0 then re-runs the missing regions serially
+    (``serialize_outputs``) so the run still completes, degraded."""
+    if jax.process_count() == 1:
+        return dict(local)
+    import os
+    import threading
+
+    if timeout_s is None:
+        t = float(os.environ.get("LONGCALLR_GATHER_TIMEOUT", "0"))
+        timeout_s = t if t > 0 else None
+    if timeout_s is None:
+        return _gather_collective(local)
+    box: Dict[str, Dict[int, dict]] = {}
+
+    def run():
+        try:
+            box["merged"] = _gather_collective(local)
+        except Exception:
+            pass
+
+    th = threading.Thread(target=run, daemon=True)
+    th.start()
+    th.join(timeout_s)
+    if "merged" in box:
+        return box["merged"]
+    import logging
+    logging.getLogger(__name__).warning(
+        "gather_results timed out after %.0fs; continuing with local "
+        "results only (missing regions will be retried on process 0)",
+        timeout_s)
+    return dict(local)
 
 
 def run_local_shard(bam, fasta, regions: Sequence[Region],

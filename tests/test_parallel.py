@@ -324,3 +324,25 @@ def test_batched_driver_routes_giant_items(tmp_path, rng, monkeypatch):
     act = sig != 0
     same = (sig[act] == np.where(hap_true[act] == 1, 1, -1)).mean()
     assert same > 0.9 or same < 0.1, same
+
+
+def test_gather_results_timeout(monkeypatch):
+    """A peer stuck inside the allgather: the timeout wrapper returns the
+    local payloads so process 0 can retry the rest serially."""
+    import time
+    import jax as _jax
+    from longcallr_tpu.parallel import multihost as mh
+
+    monkeypatch.setattr(_jax, "process_count", lambda: 2)
+    monkeypatch.setattr(mh, "_gather_collective",
+                        lambda local: time.sleep(30) or dict(local))
+    local = {5: {"vcf_lines": ["x"], "n_fragments": 1}}
+    t0 = time.monotonic()
+    out = mh.gather_results(local, timeout_s=0.3)
+    assert time.monotonic() - t0 < 5
+    assert out == local
+    # fast peer: completes inside the timeout
+    monkeypatch.setattr(mh, "_gather_collective",
+                        lambda local: {**local, 9: {"vcf_lines": []}})
+    out2 = mh.gather_results(local, timeout_s=5.0)
+    assert 9 in out2
