@@ -40,6 +40,10 @@ def build_parser() -> argparse.ArgumentParser:
         ("truncation-coverage", int), ("downsample-depth", int),
     ]:
         p.add_argument(f"--{name}", type=typ, default=None)
+    p.add_argument("--bam-compression-level", type=int, default=None,
+                   choices=range(0, 10), metavar="[0-9]",
+                   help="BGZF deflate level of the phased BAM "
+                        "(default 6 = htslib; 1 writes ~3x faster)")
     p.add_argument("--strand-bias", type=lambda s: s.lower() == "true",
                    default=None)
     p.add_argument("--truncation", action="store_true")
@@ -84,6 +88,7 @@ def config_from_args(args) -> "CallerConfig":
         min_read_assignment_diff=args.min_read_assignment_diff,
         truncation_coverage=args.truncation_coverage,
         downsample_depth=args.downsample_depth,
+        bam_compression_level=args.bam_compression_level,
         strand_bias=args.strand_bias,
     )
     cfg = preset(args.preset, **overrides)

@@ -60,6 +60,9 @@ class CallerConfig:
     # -- modes --
     exon_only: bool = False
     no_bam_output: bool = False
+    # BGZF deflate level of the phased BAM (htslib-compatible at any level;
+    # 6 matches htslib's default, 1 is ~3x faster to write and ~15% larger)
+    bam_compression_level: int = 6
     # somatic-by-het detection (the reference ships this disabled,
     # thread.rs:187; opt-in here)
     somatic: bool = False

@@ -221,6 +221,7 @@ def serialize_outputs(bam, fasta, regions: Sequence[Region],
         phased_bam_path = output_prefix + ".phased.bam"
         with BamWriter(phased_bam_path, bam.references, bam.lengths,
                        header_text=bam.header_text,
+                       level=cfg.bam_compression_level,
                        threads=max(1, cfg.threads)) as w:
             for i in idx_sorted:
                 reg = regions[i]

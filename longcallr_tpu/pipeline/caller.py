@@ -171,6 +171,7 @@ def run(bam_path: str, ref_path: str, output_prefix: str, cfg: CallerConfig,
         phased_bam_path = output_prefix + ".phased.bam"
         with BamWriter(phased_bam_path, bam.references, bam.lengths,
                        header_text=bam.header_text,
+                       level=cfg.bam_compression_level,
                        threads=max(1, cfg.threads)) as w:
             from ..io.bam import (FLAG_SECONDARY, FLAG_SUPPLEMENTARY,
                                   FLAG_UNMAPPED)
@@ -260,6 +261,7 @@ def run_streaming(bam_path: str, ref_path: str, output_prefix: str,
                     writer = BamWriter(phased_bam_path, win.references,
                                        win.lengths,
                                        header_text=win.header_text,
+                                       level=cfg.bam_compression_level,
                                        threads=max(1, cfg.threads))
                 regions = extract_isolated_regions_parallel(
                     win, [(chrom, clen)], cfg, contigs=[chrom])
