@@ -63,6 +63,8 @@ def build_parser() -> argparse.ArgumentParser:
                         "(needs a .bai next to the BAM)")
     p.add_argument("--somatic", action="store_true",
                    help="Enable somatic-by-het detection (off in the reference)")
+    p.add_argument("--somatic-purity", type=float, default=None,
+                   help="Tumor purity channel weight for --somatic (default 0.3)")
     p.add_argument("--profile-dir", default=None,
                    help="Write a jax.profiler trace of the run to this dir")
     p.add_argument("--log-level", default="INFO")
@@ -92,11 +94,14 @@ def config_from_args(args) -> "CallerConfig":
         strand_bias=args.strand_bias,
     )
     cfg = preset(args.preset, **overrides)
-    return cfg.replace(truncation=args.truncation, downsample=args.downsample,
-                       exon_only=args.exon_only,
-                       no_bam_output=args.no_bam_output,
-                       somatic=args.somatic,
-                       threads=args.threads or 1)
+    cfg = cfg.replace(truncation=args.truncation, downsample=args.downsample,
+                      exon_only=args.exon_only,
+                      no_bam_output=args.no_bam_output,
+                      somatic=args.somatic,
+                      threads=args.threads or 1)
+    if args.somatic_purity is not None:
+        cfg = cfg.replace(somatic_purity=args.somatic_purity)
+    return cfg
 
 
 def main(argv: Optional[List[str]] = None) -> int:
