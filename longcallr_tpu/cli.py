@@ -146,7 +146,8 @@ def main(argv: Optional[List[str]] = None) -> int:
         go = lambda: run_streaming(args.bam_path, args.ref_path, args.output,
                                    cfg, contigs=args.contigs,
                                    input_vcf=args.input_vcf,
-                                   anno_path=args.annotation)
+                                   anno_path=args.annotation,
+                                   resume=args.resume)
     else:
         go = lambda: run(args.bam_path, args.ref_path, args.output, cfg,
                          input_vcf=args.input_vcf, input_region=args.region,

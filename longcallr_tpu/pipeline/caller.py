@@ -211,7 +211,8 @@ def run_streaming(bam_path: str, ref_path: str, output_prefix: str,
                   cfg: CallerConfig,
                   contigs: Optional[Sequence[str]] = None,
                   input_vcf: Optional[str] = None,
-                  anno_path: Optional[str] = None) -> CallerOutputs:
+                  anno_path: Optional[str] = None,
+                  resume: bool = False) -> CallerOutputs:
     """Whole-genome mode: one contig resident at a time.
 
     Requires a ``.bai``: each contig's records are loaded with a BAI-windowed
@@ -241,6 +242,10 @@ def run_streaming(bam_path: str, ref_path: str, output_prefix: str,
     vcf_path = output_prefix + ".vcf"
     phased_bam_path = (None if cfg.no_bam_output
                        else output_prefix + ".phased.bam")
+    from .resume import RegionCheckpoint
+    ckpt = RegionCheckpoint(output_prefix + ".regions.ckpt" if resume else None)
+    if ckpt.n_done:
+        log.info("resume: %d regions already completed", ckpt.n_done)
     writer = None
     n_regions_total = n_records = n_phased = n_tagged = 0
     n_assigned = n_frag_total = n_cand_total = 0
@@ -272,14 +277,19 @@ def run_streaming(bam_path: str, ref_path: str, output_prefix: str,
                 ref_seq = fasta.fetch(chrom)
 
                 def work(reg: Region) -> RegionResult:
+                    done = ckpt.get(reg)
+                    if done is not None:
+                        return done
                     exon_mask = None
                     if cfg.exon_only and reg.gene_id is not None:
                         exon_mask = _exon_mask_for(reg, exon_regions)
                         if exon_mask is None:
                             return RegionResult(reg, [], {}, {}, 0, 0)
-                    return process_region(win, reg, ref_seq, cfg,
-                                          input_candidates=input_candidates,
-                                          exon_mask=exon_mask)
+                    res = process_region(win, reg, ref_seq, cfg,
+                                         input_candidates=input_candidates,
+                                         exon_mask=exon_mask)
+                    ckpt.put(res)
+                    return res
 
                 if cfg.threads > 1 and len(regions) > 1:
                     with ThreadPoolExecutor(max_workers=cfg.threads) as ex:
@@ -327,6 +337,7 @@ def run_streaming(bam_path: str, ref_path: str, output_prefix: str,
                 del win
                 fasta.evict(chrom)
     finally:
+        ckpt.close()
         if writer is not None:
             writer.close()
     if writer is None:

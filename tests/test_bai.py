@@ -258,3 +258,26 @@ def test_run_streaming_with_input_vcf_and_annotation(tmp_path, rng):
     strm_a = run_streaming(bam_path, fa_path, str(tmp_path / "strma"),
                            cfg_eo, anno_path=anno)
     assert open(full_a.vcf_path).read() == open(strm_a.vcf_path).read()
+
+
+def test_run_streaming_resume(tmp_path, rng):
+    """--stream --resume: a rerun skips completed regions via the region
+    checkpoint and produces identical outputs."""
+    from longcallr_tpu.pipeline.caller import run_streaming
+    bam_path, fa_path = _merge_two_contigs(tmp_path, rng, name="sr")
+    cfg = preset("hifi-masseq").replace(min_read_length=100)
+    out1 = run_streaming(bam_path, fa_path, str(tmp_path / "sr"), cfg,
+                         resume=True)
+    ckpt = tmp_path / "sr.regions.ckpt"
+    assert ckpt.exists()
+    n_lines = len(ckpt.read_text().splitlines())
+    assert n_lines == out1.n_regions
+    out2 = run_streaming(bam_path, fa_path, str(tmp_path / "sr"), cfg,
+                         resume=True)
+    with open(out1.vcf_path) as f:
+        v1 = f.read()
+    with open(out2.vcf_path) as f:
+        v2 = f.read()
+    assert v1 == v2 and out2.n_records == out1.n_records
+    # checkpoint not regrown: completed regions were skipped, not re-put
+    assert len(ckpt.read_text().splitlines()) == n_lines
