@@ -139,7 +139,7 @@ def _cross_optimize_fast_loop(ct: CellTables, st: PhaseState, read_base,
     from . import kernels_fast as KF
 
     rm0 = read_base & (st.sigma != 0)
-    if USE_F32_KERNELS:
+    if _f32_mode():
         # hi/lo f32-split Dp: the matvecs run on the MXU (see kernels_fast)
         ft = KF.make_fast_tables32(ct, rm0, site_mask)
         fast_read_logliks = KF.fast_read_logliks32
@@ -211,13 +211,30 @@ def cross_optimize_fast(ct: CellTables, st: PhaseState, read_base,
                                      with_genotype, keep_conserved)
 
 
-# execution-mode switch: LONGCALLR_FAST_KERNELS=1 selects the matvec-form
-# ascent everywhere (perturbation schedule, enumeration, batched buckets)
-USE_FAST_KERNELS = os.environ.get("LONGCALLR_FAST_KERNELS", "0") == "1"
-# LONGCALLR_F32_KERNELS=1 additionally runs the Dp matvecs in hi/lo f32-split
-# form on the MXU (kernels_fast.py; ~1e-4 absolute on the sums — near-tie
-# decisions may differ from the f64 spec, outputs equivalence-tested)
-USE_F32_KERNELS = os.environ.get("LONGCALLR_F32_KERNELS", "0") == "1"
+# execution-mode switches (see docs/usage.md). The matvec-form ascent is the
+# default everywhere (perturbation schedule, enumeration, batched buckets) —
+# full suite + demo byte-identical under it; LONGCALLR_FAST_KERNELS=0
+# restores the reference-form loop (the specification path).
+USE_FAST_KERNELS = os.environ.get("LONGCALLR_FAST_KERNELS", "1") == "1"
+# hi/lo f32-split Dp matvecs (kernels_fast.py): default AUTO — on for
+# accelerator backends (the MXU has no f64 datapath; 2.8x faster phase
+# stage, demo outputs byte-identical) and off on CPU where the two-matmul
+# split only adds work. LONGCALLR_F32_KERNELS=0/1 forces it; ~1e-4 absolute
+# on the sums, so near-tie ascent decisions may differ from the f64 spec.
+_F32_ENV = os.environ.get("LONGCALLR_F32_KERNELS")
+USE_F32_KERNELS: Optional[bool] = (None if _F32_ENV is None
+                                   else _F32_ENV == "1")
+
+
+def _f32_mode() -> bool:
+    """Resolve the tri-state at trace time (the backend is initialised by
+    then; resolving at import would trigger device init)."""
+    if USE_F32_KERNELS is not None:
+        return USE_F32_KERNELS
+    try:
+        return jax.default_backend() != "cpu"
+    except Exception:
+        return False
 
 
 def selected_loop():

@@ -47,17 +47,21 @@ def test_fast_snp_sums(rng):
                                        rtol=1e-12, atol=1e-12, err_msg=name)
 
 
-def test_fast_cross_optimize_equivalent(rng):
-    """A full ascent with fast kernels lands on the same q-values within
-    tolerance (states may differ only on exact fp ties)."""
+def test_fast_cross_optimize_equivalent(rng, monkeypatch):
+    """A full ascent with the f64 matvec kernels lands on the same q-values
+    within tolerance (states may differ only on exact fp ties). The f32-split
+    mode has its own equivalence test; pin this one to the f64 fast path so
+    it holds under any LONGCALLR_* environment."""
+    from longcallr_tpu.phasing import optimize as opt
     from longcallr_tpu.phasing.optimize import (PhaseState,
-                                                _cross_optimize_loop,
-                                                cross_optimize_fast)
+                                                _cross_optimize_fast_loop,
+                                                _cross_optimize_loop)
+    monkeypatch.setattr(opt, "USE_F32_KERNELS", False)
     ct, sigma, delta, eta, site, rbase = _data(rng, K=80, I=20)
     st0 = PhaseState(jnp.where(rbase, sigma, 0.0), delta, eta)
     cons = jnp.zeros(delta.shape[0], bool)
     st_a, prob_a = _cross_optimize_loop(ct, st0, rbase, site, cons, False, False)
-    st_b, prob_b = cross_optimize_fast(ct, st0, rbase, site, cons, False, False)
+    st_b, prob_b = _cross_optimize_fast_loop(ct, st0, rbase, site, cons, False, False)
     np.testing.assert_allclose(float(prob_a), float(prob_b), rtol=1e-9)
     agree = (np.asarray(st_a.sigma) == np.asarray(st_b.sigma)).mean()
     assert agree > 0.97, agree
