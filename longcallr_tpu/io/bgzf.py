@@ -206,6 +206,79 @@ def compress_block(chunk: bytes, level: int = 6) -> bytes:
     return block
 
 
+# warm reusable scratch for the native deflater: fresh ~1MB allocations pay
+# ~0.5ms/page first-touch faults on some hosts (see utils/malloc_tune.py), so
+# the src/dst staging buffers are process-global and grown geometrically.
+import threading as _threading
+
+_scratch_lock = _threading.Lock()
+_scratch: dict = {}
+
+
+def _scratch_buf(name: str, size: int):
+    import numpy as np
+
+    buf = _scratch.get(name)
+    if buf is None or buf.size < size:
+        grow = 0 if buf is None else buf.size * 2
+        buf = np.empty(max(size, grow, 1 << 20), np.uint8)
+        _scratch[name] = buf
+    return buf
+
+
+def _compress_chunks_native(chunks: List[bytes], level: int,
+                            threads: int) -> Optional[List[bytes]]:
+    """Deflate payload chunks into BGZF blocks via the C++ multi-threaded
+    deflater (byte-identical to :func:`compress_block` — same zlib settings
+    and framing). Returns None when the native library is unavailable;
+    chunks that deflate to >64KiB (incompressible) fall back to the Python
+    shrink loop individually."""
+    if len(chunks) < 2:
+        return None
+    try:
+        from .. import native
+        nlib = native.lib()
+    except Exception:
+        return None
+    if nlib is None or not hasattr(nlib, "bgzf_deflate_many"):
+        return None
+    import ctypes
+
+    import numpy as np
+
+    n = len(chunks)
+    cap = MAX_BLOCK_SIZE + 64
+    with _scratch_lock:
+        src_len = np.asarray([len(c) for c in chunks], np.int32)
+        src_off = np.zeros(n, np.int64)
+        np.cumsum(src_len[:-1], dtype=np.int64, out=src_off[1:])
+        total = int(src_off[-1]) + int(src_len[-1])
+        src = _scratch_buf("src", total)
+        for j, c in enumerate(chunks):
+            src[int(src_off[j]):int(src_off[j]) + len(c)] = np.frombuffer(
+                c, np.uint8)
+        dst = _scratch_buf("dst", n * cap)
+        out_len = np.empty(n, np.int32)
+        u8p = ctypes.POINTER(ctypes.c_uint8)
+        i64p = ctypes.POINTER(ctypes.c_int64)
+        i32p = ctypes.POINTER(ctypes.c_int32)
+        ptr = lambda a, t: a.ctypes.data_as(t)
+        rc = nlib.bgzf_deflate_many(
+            ptr(src, u8p), ptr(src_off, i64p),
+            ptr(src_len, i32p), ptr(dst, u8p), cap, ptr(out_len, i32p),
+            n, level, max(1, threads))
+        if rc != 0:
+            return None
+        blocks: List[bytes] = []
+        for j in range(n):
+            if out_len[j] < 0:  # incompressible: python multi-block path
+                blocks.append(compress_block(chunks[j], level))
+            else:
+                blocks.append(
+                    dst[j * cap:j * cap + int(out_len[j])].tobytes())
+    return blocks
+
+
 class BgzfWriter:
     """Streaming BGZF writer (used by the phased-BAM emitter)."""
 
@@ -227,13 +300,18 @@ class BgzfWriter:
     def _flush_pending(self) -> None:
         if not self._pending:
             return
-        if self._threads > 1 and len(self._pending) > 2:
-            with ThreadPoolExecutor(max_workers=self._threads) as ex:
-                blocks = list(
-                    ex.map(lambda c: compress_block(c, self._level), self._pending)
-                )
-        else:
-            blocks = [compress_block(c, self._level) for c in self._pending]
+        blocks = _compress_chunks_native(self._pending, self._level,
+                                         self._threads)
+        if blocks is None:
+            if self._threads > 1 and len(self._pending) > 2:
+                with ThreadPoolExecutor(max_workers=self._threads) as ex:
+                    blocks = list(
+                        ex.map(lambda c: compress_block(c, self._level),
+                               self._pending)
+                    )
+            else:
+                blocks = [compress_block(c, self._level)
+                          for c in self._pending]
         for b in blocks:
             self._f.write(b)
         self._pending.clear()

@@ -31,20 +31,34 @@ _f64p = ctypes.POINTER(ctypes.c_double)
 
 def _build() -> bool:
     os.makedirs(_BUILD_DIR, exist_ok=True)
-    cmd = ["g++", "-O3", "-march=native", "-shared", "-fPIC", "-std=c++17",
-           _SRC, "-o", _SO + ".tmp", "-lz", "-lpthread"]
-    try:
-        subprocess.run(cmd, check=True, capture_output=True, timeout=240)
-        os.replace(_SO + ".tmp", _SO)
-        return True
-    except Exception:
-        return False
+    base = ["g++", "-O3", "-march=native", "-shared", "-fPIC", "-std=c++17",
+            _SRC, "-o", _SO + ".tmp", "-lz", "-lpthread"]
+    # prefer libdeflate for the BGZF codec (htslib does the same); fall back
+    # to the zlib-only build where the library/header is absent
+    for cmd in (base[:-2] + ["-DUSE_LIBDEFLATE", "-ldeflate"] + base[-2:],
+                base):
+        try:
+            subprocess.run(cmd, check=True, capture_output=True, timeout=240)
+            os.replace(_SO + ".tmp", _SO)
+            return True
+        except Exception:
+            continue
+    return False
 
 
 def _declare(lib: ctypes.CDLL) -> None:
     lib.bgzf_inflate_many.restype = ctypes.c_int
     lib.bgzf_inflate_many.argtypes = [
         _u8p, _i64p, _i32p, _u8p, _i64p, _i32p, ctypes.c_int64, ctypes.c_int]
+    try:
+        lib.bgzf_deflate_many.restype = ctypes.c_int
+        lib.bgzf_deflate_many.argtypes = [
+            _u8p, _i64p, _i32p, _u8p, ctypes.c_int64, _i32p,
+            ctypes.c_int64, ctypes.c_int, ctypes.c_int]
+        lib.bgzf_native_backend.restype = ctypes.c_int
+        lib.bgzf_native_backend.argtypes = []
+    except AttributeError:  # stale .so without the deflate entry point
+        pass
     lib.pileup_fill.restype = ctypes.c_int
     lib.pileup_fill.argtypes = [
         _u8p, _i64p, _i64p, ctypes.c_int64,           # data, off, end, n

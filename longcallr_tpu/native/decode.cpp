@@ -22,6 +22,12 @@
 #include <thread>
 #include <vector>
 #include <zlib.h>
+#ifdef USE_LIBDEFLATE
+// htslib links libdeflate when available (bgzf.c); so do we. Deflate streams
+// differ byte-wise from zlib's but are spec-valid BGZF; each block is an
+// independent raw-deflate member so zlib/libdeflate blocks can mix freely.
+#include <libdeflate.h>
+#endif
 
 extern "C" {
 
@@ -36,6 +42,22 @@ int bgzf_inflate_many(const uint8_t* src, const int64_t* src_off,
                       const int64_t* dst_off, const int32_t* dst_len,
                       int64_t n_blocks, int n_threads) {
     std::vector<int> errs(std::max(1, n_threads), 0);
+#ifdef USE_LIBDEFLATE
+    auto work = [&](int tid) {
+        struct libdeflate_decompressor* d = libdeflate_alloc_decompressor();
+        if (!d) { errs[tid] = 1; return; }
+        for (int64_t b = tid; b < n_blocks; b += n_threads) {
+            size_t actual = 0;
+            enum libdeflate_result r = libdeflate_deflate_decompress(
+                d, src + src_off[b], (size_t)src_len[b],
+                dst + dst_off[b], (size_t)dst_len[b], &actual);
+            if (r != LIBDEFLATE_SUCCESS || actual != (size_t)dst_len[b]) {
+                errs[tid] = 2; break;
+            }
+        }
+        libdeflate_free_decompressor(d);
+    };
+#else
     auto work = [&](int tid) {
         for (int64_t b = tid; b < n_blocks; b += n_threads) {
             z_stream zs;
@@ -50,6 +72,106 @@ int bgzf_inflate_many(const uint8_t* src, const int64_t* src_off,
             if (r != Z_STREAM_END) { errs[tid] = 2; return; }
         }
     };
+#endif
+    if (n_threads <= 1) {
+        work(0);
+    } else {
+        std::vector<std::thread> ts;
+        for (int t = 0; t < n_threads; ++t) ts.emplace_back(work, t);
+        for (auto& t : ts) t.join();
+    }
+    for (int e : errs) if (e) return e;
+    return 0;
+}
+
+// 1 when the codec below is libdeflate (faster, different — still spec-valid
+// — deflate bytes than zlib), 0 for the zlib fallback build.
+int bgzf_native_backend() {
+#ifdef USE_LIBDEFLATE
+    return 1;
+#else
+    return 0;
+#endif
+}
+
+// Deflate n_chunks payload chunks (each <= 64KiB) into complete BGZF blocks
+// with the same 26-byte header/footer framing as io/bgzf.py::compress_block.
+// The zlib build is byte-identical to the Python path (raw deflate, memLevel
+// 8, default strategy); the libdeflate build produces different but
+// spec-valid deflate bytes (htslib behaves the same way). Chunk b is written
+// at dst + b*dst_cap; out_len[b] receives the full block length, or -1 when
+// the deflated block would exceed 64KiB (incompressible data — the caller
+// falls back to the Python shrink loop for that chunk alone).
+int bgzf_deflate_many(const uint8_t* src, const int64_t* src_off,
+                      const int32_t* src_len, uint8_t* dst, int64_t dst_cap,
+                      int32_t* out_len, int64_t n_chunks, int level,
+                      int n_threads) {
+    std::vector<int> errs(std::max(1, n_threads), 0);
+    auto emit = [&](int64_t b, uint8_t* out, uint32_t clen) {
+        uint32_t bsize = clen + 26;
+        static const uint8_t head[16] = {
+            0x1f, 0x8b, 0x08, 0x04, 0, 0, 0, 0, 0, 0xff,
+            0x06, 0x00, 0x42, 0x43, 0x02, 0x00};
+        std::memcpy(out, head, 16);
+        uint16_t bs16 = (uint16_t)(bsize - 1);
+        std::memcpy(out + 16, &bs16, 2);
+#ifdef USE_LIBDEFLATE
+        uint32_t crc = libdeflate_crc32(0, src + src_off[b],
+                                        (size_t)src_len[b]);
+#else
+        uint32_t crc = (uint32_t)crc32(0L, src + src_off[b],
+                                       (uInt)src_len[b]);
+#endif
+        uint32_t isize = (uint32_t)src_len[b];
+        std::memcpy(out + 18 + clen, &crc, 4);
+        std::memcpy(out + 22 + clen, &isize, 4);
+        out_len[b] = (int32_t)bsize;
+    };
+#ifdef USE_LIBDEFLATE
+    auto work = [&](int tid) {
+        struct libdeflate_compressor* c = libdeflate_alloc_compressor(level);
+        if (!c) { errs[tid] = 1; return; }
+        for (int64_t b = tid; b < n_chunks; b += n_threads) {
+            uint8_t* out = dst + b * dst_cap;
+            size_t clen = libdeflate_deflate_compress(
+                c, src + src_off[b], (size_t)src_len[b],
+                out + 18, (size_t)(dst_cap - 26));
+            if (clen == 0 || clen + 26 > 65536) {
+                out_len[b] = -1;                    // python fallback
+                continue;
+            }
+            emit(b, out, (uint32_t)clen);
+        }
+        libdeflate_free_compressor(c);
+    };
+#else
+    auto work = [&](int tid) {
+        // one deflate state per worker, reset per block (identical output
+        // to a fresh init; avoids a ~256KB alloc+setup per block)
+        z_stream zs;
+        std::memset(&zs, 0, sizeof(zs));
+        if (deflateInit2(&zs, level, Z_DEFLATED, -15, 8,
+                         Z_DEFAULT_STRATEGY) != Z_OK) {
+            errs[tid] = 1; return;
+        }
+        for (int64_t b = tid; b < n_chunks; b += n_threads) {
+            uint8_t* out = dst + b * dst_cap;
+            deflateReset(&zs);
+            zs.next_in = const_cast<uint8_t*>(src + src_off[b]);
+            zs.avail_in = (uInt)src_len[b];
+            zs.next_out = out + 18;                 // past the BGZF header
+            zs.avail_out = (uInt)(dst_cap - 26);
+            int r = deflate(&zs, Z_FINISH);
+            uint32_t clen = (uint32_t)zs.total_out;
+            if (r != Z_STREAM_END || clen + 26 > 65536) {
+                out_len[b] = -1;                    // python fallback
+                continue;
+            }
+            emit(b, out, clen);
+        }
+        deflateEnd(&zs);
+    };
+#endif
     if (n_threads <= 1) {
         work(0);
     } else {

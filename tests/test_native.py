@@ -117,3 +117,35 @@ def test_native_pileup_mt_matches_serial(tmp_path, rng, monkeypatch):
                                       getattr(outs[4], f), err_msg=f)
         np.testing.assert_array_equal(getattr(outs[4], f),
                                       getattr(outs[7], f), err_msg=f)
+
+
+def test_native_bgzf_deflate_identical(rng):
+    """bgzf_deflate_many emits valid BGZF blocks with the compress_block
+    framing, with per-chunk fallback for incompressible payloads. The zlib
+    build is byte-identical to the Python path; the libdeflate build (like
+    htslib's) produces different deflate bytes, checked by round-trip + CRC
+    instead."""
+    from longcallr_tpu.io import bgzf
+
+    nlib = native.lib()
+    libdeflate = bool(getattr(nlib, "bgzf_native_backend", lambda: 0)())
+    chunks = [
+        rng.integers(0, 4, size=65536, dtype=np.uint8).tobytes(),  # text-ish
+        bytes(65536),                                              # zeros
+        rng.integers(0, 256, size=65536, dtype=np.uint8).tobytes(),  # random
+        rng.integers(0, 256, size=1000, dtype=np.uint8).tobytes(),   # short
+        b"ACGT" * 16384,                                            # repetitive
+    ]
+    for level in (1, 6, 9):
+        got = bgzf._compress_chunks_native(chunks, level, threads=3)
+        assert got is not None
+        if not libdeflate:
+            want = [bgzf.compress_block(c, level) for c in chunks]
+            assert [bytes(g) for g in got] == want, f"level {level}"
+        # every block parses (BSIZE subfield) and round-trips with CRC checks
+        data = b"".join(bytes(g) for g in got) + bgzf.BGZF_EOF
+        spans = list(bgzf.iter_block_spans(data))
+        assert sum(b for _, b in spans) == len(data)
+        parts = [bgzf.decompress_block(data, o, b, check_crc=True)
+                 for o, b in spans]
+        assert b"".join(parts) == b"".join(chunks), f"level {level}"
