@@ -477,6 +477,17 @@ class BamFile:
                        int(self.mapq[i]), int(self.l_seq[i]),
                        int(self.n_cigar[i]), int(self.l_read_name[i]))
 
+    def qnames_at(self, idxs) -> List[str]:
+        """Read names for a list of record indices, decoded straight from the
+        record buffer (no per-read BamRead objects; name = NUL-terminated
+        string at rec+32 of length l_read_name)."""
+        buf = self._buf
+        off = self.rec_off
+        ln = self.l_read_name
+        return [bytes(buf[o + 32:o + 32 + n - 1]).decode()
+                for o, n in zip((off[idxs] if len(idxs) else []),
+                                (ln[idxs] if len(idxs) else []))]
+
     def __len__(self) -> int:
         return self.n_records
 

@@ -127,12 +127,15 @@ def _read_cells(read, cand_pos: np.ndarray, start_idx: int, end_idx: int,
     return ci, p, bq
 
 
-def _extract_cells(bam: BamFile, eligible: List[int], cands: CandidateSet,
-                   use_native: bool = True):
-    """Per eligible read: (cand_indices, p, baseq) arrays — native C++ when
-    available, numpy fallback otherwise."""
+def _extract_cells_flat(bam: BamFile, eligible: List[int], cands: CandidateSet,
+                        use_native: bool = True
+                        ) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """All cells of all eligible reads as flat arrays
+    ``(counts[K], cand_idx, p, baseq)`` — cells of read k occupy the segment
+    ``[cumsum(counts)[k-1], cumsum(counts)[k])``. Native C++ when available,
+    numpy fallback otherwise."""
     cand_pos = cands.pos
-    out = []
+    K = len(eligible)
     if use_native and eligible:
         from .. import native
         nlib = native.lib()
@@ -148,37 +151,45 @@ def _extract_cells(bam: BamFile, eligible: List[int], cands: CandidateSet,
             rec_end = bam.rec_end[idx].astype(np.int64)
             n_cand = cands.n
             # worst case: every read covers every candidate
-            max_cells = int(len(eligible)) * max(1, n_cand)
+            max_cells = int(K) * max(1, n_cand)
             max_cells = min(max_cells, 1 << 28)
             out_idx = np.empty(max_cells, np.int32)
             out_p = np.empty(max_cells, np.int8)
             out_bq = np.empty(max_cells, np.uint8)
-            out_counts = np.empty(len(eligible), np.int64)
+            out_counts = np.empty(K, np.int64)
             a1 = np.ascontiguousarray(cands.alleles[:, 0])
             a2 = np.ascontiguousarray(cands.alleles[:, 1])
             nd = np.ones(n_cand, np.uint8)  # dense filter applied by caller
             ptr = lambda a, t: a.ctypes.data_as(t)
             rc = nlib.fragment_cells(
                 ptr(data, u8p), ptr(rec_off, i64p), ptr(rec_end, i64p),
-                len(eligible), ptr(cand_pos, i64p), ptr(cands.ref_base, u8p),
+                K, ptr(cand_pos, i64p), ptr(cands.ref_base, u8p),
                 ptr(a1, u8p), ptr(a2, u8p), ptr(nd, u8p), n_cand,
                 ptr(out_idx, i32p), ptr(out_p, i8p), ptr(out_bq, u8p),
                 ptr(out_counts, i64p), max_cells)
             if rc == 0:
-                off = 0
-                for c in out_counts.tolist():
-                    out.append((out_idx[off:off + c].astype(np.int64),
-                                out_p[off:off + c].copy(),
-                                out_bq[off:off + c].copy()))
-                    off += c
-                return out
-    for ridx in eligible:
+                total = int(out_counts.sum())
+                return (out_counts, out_idx[:total].astype(np.int64),
+                        out_p[:total].copy(), out_bq[:total].copy())
+    counts = np.zeros(K, np.int64)
+    ps: List[np.ndarray] = []
+    qs: List[np.ndarray] = []
+    cs: List[np.ndarray] = []
+    for j, ridx in enumerate(eligible):
         r = bam.read(ridx)
         s_idx = int(np.searchsorted(cand_pos, r.pos, side="left"))
         e_idx = int(np.searchsorted(cand_pos, r.reference_end(), side="left"))
-        out.append(_read_cells(r, cand_pos, s_idx, e_idx,
-                               cands.ref_base, cands.alleles))
-    return out
+        ci, p, bq = _read_cells(r, cand_pos, s_idx, e_idx,
+                                cands.ref_base, cands.alleles)
+        counts[j] = len(ci)
+        cs.append(ci)
+        ps.append(p)
+        qs.append(bq)
+    if K == 0:
+        return (counts, np.empty(0, np.int64), np.empty(0, np.int8),
+                np.empty(0, np.uint8))
+    return (counts, np.concatenate(cs), np.concatenate(ps),
+            np.concatenate(qs))
 
 
 @lru_cache(maxsize=256)
@@ -188,15 +199,47 @@ def _triu_cached(m: int):
     return np.triu_indices(m, k=1)
 
 
+# above this many candidates the dense [I,I] LD tables would dominate memory;
+# fall back to the per-read pair-key loop (sized by cells², like the
+# reference's per-pair HashMap)
+LD_DENSE_MAX_I = 2048
+
+
+def _ld_counts_dense(P: np.ndarray, ld_cols: np.ndarray
+                     ) -> Dict[Tuple[int, int], np.ndarray]:
+    """LD pair tables as four Gram matmuls: with R/A the [K,I] indicators of
+    ref (+1) / alt (−1) cells at LD-consumable columns,
+    ``table[(i,j)][a,b] = (Xa^T Xb)[i,j]`` — the per-read pair loop of
+    ``fragment.rs:208-240`` collapsed into dense contractions. Chunked over
+    reads to bound the f32 staging buffers."""
+    K, I = P.shape
+    rr = np.zeros((I, I), np.float64)
+    ra = np.zeros((I, I), np.float64)
+    ar = np.zeros((I, I), np.float64)
+    aa = np.zeros((I, I), np.float64)
+    step = max(1, (1 << 24) // max(1, I))     # ≤ ~128MB of f32 staging
+    for k0 in range(0, K, step):
+        blk = P[k0:k0 + step]
+        R = ((blk == 1) & ld_cols[None, :]).astype(np.float32)
+        A = ((blk == -1) & ld_cols[None, :]).astype(np.float32)
+        rr += (R.T @ R).astype(np.float64)
+        ra += (R.T @ A).astype(np.float64)
+        ar += (A.T @ R).astype(np.float64)
+        aa += (A.T @ A).astype(np.float64)
+    tot = rr + ra + ar + aa
+    iu, ju = np.nonzero(np.triu(tot, k=1))
+    out: Dict[Tuple[int, int], np.ndarray] = {}
+    for i, j in zip(iu.tolist(), ju.tolist()):
+        out[(i, j)] = np.array([[rr[i, j], ra[i, j]],
+                                [ar[i, j], aa[i, j]]], np.int32)
+    return out
+
+
 def get_fragments(bam: BamFile, region: Region, cands: CandidateSet,
                   cfg: CallerConfig, use_native: bool = True) -> FragmentMatrix:
     """Second BAM pass: build the fragment matrix for one region."""
     I = cands.n
     lo, hi = bam.contig_record_range(region.chr)
-    rows_p: List[np.ndarray] = []
-    rows_q: List[np.ndarray] = []
-    rows_i: List[np.ndarray] = []
-    qnames: List[str] = []
     ld_counts: Dict[Tuple[int, int], np.ndarray] = {}
     if I == 0 or lo == hi:
         return FragmentMatrix(
@@ -216,58 +259,60 @@ def get_fragments(bam: BamFile, region: Region, cands: CandidateSet,
                       | (cands.alleles[:, 1] == cands.ref_base))
 
     # same fetch semantics as the pileup pass (fragment.rs:20-22)
-    pair_keys: List[np.ndarray] = []
-    I4 = 4 * I  # packed key: i1*(4I) + i2*4 + a1*2 + a2
     lo, hi, omask = bam.overlap_range(region.chr, region.start, region.end)
     qm = bam.qc_pass(cfg.min_mapq, cfg.min_read_length, cfg.divergence)[lo:hi]
     keepm = omask & qm & (bam.pos[lo:hi] <= last_pos)  # fragment.rs:52-54
     eligible = (lo + np.nonzero(keepm)[0]).tolist()
-    for ridx in eligible:
-        qnames.append(bam.read(ridx).qname)
-
-    cells = _extract_cells(bam, eligible, cands, use_native=use_native)
-    for (ci, p, bq) in cells:
-        # keep p != 0 at non-dense candidates (fragment.rs:148-152)
-        keep = (p != 0) & not_dense[ci]
-        ci, p, bq = ci[keep], p[keep], bq[keep]
-        # LD pair keys over all kept cell pairs (fragment.rs:208-240),
-        # restricted to the pairs calculate_ld can consume; aggregated
-        # globally after the read loop
-        ld_ok = ref_in_alleles[ci]
-        li = ci[ld_ok].astype(np.int64)
-        lp = (1 - p[ld_ok].astype(np.int64)) // 2  # ref→0, alt→1
-        m = len(li)
-        if m >= 2:
-            ia, ib = _triu_cached(m)
-            # candidate indices are ascending within a read already
-            pair_keys.append(li[ia] * I4 + li[ib] * 4 + lp[ia] * 2 + lp[ib])
-        rows_i.append(ci)
-        rows_p.append(p)
-        rows_q.append(bq)
-
-    # aggregate LD pair counts
-    if pair_keys:
-        allk = np.concatenate(pair_keys)
-        uniq, cnts = np.unique(allk, return_counts=True)
-        for key, c in zip(uniq.tolist(), cnts.tolist()):
-            i1, rest = divmod(key, I4)
-            i2, a = divmod(rest, 4)
-            tbl = ld_counts.get((i1, i2))
-            if tbl is None:
-                tbl = np.zeros((2, 2), np.int32)
-                ld_counts[(i1, i2)] = tbl
-            tbl[a // 2, a % 2] += c
-
+    qnames = bam.qnames_at(eligible)
     K = len(qnames)
+
+    counts, ci, p, bq = _extract_cells_flat(bam, eligible, cands,
+                                            use_native=use_native)
+    # keep p != 0 cells at non-dense candidates (fragment.rs:148-152)
+    keep = (p != 0) & not_dense[ci]
+    kk = np.repeat(np.arange(K, dtype=np.int64), counts)[keep]
+    ci, p, bq = ci[keep], p[keep], bq[keep]
+
     P = np.zeros((K, I), np.int8)
     Q = np.zeros((K, I), np.uint8)
-    if K:
-        counts = np.asarray([len(r) for r in rows_i], dtype=np.int64)
-        if counts.sum():
-            kk = np.repeat(np.arange(K, dtype=np.int64), counts)
-            ii = np.concatenate(rows_i)
-            P[kk, ii] = np.concatenate(rows_p)
-            Q[kk, ii] = np.concatenate(rows_q)
+    if len(ci):
+        P[kk, ci] = p
+        Q[kk, ci] = bq
+
+    # LD pair counts over kept cell pairs within each read
+    # (fragment.rs:208-240), restricted to pairs calculate_ld can consume
+    ld_cols = ref_in_alleles & not_dense
+    if len(ci) and ld_cols.any():
+        if I <= LD_DENSE_MAX_I:
+            ld_counts = _ld_counts_dense(P, ld_cols)
+        else:
+            # giant-I fallback: packed per-read pair keys
+            pair_keys: List[np.ndarray] = []
+            I4 = 4 * I  # packed key: i1*(4I) + i2*4 + a1*2 + a2
+            bounds = np.zeros(K + 1, np.int64)
+            np.cumsum(np.bincount(kk, minlength=K), out=bounds[1:])
+            ld_ok = ld_cols[ci]
+            for k in range(K):
+                seg = slice(bounds[k], bounds[k + 1])
+                li = ci[seg][ld_ok[seg]]
+                lp = (1 - p[seg][ld_ok[seg]].astype(np.int64)) // 2
+                m = len(li)
+                if m >= 2:
+                    ia, ib = _triu_cached(m)
+                    # candidate indices ascend within a read already
+                    pair_keys.append(li[ia] * I4 + li[ib] * 4
+                                     + lp[ia] * 2 + lp[ib])
+            if pair_keys:
+                allk = np.concatenate(pair_keys)
+                uniq, cnts = np.unique(allk, return_counts=True)
+                for key, c in zip(uniq.tolist(), cnts.tolist()):
+                    i1, rest = divmod(key, I4)
+                    i2, a = divmod(rest, 4)
+                    tbl = ld_counts.get((i1, i2))
+                    if tbl is None:
+                        tbl = np.zeros((2, 2), np.int32)
+                        ld_counts[(i1, i2)] = tbl
+                    tbl[a // 2, a % 2] += c
     hete_links = ((P != 0) & phase_site[None, :]).sum(axis=1).astype(np.int32)
     assert cfg.min_linkers > 0, "min_linkers <= 0"
     for_phasing = hete_links >= cfg.min_linkers

@@ -176,23 +176,26 @@ def run(bam_path: str, ref_path: str, output_prefix: str, cfg: CallerConfig,
             from ..io.bam import (FLAG_SECONDARY, FLAG_SUPPLEMENTARY,
                                   FLAG_UNMAPPED)
             bad = FLAG_UNMAPPED | FLAG_SECONDARY | FLAG_SUPPLEMENTARY
+            buf = bam._buf
             for reg, _ in results_sorted:
                 lo, hi, omask = bam.overlap_range(reg.chr, reg.start, reg.end)
                 keep = (omask & ((bam.flag[lo:hi] & bad) == 0)
                         # boundary-crossing reads skipped (thread.rs:340-345)
                         & (bam.pos[lo:hi] + 1 >= reg.start)
                         & (bam.ref_end[lo:hi] + 1 <= reg.end))
-                for ridx in (lo + np.nonzero(keep)[0]).tolist():
-                    r = bam.read(ridx)
+                ridxs = (lo + np.nonzero(keep)[0]).tolist()
+                qnames = bam.qnames_at(ridxs)
+                for ridx, qname in zip(ridxs, qnames):
                     tags = b""
-                    qname = r.qname
                     asg = read_assignments.get(qname)
                     if asg is not None and asg != 0:
                         tags += make_tag_bytes("HP", "i", asg)
                     ps = read_phasesets.get(qname)
                     if ps is not None:
                         tags += make_tag_bytes("PS", "i", ps)
-                    w.write_raw(r.raw_record(), extra_tags=tags)
+                    w.write_raw(
+                        buf[int(bam.rec_off[ridx]):int(bam.rec_end[ridx])],
+                        extra_tags=tags)
                     n_tagged += 1
         stage["phased_bam"] = time.monotonic() - t4
 

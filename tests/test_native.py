@@ -149,3 +149,27 @@ def test_native_bgzf_deflate_identical(rng):
         parts = [bgzf.decompress_block(data, o, b, check_crc=True)
                  for o, b in spans]
         assert b"".join(parts) == b"".join(chunks), f"level {level}"
+
+
+def test_ld_dense_equals_pair_loop(tmp_path, rng, monkeypatch):
+    """The dense Gram-matmul LD tables equal the per-read pair-key loop
+    (the giant-I fallback path)."""
+    from longcallr_tpu.phasing import fragments as F
+
+    cfg = preset("hifi-masseq").replace(min_read_length=100)
+    ref = make_reference(rng, 6000)
+    truth = plant_snps(rng, ref, n_het=10, n_hom=2)
+    path = str(tmp_path / "ld.bam")
+    simulate_bam(path, rng, ref, truth, n_reads=70, read_len=2500,
+                 err_rate=0.02, with_introns=True)
+    bam = BamFile(path)
+    region = Region(chr="chrS", start=1, end=len(ref) + 1)
+    pl = build_pileup(bam, region, ref, cfg)
+    cands = select_candidates(pl, cfg)
+    fd = get_fragments(bam, region, cands, cfg)
+    monkeypatch.setattr(F, "LD_DENSE_MAX_I", 0)    # force the pair loop
+    fl = get_fragments(bam, region, cands, cfg)
+    assert set(fd.ld_counts) == set(fl.ld_counts)
+    assert fd.ld_counts, "fixture produced no LD pairs"
+    for k in fd.ld_counts:
+        np.testing.assert_array_equal(fd.ld_counts[k], fl.ld_counts[k], err_msg=str(k))
