@@ -21,7 +21,7 @@ sums reuse the phasing kernels (CPU or TPU backend).
 from __future__ import annotations
 
 import math
-from typing import Dict, List, Tuple
+from typing import Dict, List, Optional, Tuple
 
 import jax.numpy as jnp
 import numpy as np
@@ -41,72 +41,119 @@ def _cell_terms(ct: CellTables):
     return p, l1m, lerr
 
 
+# Per-region GEMM tables. l1m/lerr are 0 at non-cells, so with
+# Tp = (p==+1 ? l1m : lerr) and Tm = (p==-1 ? l1m : lerr) every masked
+# where-sum of the assignment layer is a plain matrix product: row masks
+# (read groups) fold into a small G matrix on the left, column masks
+# (δ-sign groups) into a weight matrix on the right. T4 stacks
+# [Tp | Tm | lerr | |p|] as one [K, 4I] operand so each pass is a single
+# GEMM instead of ~20 [K,I] temporaries. Sum order changes from the naive
+# axis-sums only by f64 reassociation (oracle-tested at 1e-12).
+_T4_CACHE: List[Tuple[CellTables, np.ndarray]] = []
+
+
+def _t4(ct: CellTables) -> np.ndarray:
+    for c, t4 in _T4_CACHE:
+        if c.p is ct.p:
+            return t4
+    p, l1m, lerr = _cell_terms(ct)
+    tp = np.where(p == 1.0, l1m, lerr)
+    tm = np.where(p == -1.0, l1m, lerr)
+    t4 = np.concatenate([tp, tm, lerr, np.abs(p)], axis=1)
+    _T4_CACHE.append((ct, t4))
+    if len(_T4_CACHE) > 8:
+        del _T4_CACHE[0]
+    return t4
+
+
+def _group_sums(frags: FragmentMatrix, ct: CellTables,
+                read_mask: np.ndarray) -> np.ndarray:
+    """[6, 4I] row-group sums over masked reads: rows = σ=+1, σ=−1, σ=0,
+    assignment==1, assignment==2, all; column blocks = Tp, Tm, lerr, |p|."""
+    t4 = _t4(ct)
+    sig = frags.haplotag
+    G = np.stack([read_mask & (sig == 1), read_mask & (sig == -1),
+                  read_mask & (sig == 0),
+                  read_mask & (frags.assignment == 1),
+                  read_mask & (frags.assignment == 2),
+                  read_mask]).astype(np.float64)
+    return G @ t4
+
+
 def assign_reads_haplotype(frags: FragmentMatrix, cands: CandidateSet,
                            cfg: CallerConfig, ct: CellTables,
                            apply_downsampling: bool) -> Dict[str, int]:
     """snpfrags.rs:548-625. Mutates frags.{haplotag, assignment,
     assignment_score}; returns read_id → 0/1/2."""
     K, I = frags.p.shape
-    p, l1m, lerr = _cell_terms(ct)
     col = (cands.for_phasing & (cands.haplotype != 0)
            & (cands.genotype == 0))
     delta = cands.haplotype.astype(np.float64)
-    # all gathered cells have eta==0 → x = σ·δ
-    m = (frags.p != 0) & col[None, :]
-    x_plus = delta[None, :]          # σ=+1
-    tp = np.where(m, np.where(p == x_plus, l1m, lerr), 0.0).sum(axis=1)
-    tm = np.where(m, np.where(p == -x_plus, l1m, lerr), 0.0).sum(axis=1)
-    ncells = m.sum(axis=1)
+    # all gathered cells have eta==0 → x = σ·δ. Column δ-sign groups fold
+    # into one [4I, 3] weight matrix against the cached T4 tables:
+    # tp = Σ_i col·(δ>0 ? Tp : δ<0 ? Tm : lerr), tm the mirror, plus cov.
+    cp = (col & (delta > 0)).astype(np.float64)
+    cm = (col & (delta < 0)).astype(np.float64)
+    cz = (col & (delta == 0)).astype(np.float64)
+    z = np.zeros(I)
+    W = np.stack([np.concatenate([cp, cm, cz, z]),
+                  np.concatenate([cm, cp, cz, z]),
+                  np.concatenate([z, z, z, col.astype(np.float64)])], axis=1)
+    S = _t4(ct) @ W                  # [K, 3]
+    tp, tm, ncells = S[:, 0], S[:, 1], S[:, 2]
     d = tp + tm
 
     ds = frags.downsampled if apply_downsampling else np.ones(K, bool)
-    out: Dict[str, int] = {}
-    for k in np.nonzero(frags.for_phasing & ds)[0]:
-        sigma_k = int(frags.haplotag[k])
-        if sigma_k == 0 or ncells[k] == 0:
-            frags.assignment[k] = 0
-            frags.haplotag[k] = 0
-            frags.assignment_score[k] = 0.0
-            out[frags.qnames[k]] = 0
-            continue
-        lcur = tp[k] if sigma_k == 1 else tm[k]
-        lflip = tm[k] if sigma_k == 1 else tp[k]
-        q = 1.0 - lcur / d[k]
-        qn = 1.0 - lflip / d[k]
-        if abs(q - qn) >= cfg.min_read_assignment_diff:
-            if q >= qn:
-                frags.assignment[k] = 1 if sigma_k == 1 else 2
-                frags.assignment_score[k] = q
-            else:
-                frags.assignment[k] = 2 if sigma_k == 1 else 1
-                frags.assignment_score[k] = qn
-                frags.haplotag[k] = -sigma_k
-            out[frags.qnames[k]] = int(frags.assignment[k])
-        else:
-            frags.assignment[k] = 0
-            frags.haplotag[k] = 0
-            frags.assignment_score[k] = 0.0
-            out[frags.qnames[k]] = 0
-    return out
+    active = frags.for_phasing & ds
+    sigma = frags.haplotag.astype(np.int8)
+    live = active & (sigma != 0) & (ncells != 0)
+    plus = sigma == 1
+    with np.errstate(invalid="ignore", divide="ignore"):
+        q = 1.0 - np.where(plus, tp, tm) / d
+        qn = 1.0 - np.where(plus, tm, tp) / d
+    decided = live & (np.abs(q - qn) >= cfg.min_read_assignment_diff)
+    keep_cur = q >= qn
+    asg = np.where(decided,
+                   np.where(keep_cur, np.where(plus, 1, 2),
+                            np.where(plus, 2, 1)),
+                   0).astype(np.int8)
+    frags.assignment[active] = asg[active]
+    frags.assignment_score[active] = np.where(
+        decided, np.where(keep_cur, q, qn), 0.0)[active]
+    frags.haplotag[active] = np.where(
+        decided, np.where(keep_cur, sigma, -sigma), 0)[active].astype(np.int8)
+    from itertools import compress
+    al = active.tolist()
+    return dict(zip(compress(frags.qnames, al),
+                    (int(a) for a in compress(asg.tolist(), al))))
 
 
 def _column_sums(frags: FragmentMatrix, ct: CellTables, read_mask: np.ndarray,
-                 delta: np.ndarray):
-    """Per-SNP masked sums over cells of reads in read_mask[K] (or [K,I]):
-    returns (S_match(δ), S_flip, S_refe, S_alte, cov, n_hap1, n_hap2)."""
-    p, l1m, lerr = _cell_terms(ct)
-    if read_mask.ndim == 1:
-        read_mask = read_mask[:, None]
-    m = (frags.p != 0) & read_mask
-    sigma = frags.haplotag.astype(np.float64)
-    x = sigma[:, None] * delta[None, :]
-    s_match = np.where(m, np.where(p == x, l1m, lerr), 0.0).sum(axis=0)
-    s_flip = np.where(m, np.where(p == -x, l1m, lerr), 0.0).sum(axis=0)
-    s_refe = np.where(m, np.where(p == 1.0, l1m, lerr), 0.0).sum(axis=0)
-    s_alte = np.where(m, np.where(p == -1.0, l1m, lerr), 0.0).sum(axis=0)
-    cov = m.sum(axis=0)
-    n_h1 = (m & (frags.assignment == 1)[:, None]).sum(axis=0)
-    n_h2 = (m & (frags.assignment == 2)[:, None]).sum(axis=0)
+                 delta: np.ndarray, gs: Optional[np.ndarray] = None):
+    """Per-SNP masked sums over cells of reads in read_mask[K]:
+    returns (S_match(δ), S_flip, S_refe, S_alte, cov, n_hap1, n_hap2).
+    With x = σ_k·δ_i, the emission term is Tp when x=+1, Tm when x=−1 and
+    lerr when x=0, so every sum is a combination of the σ-group rows of
+    :func:`_group_sums` selected by the sign of δ."""
+    K, I = frags.p.shape
+    if gs is None:
+        gs = _group_sums(frags, ct, read_mask)
+    A = gs[:, 0:I]          # Σ Tp per σ-group / assignment rows
+    B = gs[:, I:2 * I]      # Σ Tm
+    E = gs[:, 2 * I:3 * I]  # Σ lerr
+    C = gs[:, 3 * I:]       # Σ |p| (cell counts)
+    dp = delta > 0
+    dm = delta < 0
+    mz = E[0] + E[1]
+    s_match = np.where(dp, A[0] + B[1],
+                       np.where(dm, B[0] + A[1], mz)) + E[2]
+    s_flip = np.where(dp, B[0] + A[1],
+                      np.where(dm, A[0] + B[1], mz)) + E[2]
+    s_refe = A[0] + A[1] + A[2]
+    s_alte = B[0] + B[1] + B[2]
+    cov = C[5].astype(np.int64)
+    n_h1 = C[3].astype(np.int64)
+    n_h2 = C[4].astype(np.int64)
     return s_match, s_flip, s_refe, s_alte, cov, n_h1, n_h2
 
 
@@ -125,17 +172,11 @@ def _snp_qs_np(s_match, s_flip, s_refe, s_alte, cov):
 
 
 def _phase_score_cols(frags: FragmentMatrix, ct: CellTables,
-                      read_mask, delta_sign: np.ndarray) -> np.ndarray:
+                      read_mask, delta_sign: np.ndarray,
+                      gs: Optional[np.ndarray] = None) -> np.ndarray:
     """-10·log10(1 - cal_phase_score_log(δ, 0, ...)) per column
     (snpfrags.rs:483, phase.rs:238-255)."""
-    p, l1m, lerr = _cell_terms(ct)
-    if read_mask.ndim == 1:
-        read_mask = read_mask[:, None]
-    m = (frags.p != 0) & read_mask
-    sigma = frags.haplotag.astype(np.float64)
-    xs = sigma[:, None] * np.ones_like(p)
-    lp = np.where(m, np.where(p == xs, l1m, lerr), 0.0).sum(axis=0)
-    lm = np.where(m, np.where(p == -xs, l1m, lerr), 0.0).sum(axis=0)
+    lp, lm = _phase_lp_lm(frags, ct, read_mask, gs)
     lcur = np.where(delta_sign > 0, lp, lm)
     with np.errstate(invalid="ignore", divide="ignore"):
         q = 1.0 - lcur / (lp + lm)
@@ -156,8 +197,12 @@ def assign_snp_haplotype_genotype(frags: FragmentMatrix, cands: CandidateSet,
     mask_a = base & (frags.assignment != 0)
     mask_b = base
     delta = cands.haplotype.astype(np.float64)
-    sm_a, sf_a, sr_a, sa_a, cov_a, h1_a, h2_a = _column_sums(frags, ct, mask_a, delta)
-    sm_b, sf_b, sr_b, sa_b, cov_b, h1_b, h2_b = _column_sums(frags, ct, mask_b, delta)
+    gs_a = _group_sums(frags, ct, mask_a)
+    gs_b = _group_sums(frags, ct, mask_b)
+    sm_a, sf_a, sr_a, sa_a, cov_a, h1_a, h2_a = _column_sums(
+        frags, ct, mask_a, delta, gs_a)
+    sm_b, sf_b, sr_b, sa_b, cov_b, h1_b, h2_b = _column_sums(
+        frags, ct, mask_b, delta, gs_b)
     vt1 = cands.variant_type == 1  # gather choice fixed BEFORE updates
     pick = lambda a, b: np.where(vt1, a, b)
     s_match, s_flip, s_refe, s_alte = (pick(sm_a, sm_b), pick(sf_a, sf_b),
@@ -167,8 +212,8 @@ def assign_snp_haplotype_genotype(frags: FragmentMatrix, cands: CandidateSet,
     n_h2 = pick(h2_a, h2_b)
     q1, q2, q3, q4 = _snp_qs_np(s_match, s_flip, s_refe, s_alte, cov)
     # phase-score column log-sums for both gather variants (δ-independent)
-    lp_a, lm_a = _phase_lp_lm(frags, ct, mask_a)
-    lp_b, lm_b = _phase_lp_lm(frags, ct, mask_b)
+    lp_a, lm_a = _phase_lp_lm(frags, ct, mask_a, gs_a)
+    lp_b, lm_b = _phase_lp_lm(frags, ct, mask_b, gs_b)
     lp = pick(lp_a, lp_b)
     lm = pick(lm_a, lm_b)
 
@@ -211,16 +256,18 @@ def assign_snp_haplotype_genotype(frags: FragmentMatrix, cands: CandidateSet,
             cands.phase_score[i] = PHASE_SCORE_SENTINEL
 
 
-def _phase_lp_lm(frags: FragmentMatrix, ct: CellTables, read_mask: np.ndarray):
-    """Column sums L(+1), L(-1) for cal_phase_score_log (x = σ·δ, η=0)."""
-    p, l1m, lerr = _cell_terms(ct)
-    if read_mask.ndim == 1:
-        read_mask = read_mask[:, None]
-    m = (frags.p != 0) & read_mask
-    sigma = frags.haplotag.astype(np.float64)
-    xs = sigma[:, None] * np.ones_like(p)
-    lp = np.where(m, np.where(p == xs, l1m, lerr), 0.0).sum(axis=0)
-    lm = np.where(m, np.where(p == -xs, l1m, lerr), 0.0).sum(axis=0)
+def _phase_lp_lm(frags: FragmentMatrix, ct: CellTables, read_mask: np.ndarray,
+                 gs: Optional[np.ndarray] = None):
+    """Column sums L(+1), L(-1) for cal_phase_score_log (x = σ·δ, η=0):
+    the δ=+1 column of the same σ-group decomposition."""
+    K, I = frags.p.shape
+    if gs is None:
+        gs = _group_sums(frags, ct, read_mask)
+    A = gs[:, 0:I]
+    B = gs[:, I:2 * I]
+    E = gs[:, 2 * I:3 * I]
+    lp = A[0] + B[1] + E[2]
+    lm = B[0] + A[1] + E[2]
     return lp, lm
 
 
@@ -236,12 +283,13 @@ def _eval_rescue(frags: FragmentMatrix, cands: CandidateSet,
     ds = frags.downsampled if apply_downsampling else np.ones(K, bool)
     gmask = (frags.for_phasing & (frags.assignment != 0)
              & (frags.num_hete_links >= cfg.min_linkers) & ds)
-    m = (frags.p != 0) & gmask[:, None]
-    cov = m.sum(axis=0)
-    n_h1 = (m & (frags.assignment == 1)[:, None]).sum(axis=0)
-    n_h2 = (m & (frags.assignment == 2)[:, None]).sum(axis=0)
-    ps1 = _phase_score_cols(frags, ct, gmask, np.ones(I))
-    ps2 = _phase_score_cols(frags, ct, gmask, -np.ones(I))
+    gs = _group_sums(frags, ct, gmask)
+    C = gs[:, 3 * I:]
+    cov = C[5].astype(np.int64)
+    n_h1 = C[3].astype(np.int64)
+    n_h2 = C[4].astype(np.int64)
+    ps1 = _phase_score_cols(frags, ct, gmask, np.ones(I), gs)
+    ps2 = _phase_score_cols(frags, ct, gmask, -np.ones(I), gs)
     has_cover = (frags.p != 0).any(axis=0)
     for i in idx.tolist():
         if not has_cover[i]:
