@@ -456,20 +456,52 @@ int pileup_fill_mt(const uint8_t* data, const int64_t* rec_off,
         std::vector<int32_t> i32;  // cnt(4P) nint(P) ndel(P) nins(P) fwd(P)
                                    // bwd(P) strands(8P) ts(2P) bq(4P)
         std::vector<double> f64;   // s_err(4P) s_1merr(4P)
+        int64_t jlo = 0, jhi = 0;  // column span touched by the chunk
     };
     std::vector<Buf> bufs(T);
-    for (auto& b : bufs) { b.i32.assign(23 * P, 0); b.f64.assign(8 * P, 0.0); }
+    for (auto& b : bufs) { b.i32.resize(23 * P); b.f64.resize(8 * P); }
     std::vector<int> errs(T, 0);
+    // reads are coordinate-sorted, so each chunk touches only a narrow
+    // column window: clear and reduce just that span (every plane group is
+    // per-column contiguous — cnt[P,4], strands[P,8], ts[P,2], ...)
+    auto chunk_span = [&](int64_t r0, int64_t r1, int64_t& jlo, int64_t& jhi) {
+        jlo = P; jhi = 0;
+        for (int64_t r = r0; r < r1; ++r) {
+            RecView v = view_record(data, rec_off[r], rec_end[r]);
+            int64_t ref_len = 0;
+            for (int ci = 0; ci < v.n_cigar; ++ci) {
+                uint32_t w = v.cigar[ci];
+                int op = w & 0xF;
+                if (op == 0 || op == 2 || op == 3 || op == 7 || op == 8)
+                    ref_len += (int64_t)(w >> 4);
+            }
+            int64_t lo = v.pos - start0;
+            // +1 slack: n_ins counts land at pv-1, poly-A windows stay within
+            int64_t hi = lo + ref_len + 1;
+            jlo = std::min(jlo, std::max<int64_t>(0, lo));
+            jhi = std::max(jhi, std::min(P, hi));
+        }
+        if (jlo > jhi) { jlo = 0; jhi = 0; }
+    };
     for (int k0 = 0; k0 < C; k0 += T) {
         int nb = std::min(T, C - k0);
         auto work = [&](int t) {
             int k = k0 + t;
             int64_t r0 = n_reads * k / C, r1 = n_reads * (k + 1) / C;
             Buf& b = bufs[t];
-            std::fill(b.i32.begin(), b.i32.end(), 0);
-            std::fill(b.f64.begin(), b.f64.end(), 0.0);
+            chunk_span(r0, r1, b.jlo, b.jhi);
             int32_t* p32 = b.i32.data();
             double* p64 = b.f64.data();
+            const int64_t jl = b.jlo, n = b.jhi - b.jlo;
+            auto clr32 = [&](int64_t base, int w) {
+                std::memset(p32 + base + w * jl, 0,
+                            sizeof(int32_t) * w * n);
+            };
+            clr32(0, 4); clr32(4 * P, 1); clr32(5 * P, 1); clr32(6 * P, 1);
+            clr32(7 * P, 1); clr32(8 * P, 1); clr32(9 * P, 8);
+            clr32(17 * P, 2); clr32(19 * P, 4);
+            std::memset(p64 + 4 * jl, 0, sizeof(double) * 4 * n);
+            std::memset(p64 + 4 * P + 4 * jl, 0, sizeof(double) * 4 * n);
             int rc = pileup_fill_range(
                 data, rec_off, rec_end, r0, r1, start0, P, ref_window,
                 is_ont, dist_end, polya_len, min_baseq, log_err, log_1merr,
@@ -484,19 +516,24 @@ int pileup_fill_mt(const uint8_t* data, const int64_t* rec_off,
         for (int t = 0; t < nb; ++t) {       // reduce in chunk order
             const int32_t* p32 = bufs[t].i32.data();
             const double* p64 = bufs[t].f64.data();
-            for (int64_t j = 0; j < 4 * P; ++j) cnt[j] += p32[j];
-            for (int64_t j = 0; j < P; ++j) {
+            const int64_t jl = bufs[t].jlo, jh = bufs[t].jhi;
+            for (int64_t j = 4 * jl; j < 4 * jh; ++j) cnt[j] += p32[j];
+            for (int64_t j = jl; j < jh; ++j) {
                 n_intron[j] += p32[4 * P + j];
                 n_del[j] += p32[5 * P + j];
                 n_ins[j] += p32[6 * P + j];
                 fwd[j] += p32[7 * P + j];
                 bwd[j] += p32[8 * P + j];
             }
-            for (int64_t j = 0; j < 8 * P; ++j) strands[j] += p32[9 * P + j];
-            for (int64_t j = 0; j < 2 * P; ++j) ts_out[j] += p32[17 * P + j];
-            for (int64_t j = 0; j < 4 * P; ++j) bq_pass[j] += p32[19 * P + j];
-            for (int64_t j = 0; j < 4 * P; ++j) s_err[j] += p64[j];
-            for (int64_t j = 0; j < 4 * P; ++j) s_1merr[j] += p64[4 * P + j];
+            for (int64_t j = 8 * jl; j < 8 * jh; ++j)
+                strands[j] += p32[9 * P + j];
+            for (int64_t j = 2 * jl; j < 2 * jh; ++j)
+                ts_out[j] += p32[17 * P + j];
+            for (int64_t j = 4 * jl; j < 4 * jh; ++j) {
+                bq_pass[j] += p32[19 * P + j];
+                s_err[j] += p64[j];
+                s_1merr[j] += p64[4 * P + j];
+            }
         }
     }
     for (int e : errs) if (e) return e;
