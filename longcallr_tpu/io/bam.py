@@ -650,6 +650,62 @@ def encode_cigar(ops_lens: List[Tuple[int, str]]) -> np.ndarray:
     return out
 
 
+def write_tagged_records(bam: "BamFile", ridxs, read_assignments,
+                         read_phasesets, writer: "BamWriter") -> int:
+    """Append records ``ridxs`` to ``writer`` with HP:i/PS:i aux tags looked
+    up by read name (thread.rs:350-357): HP only when the assignment is
+    nonzero, PS whenever the read has one. One native pass assembles the
+    whole uncompressed stream; Python fallback writes per record. Single
+    writer at a time (shares a process-global staging buffer)."""
+    qnames = bam.qnames_at(ridxs)
+    n = len(ridxs)
+    if n == 0:
+        return 0
+    try:
+        from .. import native
+        nlib = native.lib()
+    except Exception:
+        nlib = None
+    if nlib is not None and hasattr(nlib, "bam_emit_tagged"):
+        import ctypes
+
+        from .bgzf import _scratch_buf
+        hp = np.fromiter((read_assignments.get(q) or 0 for q in qnames),
+                         np.int32, count=n)
+        ps = np.fromiter((read_phasesets.get(q) or 0 for q in qnames),
+                         np.int32, count=n)
+        ps_has = np.fromiter((q in read_phasesets for q in qnames),
+                             np.uint8, count=n)
+        off = bam.rec_off[ridxs].astype(np.int64)
+        end = bam.rec_end[ridxs].astype(np.int64)
+        cap = int((end - off).sum()) + 18 * n + 64
+        out = _scratch_buf("bam_emit", cap)
+        data = np.frombuffer(bam._data, dtype=np.uint8)
+        u8p = ctypes.POINTER(ctypes.c_uint8)
+        i64p = ctypes.POINTER(ctypes.c_int64)
+        i32p = ctypes.POINTER(ctypes.c_int32)
+        ptr = lambda a, t: a.ctypes.data_as(t)
+        w = nlib.bam_emit_tagged(
+            ptr(data, u8p), ptr(off, i64p), ptr(end, i64p), n,
+            ptr(hp, i32p), ptr(ps, i32p), ptr(ps_has, u8p),
+            ptr(out, u8p), cap)
+        if w >= 0:
+            writer._w.write(memoryview(out)[:int(w)])
+            return n
+    buf = bam._buf
+    for ridx, qname in zip(ridxs, qnames):
+        tags = b""
+        asg = read_assignments.get(qname)
+        if asg is not None and asg != 0:
+            tags += make_tag_bytes("HP", "i", asg)
+        psv = read_phasesets.get(qname)
+        if psv is not None:
+            tags += make_tag_bytes("PS", "i", psv)
+        writer.write_raw(buf[int(bam.rec_off[ridx]):int(bam.rec_end[ridx])],
+                         extra_tags=tags)
+    return n
+
+
 def make_tag_bytes(tag: str, typ: str, value) -> bytes:
     """Encode one aux tag (e.g. HP:i, PS:i, de:f, ts:A)."""
     head = tag.encode()

@@ -289,13 +289,31 @@ class BgzfWriter:
         self._threads = threads
         self._pending: List[bytes] = []
 
-    def write(self, data: bytes) -> None:
-        self._buf += data
-        while len(self._buf) >= MAX_BLOCK_SIZE:
-            self._pending.append(bytes(self._buf[:MAX_BLOCK_SIZE]))
-            del self._buf[:MAX_BLOCK_SIZE]
-            if len(self._pending) >= 64:
-                self._flush_pending()
+    def write(self, data) -> None:
+        # slice fixed 64KiB chunks straight off the input (memoryview, no
+        # O(n²) buffer shifting for multi-MB writes); identical chunking —
+        # and therefore identical output bytes — to the simple loop form
+        mv = memoryview(data)
+        n = len(mv)
+        pos = 0
+        if self._buf:
+            take = min(MAX_BLOCK_SIZE - len(self._buf), n)
+            self._buf += mv[:take]
+            pos = take
+            if len(self._buf) >= MAX_BLOCK_SIZE:
+                self._pending.append(bytes(self._buf))
+                self._buf.clear()
+                self._maybe_flush()
+        while n - pos >= MAX_BLOCK_SIZE:
+            self._pending.append(bytes(mv[pos:pos + MAX_BLOCK_SIZE]))
+            pos += MAX_BLOCK_SIZE
+            self._maybe_flush()
+        if pos < n:
+            self._buf += mv[pos:]
+
+    def _maybe_flush(self) -> None:
+        if len(self._pending) >= 64:
+            self._flush_pending()
 
     def _flush_pending(self) -> None:
         if not self._pending:

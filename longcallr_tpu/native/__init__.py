@@ -78,6 +78,13 @@ def _declare(lib: ctypes.CDLL) -> None:
         _u8p, _i64p, _i64p, ctypes.c_int64,
         _i64p, _u8p, _u8p, _u8p, _u8p, ctypes.c_int64,
         _i32p, _i8p, _u8p, _i64p, ctypes.c_int64]
+    try:
+        lib.bam_emit_tagged.restype = ctypes.c_int64
+        lib.bam_emit_tagged.argtypes = [
+            _u8p, _i64p, _i64p, ctypes.c_int64, _i32p, _i32p, _u8p,
+            _u8p, ctypes.c_int64]
+    except AttributeError:  # stale .so
+        pass
     lib.scan_bam_records.restype = ctypes.c_int64
     lib.scan_bam_records.argtypes = [
         _u8p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,

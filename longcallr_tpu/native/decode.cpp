@@ -541,6 +541,39 @@ int pileup_fill_mt(const uint8_t* data, const int64_t* rec_off,
 }
 
 // ---------------------------------------------------------------------------
+// bam_emit_tagged
+// ---------------------------------------------------------------------------
+
+// Emit n BAM records into one uncompressed stream: per record a little-endian
+// u32 block_size, the raw record bytes [off, end), then optional appended
+// aux tags HP:i (when hp != 0) and PS:i (when ps_has). Mirrors the Python
+// writer loop of pipeline/caller.py (thread.rs:350-357 push_aux semantics).
+// Returns total bytes written, or -1 if out_cap would be exceeded.
+int64_t bam_emit_tagged(const uint8_t* data, const int64_t* off,
+                        const int64_t* end, int64_t n, const int32_t* hp,
+                        const int32_t* ps, const uint8_t* ps_has,
+                        uint8_t* out, int64_t out_cap) {
+    int64_t w = 0;
+    for (int64_t r = 0; r < n; ++r) {
+        int64_t len = end[r] - off[r];
+        int64_t extra = (hp[r] != 0 ? 7 : 0) + (ps_has[r] ? 7 : 0);
+        if (w + 4 + len + extra > out_cap) return -1;
+        uint32_t bs = (uint32_t)(len + extra);
+        std::memcpy(out + w, &bs, 4); w += 4;
+        std::memcpy(out + w, data + off[r], (size_t)len); w += len;
+        if (hp[r] != 0) {
+            out[w] = 'H'; out[w + 1] = 'P'; out[w + 2] = 'i';
+            std::memcpy(out + w + 3, hp + r, 4); w += 7;
+        }
+        if (ps_has[r]) {
+            out[w] = 'P'; out[w + 1] = 'S'; out[w + 2] = 'i';
+            std::memcpy(out + w + 3, ps + r, 4); w += 7;
+        }
+    }
+    return w;
+}
+
+// ---------------------------------------------------------------------------
 // fragment_cells
 // ---------------------------------------------------------------------------
 

@@ -17,7 +17,8 @@ from typing import Dict, List, Optional, Sequence, Tuple
 import numpy as np
 
 from ..config import CallerConfig
-from ..io.bam import BamFile, BamWriter, make_tag_bytes
+from ..io.bam import (BamFile, BamWriter, make_tag_bytes,
+                      write_tagged_records)
 from ..io.fasta import FastaFile
 from ..io.vcf import load_input_candidates, write_vcf_header
 from ..tiles.regions import Region, extract_isolated_regions_parallel
@@ -104,6 +105,11 @@ def run(bam_path: str, ref_path: str, output_prefix: str, cfg: CallerConfig,
     if ckpt.n_done:
         log.info("resume: %d regions already completed", ckpt.n_done)
 
+    # one region per pool worker, single-threaded inside (the rayon layout;
+    # see _run_batched)
+    cfg_task = (cfg.replace(threads=1)
+                if cfg.threads > 1 and len(regions) > 1 else cfg)
+
     def work(reg: Region) -> RegionResult:
         done = ckpt.get(reg)
         if done is not None:
@@ -114,7 +120,7 @@ def run(bam_path: str, ref_path: str, output_prefix: str, cfg: CallerConfig,
             exon_mask = _exon_mask_for(reg, exon_regions)
             if exon_mask is None:
                 return RegionResult(reg, [], {}, {}, 0, 0)
-        res = process_region(bam, reg, ref_seq, cfg,
+        res = process_region(bam, reg, ref_seq, cfg_task,
                              input_candidates=input_candidates,
                              exon_mask=exon_mask)
         if res.n_fragments > 0:
@@ -176,7 +182,6 @@ def run(bam_path: str, ref_path: str, output_prefix: str, cfg: CallerConfig,
             from ..io.bam import (FLAG_SECONDARY, FLAG_SUPPLEMENTARY,
                                   FLAG_UNMAPPED)
             bad = FLAG_UNMAPPED | FLAG_SECONDARY | FLAG_SUPPLEMENTARY
-            buf = bam._buf
             for reg, _ in results_sorted:
                 lo, hi, omask = bam.overlap_range(reg.chr, reg.start, reg.end)
                 keep = (omask & ((bam.flag[lo:hi] & bad) == 0)
@@ -184,19 +189,8 @@ def run(bam_path: str, ref_path: str, output_prefix: str, cfg: CallerConfig,
                         & (bam.pos[lo:hi] + 1 >= reg.start)
                         & (bam.ref_end[lo:hi] + 1 <= reg.end))
                 ridxs = (lo + np.nonzero(keep)[0]).tolist()
-                qnames = bam.qnames_at(ridxs)
-                for ridx, qname in zip(ridxs, qnames):
-                    tags = b""
-                    asg = read_assignments.get(qname)
-                    if asg is not None and asg != 0:
-                        tags += make_tag_bytes("HP", "i", asg)
-                    ps = read_phasesets.get(qname)
-                    if ps is not None:
-                        tags += make_tag_bytes("PS", "i", ps)
-                    w.write_raw(
-                        buf[int(bam.rec_off[ridx]):int(bam.rec_end[ridx])],
-                        extra_tags=tags)
-                    n_tagged += 1
+                n_tagged += write_tagged_records(
+                    bam, ridxs, read_assignments, read_phasesets, w)
         stage["phased_bam"] = time.monotonic() - t4
 
     stage["total"] = time.monotonic() - t0
@@ -279,6 +273,9 @@ def run_streaming(bam_path: str, ref_path: str, output_prefix: str,
                 n_regions_total += len(regions)
                 ref_seq = fasta.fetch(chrom)
 
+                cfg_task = (cfg.replace(threads=1)
+                            if cfg.threads > 1 and len(regions) > 1 else cfg)
+
                 def work(reg: Region) -> RegionResult:
                     done = ckpt.get(reg)
                     if done is not None:
@@ -288,7 +285,7 @@ def run_streaming(bam_path: str, ref_path: str, output_prefix: str,
                         exon_mask = _exon_mask_for(reg, exon_regions)
                         if exon_mask is None:
                             return RegionResult(reg, [], {}, {}, 0, 0)
-                    res = process_region(win, reg, ref_seq, cfg,
+                    res = process_region(win, reg, ref_seq, cfg_task,
                                          input_candidates=input_candidates,
                                          exon_mask=exon_mask)
                     ckpt.put(res)
@@ -325,18 +322,10 @@ def run_streaming(bam_path: str, ref_path: str, output_prefix: str,
                         keep = (omask & ((win.flag[lo:hi] & bad) == 0)
                                 & (win.pos[lo:hi] + 1 >= reg.start)
                                 & (win.ref_end[lo:hi] + 1 <= reg.end))
-                        for ridx in (lo + np.nonzero(keep)[0]).tolist():
-                            r = win.read(ridx)
-                            tags = b""
-                            asg = read_assignments.get(r.qname)
-                            if asg is not None and asg != 0:
-                                tags += make_tag_bytes("HP", "i", asg)
-                            ps = read_phasesets.get(r.qname)
-                            if ps is not None:
-                                tags += make_tag_bytes("PS", "i", ps)
-                            w = writer
-                            w.write_raw(r.raw_record(), extra_tags=tags)
-                            n_tagged += 1
+                        ridxs = (lo + np.nonzero(keep)[0]).tolist()
+                        n_tagged += write_tagged_records(
+                            win, ridxs, read_assignments, read_phasesets,
+                            writer)
                 del win
                 fasta.evict(chrom)
     finally:
@@ -381,6 +370,12 @@ def _run_batched(bam, fasta, regions, cfg, input_candidates, exon_regions,
     results: List[Optional[RegionResult]] = [None] * len(regions)
     prepared: List[Optional[tuple]] = [None] * len(regions)
 
+    pooled = cfg.threads > 1 and len(regions) > 1
+    # one region per pool worker, single-threaded inside (the rayon layout):
+    # the native decode releases the GIL, so the pool parallelises it without
+    # nested thread oversubscription
+    cfg_task = cfg.replace(threads=1) if pooled else cfg
+
     def prep(i_reg):
         i, reg = i_reg
         done = ckpt.get(reg)
@@ -395,11 +390,11 @@ def _run_batched(bam, fasta, regions, cfg, input_candidates, exon_regions,
                 return
         ref_seq = fasta.fetch(reg.chr)
         cands, frags, apply_ds = prepare_region(
-            bam, reg, ref_seq, cfg, input_candidates, exon_mask)
+            bam, reg, ref_seq, cfg_task, input_candidates, exon_mask)
         prepared[i] = (cands, frags, apply_ds)
 
     items = list(enumerate(regions))
-    if cfg.threads > 1 and len(items) > 1:
+    if pooled:
         with ThreadPoolExecutor(max_workers=cfg.threads) as ex:
             list(ex.map(prep, items))
     else:
@@ -417,17 +412,12 @@ def _run_batched(bam, fasta, regions, cfg, input_candidates, exon_regions,
     states = phase_regions_batched(phase_items, cfg, mesh=mesh)
     st_by_region = {phase_index[j]: states[j] for j in range(len(phase_index))}
 
-    def fin(i):
+    # finalize is GEMM/numpy-bound (GIL-held dispatch dominates at this
+    # size), so a thread pool only adds contention — run it serially
+    for i in todo:
         cands, frags, apply_ds = prepared[i]
         res = finalize_region(regions[i], cands, frags,
                               st_by_region.get(i), cfg, apply_ds)
         ckpt.put(res)
         results[i] = res
-
-    if cfg.threads > 1 and len(todo) > 1:
-        with ThreadPoolExecutor(max_workers=cfg.threads) as ex:
-            list(ex.map(fin, todo))
-    else:
-        for i in todo:
-            fin(i)
     return results

@@ -25,6 +25,7 @@ def tune(mmap_threshold: int = 1 << 30, trim_threshold: int = 1 << 30) -> bool:
     global _done
     if _done:
         return True
+    limit_blas_threads()
     try:
         libc = ctypes.CDLL(ctypes.util.find_library("c") or "libc.so.6",
                            use_errno=True)
@@ -34,3 +35,20 @@ def tune(mmap_threshold: int = 1 << 30, trim_threshold: int = 1 << 30) -> bool:
     except Exception:
         _done = False
     return _done
+
+
+def limit_blas_threads(n: int = 1) -> None:
+    """Pin BLAS pools to one thread: the pipeline's GEMMs are small
+    ([reads, 4·snps] and alike) and already run under a region thread pool,
+    so OpenBLAS's own pthreads only add sync overhead and oversubscription."""
+    global _blas_limiter
+    try:
+        import threadpoolctl
+        # keep a reference: the limiter object restores original limits when
+        # used as a context manager, never let it participate in one
+        _blas_limiter = threadpoolctl.threadpool_limits(n, user_api="blas")
+    except Exception:
+        pass
+
+
+_blas_limiter = None
