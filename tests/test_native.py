@@ -173,3 +173,49 @@ def test_ld_dense_equals_pair_loop(tmp_path, rng, monkeypatch):
     assert fd.ld_counts, "fixture produced no LD pairs"
     for k in fd.ld_counts:
         np.testing.assert_array_equal(fd.ld_counts[k], fl.ld_counts[k], err_msg=str(k))
+
+
+def test_write_tagged_records_native_equals_fallback(tmp_path, rng, monkeypatch):
+    """bam_emit_tagged produces the same records as the per-read Python
+    writer loop (HP only when nonzero, PS when present)."""
+    from longcallr_tpu.io import bam as B
+
+    cfg = preset("hifi-masseq").replace(min_read_length=100)
+    ref = make_reference(rng, 4000)
+    truth = plant_snps(rng, ref, n_het=4, n_hom=1)
+    src = str(tmp_path / "src.bam")
+    simulate_bam(src, rng, ref, truth, n_reads=40, read_len=1500,
+                 err_rate=0.02)
+    bam = BamFile(src)
+    ridxs = list(range(bam.n_records))
+    qn = bam.qnames_at(ridxs)
+    assignments = {q: int(rng.integers(0, 3)) for q in qn[::2]}
+    phasesets = {q: int(rng.integers(1, 10000)) for q in qn[::3]}
+
+    def emit(path, force_fallback):
+        if force_fallback:
+            monkeypatch.setattr(B, "make_tag_bytes", B.make_tag_bytes)
+            import longcallr_tpu.native as N
+            monkeypatch.setattr(N, "lib", lambda: None)
+        else:
+            monkeypatch.undo()
+        with B.BamWriter(path, bam.references, bam.lengths,
+                         header_text=bam.header_text) as w:
+            B.write_tagged_records(bam, ridxs, assignments, phasesets, w)
+
+    pa, pb = str(tmp_path / "a.bam"), str(tmp_path / "b.bam")
+    emit(pa, False)
+    emit(pb, True)
+    a, b = BamFile(pa), BamFile(pb)
+    assert a.n_records == b.n_records == len(ridxs)
+    n_hp = n_ps = 0
+    for i in range(a.n_records):
+        ra, rb = a.read(i), b.read(i)
+        assert ra.raw_record() == rb.raw_record(), i
+        if assignments.get(ra.qname):
+            assert ra.get_tag("HP") == assignments[ra.qname]
+            n_hp += 1
+        if ra.qname in phasesets:
+            assert ra.get_tag("PS") == phasesets[ra.qname]
+            n_ps += 1
+    assert n_hp and n_ps
