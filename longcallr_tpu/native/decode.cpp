@@ -475,9 +475,11 @@ int pileup_fill_mt(const uint8_t* data, const int64_t* rec_off,
                 if (op == 0 || op == 2 || op == 3 || op == 7 || op == 8)
                     ref_len += (int64_t)(w >> 4);
             }
-            int64_t lo = v.pos - start0;
-            // +1 slack: n_ins counts land at pv-1, poly-A windows stay within
-            int64_t hi = lo + ref_len + 1;
+            // ±1 slack: a leading insertion writes n_ins[pv-1] one column
+            // BELOW the read start, and n_ins at the read end lands at pv-1
+            // past the last M column
+            int64_t lo = v.pos - start0 - 1;
+            int64_t hi = v.pos - start0 + ref_len + 1;
             jlo = std::min(jlo, std::max<int64_t>(0, lo));
             jhi = std::max(jhi, std::min(P, hi));
         }

@@ -208,7 +208,7 @@ def serialize_outputs(bam, fasta, regions: Sequence[Region],
     phased_bam_path = None
     if not cfg.no_bam_output:
         from ..io.bam import (FLAG_SECONDARY, FLAG_SUPPLEMENTARY,
-                              FLAG_UNMAPPED, BamWriter, make_tag_bytes)
+                              FLAG_UNMAPPED, BamWriter)
         read_assignments: Dict[str, int] = {}
         read_phasesets: Dict[str, int] = {}
         for i in idx_sorted:
@@ -223,22 +223,16 @@ def serialize_outputs(bam, fasta, regions: Sequence[Region],
                        header_text=bam.header_text,
                        level=cfg.bam_compression_level,
                        threads=max(1, cfg.threads)) as w:
+            from ..io.bam import write_tagged_records
             for i in idx_sorted:
                 reg = regions[i]
                 lo, hi, omask = bam.overlap_range(reg.chr, reg.start, reg.end)
                 keep = (omask & ((bam.flag[lo:hi] & bad) == 0)
                         & (bam.pos[lo:hi] + 1 >= reg.start)
                         & (bam.ref_end[lo:hi] + 1 <= reg.end))
-                for ridx in (lo + np.nonzero(keep)[0]).tolist():
-                    r = bam.read(ridx)
-                    tags = b""
-                    asg = read_assignments.get(r.qname)
-                    if asg is not None and asg != 0:
-                        tags += make_tag_bytes("HP", "i", asg)
-                    ps = read_phasesets.get(r.qname)
-                    if ps is not None:
-                        tags += make_tag_bytes("PS", "i", ps)
-                    w.write_raw(r.raw_record(), extra_tags=tags)
+                ridxs = (lo + np.nonzero(keep)[0]).tolist()
+                write_tagged_records(bam, ridxs, read_assignments,
+                                     read_phasesets, w)
     return {"process": 0, "vcf_path": vcf_path,
             "phased_bam_path": phased_bam_path, "n_regions": len(regions),
             "n_retried": n_retried}

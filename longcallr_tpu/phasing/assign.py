@@ -49,20 +49,25 @@ def _cell_terms(ct: CellTables):
 # [Tp | Tm | lerr | |p|] as one [K, 4I] operand so each pass is a single
 # GEMM instead of ~20 [K,I] temporaries. Sum order changes from the naive
 # axis-sums only by f64 reassociation (oracle-tested at 1e-12).
-_T4_CACHE: List[Tuple[CellTables, np.ndarray]] = []
+#
+# The cache is a thread-local single entry: a ct only repeats within one
+# region's run of assignment passes (engine.py builds a fresh ct per
+# region), so one slot per worker thread gives all the hits with no
+# retention of completed regions' [K,4I] tables.
+import threading as _threading
+
+_t4_local = _threading.local()
 
 
 def _t4(ct: CellTables) -> np.ndarray:
-    for c, t4 in _T4_CACHE:
-        if c.p is ct.p:
-            return t4
+    hit = getattr(_t4_local, "entry", None)
+    if hit is not None and hit[0] is ct.p:
+        return hit[1]
     p, l1m, lerr = _cell_terms(ct)
     tp = np.where(p == 1.0, l1m, lerr)
     tm = np.where(p == -1.0, l1m, lerr)
     t4 = np.concatenate([tp, tm, lerr, np.abs(p)], axis=1)
-    _T4_CACHE.append((ct, t4))
-    if len(_T4_CACHE) > 8:
-        del _T4_CACHE[0]
+    _t4_local.entry = (ct.p, t4)
     return t4
 
 

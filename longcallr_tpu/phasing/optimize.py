@@ -228,10 +228,18 @@ USE_F32_KERNELS: Optional[bool] = (None if _F32_ENV is None
 
 def _f32_mode() -> bool:
     """Resolve the tri-state at trace time (the backend is initialised by
-    then; resolving at import would trigger device init)."""
+    then; resolving at import would trigger device init). Auto keys on the
+    device the program will actually run on: small per-region problems are
+    routed to the host CPU backend via jax.default_device (see
+    utils/device.py), where the two-matmul hi/lo split only adds work —
+    jax includes jax_default_device in the jit trace context, so the mode
+    re-resolves per placement."""
     if USE_F32_KERNELS is not None:
         return USE_F32_KERNELS
     try:
+        dev = jax.config.jax_default_device
+        if dev is not None:
+            return dev.platform != "cpu"
         return jax.default_backend() != "cpu"
     except Exception:
         return False

@@ -17,8 +17,7 @@ from typing import Dict, List, Optional, Sequence, Tuple
 import numpy as np
 
 from ..config import CallerConfig
-from ..io.bam import (BamFile, BamWriter, make_tag_bytes,
-                      write_tagged_records)
+from ..io.bam import BamFile, BamWriter, write_tagged_records
 from ..io.fasta import FastaFile
 from ..io.vcf import load_input_candidates, write_vcf_header
 from ..tiles.regions import Region, extract_isolated_regions_parallel
@@ -246,8 +245,7 @@ def run_streaming(bam_path: str, ref_path: str, output_prefix: str,
     writer = None
     n_regions_total = n_records = n_phased = n_tagged = 0
     n_assigned = n_frag_total = n_cand_total = 0
-    from ..io.bam import (FLAG_SECONDARY, FLAG_SUPPLEMENTARY, FLAG_UNMAPPED,
-                          make_tag_bytes)
+    from ..io.bam import FLAG_SECONDARY, FLAG_SUPPLEMENTARY, FLAG_UNMAPPED
     bad = FLAG_UNMAPPED | FLAG_SECONDARY | FLAG_SUPPLEMENTARY
     try:
         with open(vcf_path, "w") as vf:

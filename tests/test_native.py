@@ -219,3 +219,31 @@ def test_write_tagged_records_native_equals_fallback(tmp_path, rng, monkeypatch)
             assert ra.get_tag("PS") == phasesets[ra.qname]
             n_ps += 1
     assert n_hp and n_ps
+
+
+def test_native_pileup_mt_leading_insertion(tmp_path, rng, monkeypatch):
+    """Regression: a read whose first aligned op is an insertion writes
+    n_ins one column BELOW its start position; the span-restricted MT
+    reduction must include that column."""
+    from longcallr_tpu.io.bam import BamWriter
+    from longcallr_tpu.tiles import pileup as PL
+
+    ref = make_reference(rng, 3000)
+    path = str(tmp_path / "li.bam")
+    with BamWriter(path, ["chrS"], [len(ref)]) as w:
+        for k in range(64):
+            pos = 500 + 7 * k
+            seq = ("ACG" + "".join(chr(c) for c in ref[pos:pos + 800]))
+            qual = np.full(len(seq), 30, np.uint8)
+            cigar = np.asarray([(3 << 4) | 1, (800 << 4) | 0], np.uint32)
+            w.write_record(qname=f"r{k}", flag=0, ref_id=0, pos=pos,
+                           mapq=60, cigar=cigar, seq=seq.encode(), qual=qual)
+    bam = BamFile(path)
+    cfg = preset("hifi-masseq").replace(min_read_length=100)
+    region = Region(chr="chrS", start=1, end=len(ref) + 1)
+    serial = build_pileup(bam, region, ref, cfg.replace(threads=1))
+    assert serial.n_ins.sum() > 0, "fixture produced no leading insertions"
+    monkeypatch.setattr(PL, "PILEUP_MT_MIN", 1)
+    mt = build_pileup(bam, region, ref, cfg.replace(threads=4))
+    np.testing.assert_array_equal(mt.n_ins, serial.n_ins)
+    np.testing.assert_array_equal(mt.cnt, serial.cnt)
