@@ -18,9 +18,10 @@ cost is a handful of flops).
 from __future__ import annotations
 
 import math
+import os as _os
 from dataclasses import dataclass
 from functools import partial
-from typing import Optional, Tuple
+from typing import List, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -333,32 +334,105 @@ def _round_up(n: int, mult: int = 512) -> int:
     return max(mult, ((n + mult - 1) // mult) * mult)
 
 
+def _kernel_cols(pileup: PileupTensors,
+                 exon_mask: Optional[np.ndarray]) -> dict:
+    """Unpadded per-column kernel inputs for one region."""
+    P = pileup.length
+    ref_idx = np.full(P, -1, dtype=np.int8)
+    rb = pileup.ref_base
+    for i, ch in enumerate(b"ACGT"):
+        ref_idx[rb == ch] = i
+    em = np.ones(P, dtype=bool) if exon_mask is None else exon_mask
+    return dict(
+        cnt=pileup.cnt, n_del=pileup.n_del,
+        n_intron=pileup.n_intron, ts=pileup.ts,
+        strands=pileup.strands, s_err=pileup.s_err,
+        s_1merr=pileup.s_1merr, bq_pass=pileup.bq_pass,
+        ref_idx=ref_idx, exon_mask=em,
+    )
+
+
+def _pad_cols(cols: dict, Ppad: int) -> dict:
+    P = len(cols["ref_idx"])
+    pad2 = lambda a: np.pad(a, [(0, Ppad - P)] + [(0, 0)] * (a.ndim - 1))
+    out = {k: pad2(v) for k, v in cols.items()}
+    out["ref_idx"] = np.pad(cols["ref_idx"], (0, Ppad - P),
+                            constant_values=-1)
+    return out
+
+
+# column budget per batched kernel dispatch (bounds the ~30 [P]-sized f64
+# intermediates the kernel materialises)
+CAND_BATCH_COLS = int(_os.environ.get("LONGCALLR_CAND_BATCH_COLS",
+                                      str(1 << 20)))
+
+
+def select_candidates_batched(pileups: List[PileupTensors],
+                              cfg: CallerConfig,
+                              exon_masks: Optional[List[Optional[np.ndarray]]] = None
+                              ) -> List[CandidateSet]:
+    """Candidate selection for many regions in few kernel dispatches: the
+    kernel is purely per-column, so regions' columns concatenate along the
+    position axis (padding columns have cov==0 → category 0). Chunked to
+    ≤CAND_BATCH_COLS columns per dispatch; the host gather + dense-window
+    passes stay per region."""
+    if exon_masks is None:
+        exon_masks = [None] * len(pileups)
+    results: List[CandidateSet] = []
+    i = 0
+    n = len(pileups)
+    while i < n:
+        j = i + 1
+        tot = pileups[i].length
+        while j < n and tot + pileups[j].length <= CAND_BATCH_COLS:
+            tot += pileups[j].length
+            j += 1
+        group = pileups[i:j]
+        cols_list = [_kernel_cols(pl, em)
+                     for pl, em in zip(group, exon_masks[i:j])]
+        lens = [len(c["ref_idx"]) for c in cols_list]
+        Ppad = _round_up(max(1, int(np.sum(lens))))
+        cols = _pad_cols({k: np.concatenate([c[k] for c in cols_list])
+                          for k in cols_list[0]}, Ppad)
+        dev = small_problem_device(Ppad * 16)
+        if dev is not None:
+            with jax.default_device(dev):
+                out = jax.device_get(candidate_kernel(cols, cfg))
+        else:
+            out = jax.device_get(candidate_kernel(cols, cfg))
+        off = 0
+        for pl, P in zip(group, lens):
+            sl = {k: v[off:off + P] for k, v in out.items()}
+            results.append(_candidates_from_out(pl, sl, cfg))
+            off += P
+        i = j
+    return results
+
+
 def select_candidates(pileup: PileupTensors, cfg: CallerConfig,
                       exon_mask: Optional[np.ndarray] = None) -> CandidateSet:
     """Full candidate selection for one region: pad → kernel → host gather →
     dense-window passes → CandidateSet."""
     P = pileup.length
     Ppad = _round_up(P)
-    ref_idx = np.full(Ppad, -1, dtype=np.int8)
-    rb = pileup.ref_base
-    for i, ch in enumerate(b"ACGT"):
-        ref_idx[:P][rb == ch] = i
-    pad2 = lambda a: np.pad(a, [(0, Ppad - P)] + [(0, 0)] * (a.ndim - 1))
-    em = np.ones(P, dtype=bool) if exon_mask is None else exon_mask
-    cols = dict(
-        cnt=pad2(pileup.cnt), n_del=pad2(pileup.n_del),
-        n_intron=pad2(pileup.n_intron), ts=pad2(pileup.ts),
-        strands=pad2(pileup.strands), s_err=pad2(pileup.s_err),
-        s_1merr=pad2(pileup.s_1merr), bq_pass=pad2(pileup.bq_pass),
-        ref_idx=ref_idx, exon_mask=pad2(em),
-    )
+    cols = _pad_cols(_kernel_cols(pileup, exon_mask), Ppad)
     dev = small_problem_device(Ppad * 16)
     if dev is not None:
         with jax.default_device(dev):
             out = jax.device_get(candidate_kernel(cols, cfg))
     else:
         out = jax.device_get(candidate_kernel(cols, cfg))
-    cat = out["category"][:P]
+    return _candidates_from_out(pileup, {k: v[:P] for k, v in out.items()},
+                                cfg)
+
+
+def _candidates_from_out(pileup: PileupTensors, out: dict,
+                         cfg: CallerConfig) -> CandidateSet:
+    """Host gather of the kernel's per-column outputs (already sliced to the
+    region's true length) → CandidateSet + dense-window passes."""
+    P = pileup.length
+    rb = pileup.ref_base
+    cat = out["category"]
     sel = np.nonzero(cat != 0)[0]
     n = sel.shape[0]
     start0 = pileup.region.start - 1

@@ -374,30 +374,74 @@ def _run_batched(bam, fasta, regions, cfg, input_candidates, exon_regions,
     # nested thread oversubscription
     cfg_task = cfg.replace(threads=1) if pooled else cfg
 
-    def prep(i_reg):
-        i, reg = i_reg
+    # triage: checkpointed / exon-skipped regions drop out up front
+    todo_prep: List[Tuple[int, Optional[np.ndarray]]] = []
+    for i, reg in enumerate(regions):
         done = ckpt.get(reg)
         if done is not None:
             results[i] = done
-            return
+            continue
         exon_mask = None
         if cfg.exon_only and reg.gene_id is not None:
             exon_mask = _exon_mask_for(reg, exon_regions)
             if exon_mask is None:
                 results[i] = RegionResult(reg, [], {}, {}, 0, 0)
-                return
-        ref_seq = fasta.fetch(reg.chr)
-        cands, frags, apply_ds = prepare_region(
-            bam, reg, ref_seq, cfg_task, input_candidates, exon_mask)
+                continue
+        todo_prep.append((i, exon_mask))
+
+    # waves bounded by the candidate kernel's column budget: pooled pileup →
+    # one batched candidate dispatch for the wave → pooled fragments. Keeps
+    # at most a wave's pileup tensors resident.
+    from ..ops.candidates import CAND_BATCH_COLS, select_candidates_batched
+    from .engine import (STAGE_TOTALS, prepare_region_fragments,
+                         prepare_region_pileup)
+
+    def _pileup_one(item):
+        i, _ = item
+        reg = regions[i]
+        return prepare_region_pileup(bam, reg, fasta.fetch(reg.chr), cfg_task)
+
+    def _frags_one(arg):
+        i, cands = arg
+        frags, apply_ds = prepare_region_fragments(bam, regions[i], cands,
+                                                   cfg_task)
         prepared[i] = (cands, frags, apply_ds)
 
-    items = list(enumerate(regions))
-    if pooled:
-        with ThreadPoolExecutor(max_workers=cfg.threads) as ex:
-            list(ex.map(prep, items))
-    else:
-        for it in items:
-            prep(it)
+    w0 = 0
+    while w0 < len(todo_prep):
+        w1 = w0 + 1
+        tot = regions[todo_prep[w0][0]].length
+        while (w1 < len(todo_prep)
+               and tot + regions[todo_prep[w1][0]].length <= CAND_BATCH_COLS):
+            tot += regions[todo_prep[w1][0]].length
+            w1 += 1
+        wave = todo_prep[w0:w1]
+        if pooled and len(wave) > 1:
+            with ThreadPoolExecutor(max_workers=cfg.threads) as ex:
+                pileups = list(ex.map(_pileup_one, wave))
+        else:
+            pileups = [_pileup_one(it) for it in wave]
+        _t = time.monotonic()
+        if input_candidates is not None:
+            from .engine import import_external_candidates
+            cands_list = []
+            for (i, _), pl in zip(wave, pileups):
+                chr_cands = input_candidates.get(regions[i].chr, {})
+                cands_list.append(import_external_candidates(
+                    pl, fasta.fetch(regions[i].chr), chr_cands))
+        else:
+            cands_list = select_candidates_batched(
+                pileups, cfg, [em for _, em in wave])
+        STAGE_TOTALS["candidates"] += time.monotonic() - _t
+        del pileups
+        args = [(i, c) for (i, _), c in zip(wave, cands_list)]
+        if pooled and len(args) > 1:
+            with ThreadPoolExecutor(max_workers=cfg.threads) as ex:
+                list(ex.map(_frags_one, args))
+        else:
+            for a in args:
+                _frags_one(a)
+        w0 = w1
 
     todo = [i for i in range(len(regions)) if prepared[i] is not None]
     phase_items = []

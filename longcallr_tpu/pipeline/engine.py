@@ -133,6 +133,30 @@ def prepare_region(bam: BamFile, region: Region, ref_seq: np.ndarray,
     return cands, frags, apply_ds
 
 
+def prepare_region_pileup(bam: BamFile, region: Region, ref_seq: np.ndarray,
+                          cfg: CallerConfig):
+    """Pileup stage alone (the batched driver runs candidates for a whole
+    wave of regions in one kernel dispatch — ops/candidates.py
+    select_candidates_batched)."""
+    _t = time.monotonic()
+    pileup = build_pileup(bam, region, ref_seq, cfg)
+    STAGE_TOTALS["pileup"] += time.monotonic() - _t
+    return pileup
+
+
+def prepare_region_fragments(bam: BamFile, region: Region, cands,
+                             cfg: CallerConfig):
+    """Fragment stage alone; returns (frags, apply_ds)."""
+    _t = time.monotonic()
+    frags = get_fragments(bam, region, cands, cfg)
+    STAGE_TOTALS["fragments"] += time.monotonic() - _t
+    apply_ds = (cfg.downsample and cfg.downsample_depth > 0
+                and frags.n_frags >= cfg.downsample_depth)
+    if apply_ds:
+        downsample_fragments(frags, cfg.downsample_depth, 2025)
+    return frags, apply_ds
+
+
 def finalize_region(region: Region, cands, frags, st, cfg: CallerConfig,
                     apply_ds: bool) -> RegionResult:
     """Post-phasing passes: assignment, rescue, phase sets, records

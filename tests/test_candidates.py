@@ -166,3 +166,45 @@ def test_rna_edit_classification(tmp_path, rng):
     assert i.size == 1
     assert cs.rna_editing[i[0]]
     assert not cs.for_phasing[i[0]]
+
+
+def test_select_candidates_batched_equals_serial(tmp_path, rng, monkeypatch):
+    """Concatenated-column batched selection (and its wave chunking) matches
+    per-region select_candidates field for field."""
+    from longcallr_tpu import ops
+    from longcallr_tpu.config import preset
+    from longcallr_tpu.io.bam import BamFile
+    from longcallr_tpu.ops import candidates as C
+    from longcallr_tpu.tiles.pileup import build_pileup
+    from longcallr_tpu.tiles.regions import Region
+    from simulate import make_reference, plant_snps, simulate_bam
+
+    cfg = preset("hifi-masseq").replace(min_read_length=100)
+    ref = make_reference(rng, 9000)
+    truth = plant_snps(rng, ref, n_het=10, n_hom=3)
+    path = str(tmp_path / "cb.bam")
+    simulate_bam(path, rng, ref, truth, n_reads=90, read_len=2500,
+                 err_rate=0.02, with_introns=True)
+    bam = BamFile(path)
+    regions = [Region(chr="chrS", start=s, end=e)
+               for s, e in [(1, 3100), (3100, 6200), (6200, 9001)]]
+    pileups = [build_pileup(bam, r, ref, cfg) for r in regions]
+    serial = [C.select_candidates(pl, cfg) for pl in pileups]
+    for batch_cols in (1 << 20, 1):      # one wave, then one region per wave
+        monkeypatch.setattr(C, "CAND_BATCH_COLS", batch_cols)
+        batched = C.select_candidates_batched(pileups, cfg)
+        assert len(batched) == len(serial)
+        total = 0
+        for a, b in zip(batched, serial):
+            np.testing.assert_array_equal(a.pos, b.pos)
+            np.testing.assert_array_equal(a.alleles, b.alleles)
+            np.testing.assert_array_equal(a.variant_type, b.variant_type)
+            np.testing.assert_array_equal(a.genotype, b.genotype)
+            np.testing.assert_array_equal(a.dense, b.dense)
+            np.testing.assert_array_equal(a.for_phasing, b.for_phasing)
+            np.testing.assert_allclose(a.variant_quality, b.variant_quality,
+                                       rtol=1e-12, atol=1e-12)
+            np.testing.assert_allclose(a.genotype_quality, b.genotype_quality,
+                                       rtol=1e-12, atol=1e-12)
+            total += a.n
+        assert total > 0
