@@ -56,8 +56,12 @@ def build_parser() -> argparse.ArgumentParser:
                    help="Show all regions to be processed and exit")
     p.add_argument("--resume", action="store_true",
                    help="Keep a region checkpoint and skip completed regions")
-    p.add_argument("--batched", action="store_true",
-                   help="Bucketed multi-region device phasing (TPU scaling path)")
+    p.add_argument("--batched", action=argparse.BooleanOptionalAction,
+                   default=None,
+                   help="Bucketed multi-region device pipeline (batched "
+                        "candidate kernel + bucketed phasing; the TPU "
+                        "scaling path). Default: on for multi-region runs. "
+                        "--no-batched forces the per-region loop")
     p.add_argument("--stream", action="store_true",
                    help="Whole-genome mode: one contig resident at a time "
                         "(needs a .bai next to the BAM)")

@@ -69,11 +69,15 @@ def run(bam_path: str, ref_path: str, output_prefix: str, cfg: CallerConfig,
         input_vcf: Optional[str] = None, input_region: Optional[str] = None,
         contigs: Optional[Sequence[str]] = None,
         anno_path: Optional[str] = None,
-        resume: bool = False, batched: bool = False,
+        resume: bool = False, batched: Optional[bool] = False,
         mesh=None) -> CallerOutputs:
     """``resume=True`` keeps a <prefix>.regions.ckpt JSONL of completed
     regions and skips them on restart (region-granular recovery; the
-    reference restarts from scratch — SURVEY.md §5)."""
+    reference restarts from scratch — SURVEY.md §5).
+
+    ``batched=None`` resolves to the batched driver when there is more
+    than one region (its per-wave dispatch amortisation only pays off
+    then) and the per-region loop otherwise."""
     t0 = time.monotonic()
     stage: Dict[str, float] = {}
     # -r chr:start-end + a .bai beside the BAM → BAI-windowed load: only the
@@ -131,6 +135,8 @@ def run(bam_path: str, ref_path: str, output_prefix: str, cfg: CallerConfig,
     # warm the per-contig reference cache serially to avoid duplicate loads
     for chrom in {r.chr for r in regions}:
         fasta.fetch(chrom)
+    if batched is None:
+        batched = len(regions) > 1
     if batched:
         results = _run_batched(bam, fasta, regions, cfg, input_candidates,
                                exon_regions, ckpt, mesh)
