@@ -277,28 +277,27 @@ def run_streaming(bam_path: str, ref_path: str, output_prefix: str,
                 n_regions_total += len(regions)
                 ref_seq = fasta.fetch(chrom)
 
-                cfg_task = (cfg.replace(threads=1)
-                            if cfg.threads > 1 and len(regions) > 1 else cfg)
-
-                def work(reg: Region) -> RegionResult:
-                    done = ckpt.get(reg)
-                    if done is not None:
-                        return done
-                    exon_mask = None
-                    if cfg.exon_only and reg.gene_id is not None:
-                        exon_mask = _exon_mask_for(reg, exon_regions)
-                        if exon_mask is None:
-                            return RegionResult(reg, [], {}, {}, 0, 0)
-                    res = process_region(win, reg, ref_seq, cfg_task,
-                                         input_candidates=input_candidates,
-                                         exon_mask=exon_mask)
-                    ckpt.put(res)
-                    return res
-
-                if cfg.threads > 1 and len(regions) > 1:
-                    with ThreadPoolExecutor(max_workers=cfg.threads) as ex:
-                        results = list(ex.map(work, regions))
+                if len(regions) > 1:
+                    # per-contig batched pipeline (same driver as run())
+                    results = _run_batched(win, fasta, regions, cfg,
+                                           input_candidates, exon_regions,
+                                           ckpt, None)
                 else:
+                    def work(reg: Region) -> RegionResult:
+                        done = ckpt.get(reg)
+                        if done is not None:
+                            return done
+                        exon_mask = None
+                        if cfg.exon_only and reg.gene_id is not None:
+                            exon_mask = _exon_mask_for(reg, exon_regions)
+                            if exon_mask is None:
+                                return RegionResult(reg, [], {}, {}, 0, 0)
+                        res = process_region(win, reg, ref_seq, cfg,
+                                             input_candidates=input_candidates,
+                                             exon_mask=exon_mask)
+                        ckpt.put(res)
+                        return res
+
                     results = [work(r) for r in regions]
 
                 for res in results:
