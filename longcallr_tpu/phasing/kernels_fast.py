@@ -73,11 +73,12 @@ def make_fast_tables(ct: CellTables, read_mask, site_mask) -> FastTables:
 
 
 def fast_read_logliks(ft: FastTables, delta, eta) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    """(L(+1), L(-1), cell counts) per read — matvec form."""
+    """(L(+1), L(-1), cell counts) per read — matvec form. u and v stack
+    into one [I,2] operand so Dp streams from HBM once per call."""
     u = jnp.where(eta == 0, delta, 0.0)
     v = jnp.where(eta == 0, 0.0, eta)
-    du = ft.dp @ u
-    dv = ft.dp @ v
+    duv = ft.dp @ jnp.stack([u, v], axis=-1)
+    du, dv = duv[:, 0], duv[:, 1]
     base = ft.row_b + 0.5 * ft.row_dif + 0.5 * dv
     return base + 0.5 * du, base - 0.5 * du, ft.row_cells
 
@@ -100,8 +101,8 @@ def fast_overall_probability(ft: FastTables, sigma, delta, eta) -> jnp.ndarray:
     """cal_overall_probability in matvec form over the active-read set."""
     u = jnp.where(eta == 0, delta, 0.0)
     v = jnp.where(eta == 0, 0.0, eta)
-    du = ft.dp @ u
-    dv = ft.dp @ v
+    duv = ft.dp @ jnp.stack([u, v], axis=-1)
+    du, dv = duv[:, 0], duv[:, 1]
     per_read = ft.row_b + 0.5 * ft.row_dif + 0.5 * (sigma * du + dv)
     return jnp.where(ft.read_mask, per_read, 0.0).sum()
 
@@ -167,21 +168,46 @@ def _chunks(n: int) -> int:
     return c
 
 
+def _use_pallas(K: int, I: int) -> bool:
+    from . import pallas_kernels as PK
+    if not PK._HAVE_PALLAS or not PK.eligible(K, I):
+        return False
+    if PK.USE_PALLAS is not None:
+        return PK.USE_PALLAS
+    return PK._pallas_available()
+
+
 def _matvec_rows(dp_hi, dp_lo, x) -> jnp.ndarray:
-    """dp @ x with I-axis-chunked f32 contractions, f64 chunk accumulation."""
+    """dp @ x with I-axis-chunked f32 contractions, f64 chunk accumulation.
+    ``x`` may be [I] or [I,X] (stacked operands — one pass over dp).
+    Large aligned shapes route to the Pallas kernel (pallas_kernels.py):
+    one VMEM-resident pass over both split halves with in-kernel
+    double-f32 accumulation."""
     K, I = dp_hi.shape
+    vec = x.ndim == 1
+    if vec:
+        x = x[:, None]
+    X = x.shape[1]
+    if X == 2 and _use_pallas(K, I):
+        from . import pallas_kernels as PK
+        return PK.dual_matvec_rows(dp_hi, dp_lo, x,
+                                   interpret=PK.INTERPRET)
     c = _chunks(I)
-    x32 = x.astype(f32).reshape(I // c, c)
+    x32 = x.astype(f32).reshape(I // c, c, X)
     h = dp_hi.reshape(K, I // c, c)
     l = dp_lo.reshape(K, I // c, c)
-    ph = jnp.einsum("kjc,jc->kj", h, x32, preferred_element_type=f32)
-    pl = jnp.einsum("kjc,jc->kj", l, x32, preferred_element_type=f32)
-    return (ph.astype(f64) + pl.astype(f64)).sum(axis=1)
+    ph = jnp.einsum("kjc,jcx->kjx", h, x32, preferred_element_type=f32)
+    pl = jnp.einsum("kjc,jcx->kjx", l, x32, preferred_element_type=f32)
+    out = (ph.astype(f64) + pl.astype(f64)).sum(axis=1)
+    return out[:, 0] if vec else out
 
 
 def _matvec_cols(dp_hi, dp_lo, s) -> jnp.ndarray:
     """dp.T @ s with K-axis-chunked f32 contractions, f64 accumulation."""
     K, I = dp_hi.shape
+    if _use_pallas(K, I):
+        from . import pallas_kernels as PK
+        return PK.matvec_cols(dp_hi, dp_lo, s, interpret=PK.INTERPRET)
     c = _chunks(K)
     s32 = s.astype(f32).reshape(K // c, c)
     h = dp_hi.reshape(K // c, c, I)
@@ -194,8 +220,8 @@ def _matvec_cols(dp_hi, dp_lo, s) -> jnp.ndarray:
 def fast_read_logliks32(ft: FastTables32, delta, eta):
     u = jnp.where(eta == 0, delta, 0.0)
     v = jnp.where(eta == 0, 0.0, eta)
-    du = _matvec_rows(ft.dp_hi, ft.dp_lo, u)
-    dv = _matvec_rows(ft.dp_hi, ft.dp_lo, v)
+    duv = _matvec_rows(ft.dp_hi, ft.dp_lo, jnp.stack([u, v], axis=-1))
+    du, dv = duv[:, 0], duv[:, 1]
     base = ft.row_b + 0.5 * ft.row_dif + 0.5 * dv
     return base + 0.5 * du, base - 0.5 * du, ft.row_cells
 
@@ -212,7 +238,7 @@ def fast_snp_sums32(ft: FastTables32, sigma, delta):
 def fast_overall_probability32(ft: FastTables32, sigma, delta, eta):
     u = jnp.where(eta == 0, delta, 0.0)
     v = jnp.where(eta == 0, 0.0, eta)
-    du = _matvec_rows(ft.dp_hi, ft.dp_lo, u)
-    dv = _matvec_rows(ft.dp_hi, ft.dp_lo, v)
+    duv = _matvec_rows(ft.dp_hi, ft.dp_lo, jnp.stack([u, v], axis=-1))
+    du, dv = duv[:, 0], duv[:, 1]
     per_read = ft.row_b + 0.5 * ft.row_dif + 0.5 * (sigma * du + dv)
     return jnp.where(ft.read_mask, per_read, 0.0).sum()

@@ -150,3 +150,61 @@ def test_f32_mode_phase_region_truth(tmp_path, rng, monkeypatch, request):
     act = sig != 0
     same = (sig[act] == np.where(hap_true[act] == 1, 1, -1)).mean()
     assert same > 0.9 or same < 0.1, same
+
+
+def test_pallas_matvecs_match_f64(rng, monkeypatch):
+    """Pallas dual-matvec / column-matvec (double-f32 in-kernel
+    accumulation, interpret mode on CPU) match the exact f64 matvec at
+    least as tightly as the chunked-einsum f32 path."""
+    from longcallr_tpu.phasing import kernels_fast as KF
+    from longcallr_tpu.phasing import pallas_kernels as PK
+
+    if not PK._HAVE_PALLAS:
+        pytest.skip("pallas unavailable")
+    K, I = 1024, 256
+    dp = rng.normal(size=(K, I)) * rng.integers(0, 2, size=(K, I))
+    hi = dp.astype(np.float32)
+    lo = (dp - hi.astype(np.float64)).astype(np.float32)
+    x2 = rng.integers(-1, 2, size=(I, 2)).astype(np.float64)
+    want = dp @ x2
+    scale = np.abs(want).max()
+    ein = np.asarray(KF._matvec_rows(jnp.asarray(hi), jnp.asarray(lo),
+                                     jnp.asarray(x2)))
+    pal = np.asarray(PK.dual_matvec_rows(jnp.asarray(hi), jnp.asarray(lo),
+                                         jnp.asarray(x2), interpret=True))
+    assert np.abs(pal - want).max() / scale <= \
+        max(np.abs(ein - want).max() / scale, 1e-9) * 1.5
+    s = rng.integers(-1, 2, size=K).astype(np.float64)
+    wantc = dp.T @ s
+    sc = np.abs(wantc).max() + 1e-30
+    einc = np.asarray(KF._matvec_cols(jnp.asarray(hi), jnp.asarray(lo),
+                                      jnp.asarray(s)))
+    palc = np.asarray(PK.matvec_cols(jnp.asarray(hi), jnp.asarray(lo),
+                                     jnp.asarray(s), interpret=True))
+    assert np.abs(palc - wantc).max() / sc <= \
+        max(np.abs(einc - wantc).max() / sc, 1e-9) * 1.5
+
+
+def test_pallas_cross_optimize_equivalent(rng, monkeypatch):
+    """A full f32-mode ascent with the Pallas matvecs forced on (interpret
+    mode) lands on the same objective as the einsum f32 path."""
+    from longcallr_tpu.phasing import optimize as opt
+    from longcallr_tpu.phasing import pallas_kernels as PK
+    from longcallr_tpu.phasing.optimize import (PhaseState,
+                                                _cross_optimize_fast_loop)
+
+    if not PK._HAVE_PALLAS:
+        pytest.skip("pallas unavailable")
+    monkeypatch.setattr(opt, "USE_F32_KERNELS", True)
+    ct, sigma, delta, eta, site, rbase = _data(rng, K=128, I=128)
+    st0 = PhaseState(jnp.where(rbase, sigma, 0.0), delta, eta)
+    cons = jnp.zeros(delta.shape[0], bool)
+    st_a, prob_a = _cross_optimize_fast_loop(ct, st0, rbase, site, cons,
+                                             False, False)
+    monkeypatch.setattr(PK, "USE_PALLAS", True)
+    monkeypatch.setattr(PK, "INTERPRET", True)
+    st_b, prob_b = _cross_optimize_fast_loop(ct, st0, rbase, site, cons,
+                                             False, False)
+    np.testing.assert_allclose(float(prob_a), float(prob_b), rtol=1e-6)
+    agree = (np.asarray(st_a.sigma) == np.asarray(st_b.sigma)).mean()
+    assert agree > 0.95, agree
