@@ -168,10 +168,17 @@ def _chunks(n: int) -> int:
     return c
 
 
-def _use_pallas(K: int, I: int) -> bool:
+def _use_pallas(K: int, I: int, operand=None) -> bool:
     from . import pallas_kernels as PK
     if not PK._HAVE_PALLAS or not PK.eligible(K, I):
         return False
+    if operand is not None:
+        # under vmap (the bucketed multi-region programs) keep the einsum
+        # form — batching a pallas_call adds a grid dimension the kernels
+        # are not written for
+        from jax._src.interpreters import batching as _batching
+        if isinstance(operand, _batching.BatchTracer):
+            return False
     if PK.USE_PALLAS is not None:
         return PK.USE_PALLAS
     return PK._pallas_available()
@@ -188,7 +195,7 @@ def _matvec_rows(dp_hi, dp_lo, x) -> jnp.ndarray:
     if vec:
         x = x[:, None]
     X = x.shape[1]
-    if X == 2 and _use_pallas(K, I):
+    if X == 2 and _use_pallas(K, I, dp_hi):
         from . import pallas_kernels as PK
         return PK.dual_matvec_rows(dp_hi, dp_lo, x,
                                    interpret=PK.INTERPRET)
@@ -205,7 +212,7 @@ def _matvec_rows(dp_hi, dp_lo, x) -> jnp.ndarray:
 def _matvec_cols(dp_hi, dp_lo, s) -> jnp.ndarray:
     """dp.T @ s with K-axis-chunked f32 contractions, f64 accumulation."""
     K, I = dp_hi.shape
-    if _use_pallas(K, I):
+    if _use_pallas(K, I, dp_hi):
         from . import pallas_kernels as PK
         return PK.matvec_cols(dp_hi, dp_lo, s, interpret=PK.INTERPRET)
     c = _chunks(K)
