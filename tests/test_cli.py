@@ -36,3 +36,29 @@ def test_cli_get_blocks_and_run(tmp_path, rng, capsys):
     assert rc == 0
     assert (tmp_path / "o.vcf").exists()
     assert (tmp_path / "o.phased.bam").exists()
+
+
+def test_cli_config_resolution():
+    """Flag → CallerConfig resolution: presets, overrides, tri-states."""
+    from longcallr_tpu.cli import build_parser, config_from_args
+
+    parse = lambda extra: build_parser().parse_args(
+        ["-b", "x.bam", "-f", "x.fa", "-o", "out", "-p", "ont-cdna"] + extra)
+    a = parse([])
+    cfg = config_from_args(a)
+    assert cfg.min_depth == 10 and cfg.min_phase_score == 13.0
+    assert cfg.strand_bias is True and cfg.is_ont
+    assert a.batched is None                     # auto (multi-region only)
+    assert cfg.somatic is False
+
+    a2 = parse(["--somatic", "--somatic-purity", "0.42", "-t", "7",
+                "--min-depth", "3", "--no-batched",
+                "--bam-compression-level", "1"])
+    cfg2 = config_from_args(a2)
+    assert cfg2.somatic and abs(cfg2.somatic_purity - 0.42) < 1e-12
+    assert cfg2.threads == 7 and cfg2.min_depth == 3
+    assert cfg2.bam_compression_level == 1
+    assert a2.batched is False
+
+    a3 = parse(["--batched"])
+    assert a3.batched is True
