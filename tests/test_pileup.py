@@ -152,3 +152,31 @@ def test_demo_pileup_oracle(demo_bam_path, rng):
     want = scalar_pileup(bam, sub, ref, cfg)
     _assert_tensors_equal(got, want)
     assert got.cnt.sum() > 100
+
+
+def test_region_discovery_truncation(tmp_path, rng):
+    """--truncation: columns deeper than truncation_coverage break regions
+    (util.rs:290-318); the break column's depth still folds into the
+    running max before the emit check."""
+    cfg = preset("hifi-masseq").replace(min_read_length=100)
+    ref = make_reference(rng, 3000)
+    from longcallr_tpu.io import bam as bamio
+    path = str(tmp_path / "tr.bam")
+    # depth profile: [100,400)=2, [400,900)=6, [900,1200)=4
+    reads = [(100, 900)] * 2 + [(400, 1200)] * 4
+    with bamio.BamWriter(path, ["chrS"], [len(ref)]) as w:
+        for i, (s, e) in enumerate(reads):
+            ln = e - s
+            w.write_record(qname=f"r{i}", flag=0, ref_id=0, pos=s, mapq=60,
+                           cigar=bamio.encode_cigar([(ln, "M")]),
+                           seq=bytes(ref[s:e]), qual=np.full(ln, 30),
+                           tags=bamio.make_tag_bytes("de", "f", 0.001))
+    bam = BamFile(path)
+    plain = extract_isolated_regions_parallel(bam, [("chrS", len(ref))], cfg)
+    assert [(r.start, r.end) for r in plain] == [(101, 1201)]
+    assert plain[0].max_coverage == 6
+    tr = extract_isolated_regions_parallel(
+        bam, [("chrS", len(ref))],
+        cfg.replace(truncation=True, truncation_coverage=3))
+    # deep columns [400,1200) dropped: only the shallow prefix survives
+    assert [(r.start, r.end) for r in tr] == [(101, 401)]
