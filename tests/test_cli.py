@@ -62,3 +62,28 @@ def test_cli_config_resolution():
 
     a3 = parse(["--batched"])
     assert a3.batched is True
+
+
+def test_cli_profile_dir_and_index_output(tmp_path, rng):
+    """--profile-dir writes a jax.profiler trace; --index-output writes a
+    .bai for the phased BAM."""
+    import os
+
+    ref = make_reference(rng, 5000)
+    truth = plant_snps(rng, ref, n_het=5, n_hom=1)
+    bam_path = str(tmp_path / "p.bam")
+    simulate_bam(bam_path, rng, ref, truth, n_reads=40, read_len=2500,
+                 err_rate=0.01)
+    fa = bam_path.replace(".bam", ".fa")
+    prof = str(tmp_path / "trace")
+    rc = main(["-b", bam_path, "-f", fa, "-o", str(tmp_path / "o"),
+               "-p", "hifi-masseq", "--min-read-length", "100",
+               "--profile-dir", prof, "--index-output"])
+    assert rc == 0
+    dumped = [os.path.join(r, f) for r, _, fs in os.walk(prof) for f in fs]
+    assert dumped, "profiler trace directory is empty"
+    assert (tmp_path / "o.phased.bam.bai").exists()
+    # the written index is loadable and covers the contig
+    from longcallr_tpu.io.bai import BaiIndex
+    idx = BaiIndex.load(str(tmp_path / "o.phased.bam.bai"))
+    assert len(idx.bins) >= 1
