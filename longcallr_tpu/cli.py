@@ -151,7 +151,8 @@ def main(argv: Optional[List[str]] = None) -> int:
                                    cfg, contigs=args.contigs,
                                    input_vcf=args.input_vcf,
                                    anno_path=args.annotation,
-                                   resume=args.resume)
+                                   resume=args.resume,
+                                   batched=args.batched)
     else:
         go = lambda: run(args.bam_path, args.ref_path, args.output, cfg,
                          input_vcf=args.input_vcf, input_region=args.region,

@@ -175,9 +175,13 @@ def _use_pallas(K: int, I: int, operand=None) -> bool:
     if operand is not None:
         # under vmap (the bucketed multi-region programs) keep the einsum
         # form — batching a pallas_call adds a grid dimension the kernels
-        # are not written for
-        from jax._src.interpreters import batching as _batching
-        if isinstance(operand, _batching.BatchTracer):
+        # are not written for. Private-module sniff: if the import breaks
+        # on a jax upgrade, disable pallas rather than the whole path.
+        try:
+            from jax._src.interpreters import batching as _batching
+            if isinstance(operand, _batching.BatchTracer):
+                return False
+        except Exception:
             return False
     if PK.USE_PALLAS is not None:
         return PK.USE_PALLAS

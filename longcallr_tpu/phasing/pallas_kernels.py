@@ -79,7 +79,13 @@ def _pallas_available() -> bool:
 
 
 def eligible(K: int, I: int) -> bool:
-    return K % 8 == 0 and I % 128 == 0 and K >= 8 and I >= 128
+    """Shapes the kernels handle without boundary masking: tile-aligned in
+    both dims (a partial contraction-dim tile would read undefined padding
+    into every output)."""
+    return (K >= 8 and I >= 128
+            and K % 8 == 0 and I % 128 == 0
+            and (K <= _TK or K % _TK == 0)
+            and (I <= _TI or I % _TI == 0))
 
 
 def _two_sum(acc_hi, acc_lo, x):

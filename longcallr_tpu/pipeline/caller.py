@@ -214,7 +214,8 @@ def run_streaming(bam_path: str, ref_path: str, output_prefix: str,
                   contigs: Optional[Sequence[str]] = None,
                   input_vcf: Optional[str] = None,
                   anno_path: Optional[str] = None,
-                  resume: bool = False) -> CallerOutputs:
+                  resume: bool = False,
+                  batched: Optional[bool] = None) -> CallerOutputs:
     """Whole-genome mode: one contig resident at a time.
 
     Requires a ``.bai``: each contig's records are loaded with a BAI-windowed
@@ -277,12 +278,18 @@ def run_streaming(bam_path: str, ref_path: str, output_prefix: str,
                 n_regions_total += len(regions)
                 ref_seq = fasta.fetch(chrom)
 
-                if len(regions) > 1:
+                use_batched = (len(regions) > 1 if batched is None
+                               else batched)
+                if use_batched and len(regions) > 0:
                     # per-contig batched pipeline (same driver as run())
                     results = _run_batched(win, fasta, regions, cfg,
                                            input_candidates, exon_regions,
                                            ckpt, None)
                 else:
+                    cfg_task = (cfg.replace(threads=1)
+                                if cfg.threads > 1 and len(regions) > 1
+                                else cfg)
+
                     def work(reg: Region) -> RegionResult:
                         done = ckpt.get(reg)
                         if done is not None:
@@ -292,13 +299,17 @@ def run_streaming(bam_path: str, ref_path: str, output_prefix: str,
                             exon_mask = _exon_mask_for(reg, exon_regions)
                             if exon_mask is None:
                                 return RegionResult(reg, [], {}, {}, 0, 0)
-                        res = process_region(win, reg, ref_seq, cfg,
+                        res = process_region(win, reg, ref_seq, cfg_task,
                                              input_candidates=input_candidates,
                                              exon_mask=exon_mask)
                         ckpt.put(res)
                         return res
 
-                    results = [work(r) for r in regions]
+                    if cfg.threads > 1 and len(regions) > 1:
+                        with ThreadPoolExecutor(max_workers=cfg.threads) as ex:
+                            results = list(ex.map(work, regions))
+                    else:
+                        results = [work(r) for r in regions]
 
                 for res in results:
                     n_frag_total += res.n_fragments
@@ -394,23 +405,37 @@ def _run_batched(bam, fasta, regions, cfg, input_candidates, exon_regions,
                 continue
         todo_prep.append((i, exon_mask))
 
-    # waves bounded by the candidate kernel's column budget: pooled pileup →
-    # one batched candidate dispatch for the wave → pooled fragments. Keeps
-    # at most a wave's pileup tensors resident.
+    # Waves bounded by the candidate kernel's column budget. Each wave runs
+    # end to end — pooled pileup → one batched candidate dispatch → pooled
+    # fragments → bucketed phasing → finalize + checkpoint — so at most a
+    # wave's pileup/fragment tensors stay resident (the --stream memory
+    # contract) and --resume loses at most one wave on a crash.
     from ..ops.candidates import CAND_BATCH_COLS, select_candidates_batched
-    from .engine import (STAGE_TOTALS, prepare_region_fragments,
-                         prepare_region_pileup)
+    from .engine import (STAGE_TOTALS, import_external_candidates,
+                         prepare_region_fragments, prepare_region_pileup)
 
     def _pileup_one(item):
         i, _ = item
         reg = regions[i]
         return prepare_region_pileup(bam, reg, fasta.fetch(reg.chr), cfg_task)
 
+    def _cands_one(arg):
+        (i, _), pl = arg
+        chr_cands = input_candidates.get(regions[i].chr, {})
+        return import_external_candidates(pl, fasta.fetch(regions[i].chr),
+                                          chr_cands)
+
     def _frags_one(arg):
         i, cands = arg
         frags, apply_ds = prepare_region_fragments(bam, regions[i], cands,
                                                    cfg_task)
         prepared[i] = (cands, frags, apply_ds)
+
+    def _pmap(fn, items):
+        if pooled and len(items) > 1:
+            with ThreadPoolExecutor(max_workers=cfg.threads) as ex:
+                return list(ex.map(fn, items))
+        return [fn(it) for it in items]
 
     w0 = 0
     while w0 < len(todo_prep):
@@ -421,50 +446,37 @@ def _run_batched(bam, fasta, regions, cfg, input_candidates, exon_regions,
             tot += regions[todo_prep[w1][0]].length
             w1 += 1
         wave = todo_prep[w0:w1]
-        if pooled and len(wave) > 1:
-            with ThreadPoolExecutor(max_workers=cfg.threads) as ex:
-                pileups = list(ex.map(_pileup_one, wave))
-        else:
-            pileups = [_pileup_one(it) for it in wave]
+        pileups = _pmap(_pileup_one, wave)
         _t = time.monotonic()
         if input_candidates is not None:
-            from .engine import import_external_candidates
-            cands_list = []
-            for (i, _), pl in zip(wave, pileups):
-                chr_cands = input_candidates.get(regions[i].chr, {})
-                cands_list.append(import_external_candidates(
-                    pl, fasta.fetch(regions[i].chr), chr_cands))
+            cands_list = _pmap(_cands_one, list(zip(wave, pileups)))
         else:
             cands_list = select_candidates_batched(
                 pileups, cfg, [em for _, em in wave])
         STAGE_TOTALS["candidates"] += time.monotonic() - _t
         del pileups
-        args = [(i, c) for (i, _), c in zip(wave, cands_list)]
-        if pooled and len(args) > 1:
-            with ThreadPoolExecutor(max_workers=cfg.threads) as ex:
-                list(ex.map(_frags_one, args))
-        else:
-            for a in args:
-                _frags_one(a)
+        _pmap(_frags_one, [(i, c) for (i, _), c in zip(wave, cands_list)])
+
+        # phase + finalize this wave, then drop its tensors
+        todo = [i for (i, _) in wave if prepared[i] is not None]
+        phase_items = []
+        phase_index = []
+        for i in todo:
+            cands, frags, apply_ds = prepared[i]
+            if cands.n > 0 and frags.n_frags > 0:
+                phase_items.append((frags, cands, regions[i].start, apply_ds))
+                phase_index.append(i)
+        states = phase_regions_batched(phase_items, cfg, mesh=mesh)
+        st_by_region = {phase_index[j]: states[j]
+                        for j in range(len(phase_index))}
+        # finalize is GEMM/numpy-bound (GIL-held dispatch dominates at this
+        # size), so a thread pool only adds contention — run it serially
+        for i in todo:
+            cands, frags, apply_ds = prepared[i]
+            res = finalize_region(regions[i], cands, frags,
+                                  st_by_region.get(i), cfg, apply_ds)
+            ckpt.put(res)
+            results[i] = res
+            prepared[i] = None
         w0 = w1
-
-    todo = [i for i in range(len(regions)) if prepared[i] is not None]
-    phase_items = []
-    phase_index = []
-    for i in todo:
-        cands, frags, apply_ds = prepared[i]
-        if cands.n > 0 and frags.n_frags > 0:
-            phase_items.append((frags, cands, regions[i].start, apply_ds))
-            phase_index.append(i)
-    states = phase_regions_batched(phase_items, cfg, mesh=mesh)
-    st_by_region = {phase_index[j]: states[j] for j in range(len(phase_index))}
-
-    # finalize is GEMM/numpy-bound (GIL-held dispatch dominates at this
-    # size), so a thread pool only adds contention — run it serially
-    for i in todo:
-        cands, frags, apply_ds = prepared[i]
-        res = finalize_region(regions[i], cands, frags,
-                              st_by_region.get(i), cfg, apply_ds)
-        ckpt.put(res)
-        results[i] = res
     return results

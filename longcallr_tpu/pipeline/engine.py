@@ -113,9 +113,7 @@ def prepare_region(bam: BamFile, region: Region, ref_seq: np.ndarray,
                    exon_mask: Optional[np.ndarray] = None):
     """Host stages of one region: pileup → candidates → fragments.
     Returns (cands, frags, apply_ds)."""
-    _t = time.monotonic()
-    pileup = build_pileup(bam, region, ref_seq, cfg)
-    STAGE_TOTALS["pileup"] += time.monotonic() - _t
+    pileup = prepare_region_pileup(bam, region, ref_seq, cfg)
     _t = time.monotonic()
     if input_candidates is not None:
         chr_cands = input_candidates.get(region.chr, {})
@@ -123,13 +121,7 @@ def prepare_region(bam: BamFile, region: Region, ref_seq: np.ndarray,
     else:
         cands = select_candidates(pileup, cfg, exon_mask=exon_mask)
     STAGE_TOTALS["candidates"] += time.monotonic() - _t
-    _t = time.monotonic()
-    frags = get_fragments(bam, region, cands, cfg)
-    STAGE_TOTALS["fragments"] += time.monotonic() - _t
-    apply_ds = (cfg.downsample and cfg.downsample_depth > 0
-                and frags.n_frags >= cfg.downsample_depth)
-    if apply_ds:
-        downsample_fragments(frags, cfg.downsample_depth, 2025)
+    frags, apply_ds = prepare_region_fragments(bam, region, cands, cfg)
     return cands, frags, apply_ds
 
 
