@@ -349,3 +349,67 @@ def test_batched_enum_path(tmp_path, rng):
     for psv, pairs in per_ps.items():
         agree = np.mean([t == h for t, h in pairs])
         assert agree > 0.9 or agree < 0.1, (psv, agree)
+
+
+def test_batched_resume_wave_granularity(tmp_path, rng, monkeypatch):
+    """The batched driver checkpoints per wave: a crash after wave 1 leaves
+    its regions in the ckpt, and the resumed run completes identically."""
+    from longcallr_tpu.io.fasta import write_fasta
+    from longcallr_tpu.ops import candidates as C
+    from longcallr_tpu.phasing import batch_driver as BD
+
+    cfg = preset("hifi-masseq").replace(min_read_length=100, threads=2)
+    # two well-separated regions on one contig
+    ref = make_reference(rng, 14000)
+    t1 = plant_snps(rng, ref[:6000], n_het=5, n_hom=1)
+    bam_path = str(tmp_path / "wg.bam")
+    from longcallr_tpu.io import bam as bamio
+    with bamio.BamWriter(bam_path, ["chrS"], [len(ref)]) as w:
+        k = 0
+        for base in (0, 8000):
+            for _ in range(30):
+                s = base + int(rng.integers(0, 1500))
+                e = min(s + 2500, base + 5500)
+                seq = bytearray(ref[s:e])
+                for pos, (a, b) in t1.het_snps.items():
+                    p = pos + base
+                    if s <= p < e:
+                        seq[p - s] = [a, b][k % 2]
+                w.write_record(qname=f"r{k}", flag=0, ref_id=0, pos=s,
+                               mapq=60, cigar=bamio.encode_cigar(
+                                   [(len(seq), "M")]),
+                               seq=bytes(seq),
+                               qual=np.full(len(seq), 30, np.uint8),
+                               tags=bamio.make_tag_bytes("de", "f", 0.001))
+                k += 1
+    fa = str(tmp_path / "wg.fa")
+    write_fasta(fa, {"chrS": bytes(ref)})
+
+    # one region per wave; crash inside the SECOND wave's phasing
+    monkeypatch.setattr(C, "CAND_BATCH_COLS", 1)
+    calls = {"n": 0}
+    orig = BD.phase_regions_batched
+
+    def boom(items, cfg_, mesh=None):
+        calls["n"] += 1
+        if calls["n"] == 2:
+            raise RuntimeError("injected crash")
+        return orig(items, cfg_, mesh=mesh)
+
+    monkeypatch.setattr(BD, "phase_regions_batched", boom)
+    import longcallr_tpu.pipeline.caller as CL
+    monkeypatch.setattr(CL, "phase_regions_batched", boom, raising=False)
+    with pytest.raises(RuntimeError):
+        run(bam_path, fa, str(tmp_path / "o1"), cfg, resume=True,
+            batched=True)
+    ck = (tmp_path / "o1.regions.ckpt")
+    assert ck.exists() and ck.read_text().strip(), "wave 1 not checkpointed"
+
+    monkeypatch.setattr(BD, "phase_regions_batched", orig)
+    monkeypatch.setattr(CL, "phase_regions_batched", orig, raising=False)
+    out = run(bam_path, fa, str(tmp_path / "o1"), cfg, resume=True,
+              batched=True)
+    fresh = run(bam_path, fa, str(tmp_path / "o2"), cfg, batched=True)
+    assert out.n_regions == fresh.n_regions == 2
+    assert open(out.vcf_path).read().replace("o1", "oX") \
+        == open(fresh.vcf_path).read().replace("o2", "oX")
