@@ -9,10 +9,9 @@ across a device mesh.
 
 __version__ = "0.1.0"
 
-import jax as _jax
-
-# The calling/phasing math is float64 by specification (the reference is
-# f64 throughout); enable x64 before any kernel is traced.
-_jax.config.update("jax_enable_x64", True)
+# jax is imported (and x64 enabled) by _jaxcfg from every jax-using module,
+# NOT here: the analysis tools (ASE/ASJ) and plain I/O users stay jax-free —
+# faster imports, and their fork()-based process pools never inherit jax's
+# thread pool (fork + threads is deadlock-prone).
 
 from .config import CallerConfig, preset  # noqa: F401

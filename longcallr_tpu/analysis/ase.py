@@ -138,38 +138,115 @@ def splice_match_segments(read) -> List[Tuple[int, int]]:
     return segs
 
 
-def assign_reads_to_gene(bam: BamFile, merged_genes_exons) -> Dict[str, str]:
-    """read_name → best gene_id (:197-258)."""
+def _chrom_indexes(genes):
+    gene_ivs = []
+    gene_ids = []
+    exon_idx: Dict[str, IntervalIndex] = {}
+    for gene_id, merged in genes.items():
+        gene_ivs.append((merged[0][0], merged[-1][1] + 1))
+        gene_ids.append(gene_id)
+        exon_idx[gene_id] = IntervalIndex([(s, e + 1) for s, e in merged])
+    return IntervalIndex(gene_ivs, gene_ids), exon_idx
+
+
+def _assign_range(bam: BamFile, tree: IntervalIndex,
+                  exon_idx: Dict[str, IntervalIndex],
+                  lo: int, hi: int) -> Dict[str, str]:
     assignment: Dict[str, str] = {}
+    for ridx in range(lo, hi):
+        r = bam.read(ridx)
+        if r.is_unmapped:
+            continue
+        s1, e1 = r.pos + 1, r.reference_end() + 1  # 1-based half-open query
+        cand = tree.overlap_data(s1, e1)
+        if not cand:
+            continue
+        segs = splice_match_segments(r)
+        best_gene, best_len = None, -1
+        for gene_id in cand:
+            total = sum(exon_idx[gene_id].overlap_length(a, b + 1)
+                        for a, b in segs)
+            if total > best_len:
+                best_gene, best_len = gene_id, total
+        if best_gene is not None and best_len >= 0:
+            assignment[r.qname] = best_gene
+    return assignment
+
+
+# fork-shared state for the process pool: the in-memory BAM and per-chrom
+# interval indexes are inherited copy-on-write by the workers (the same
+# globals trick as longcallR-asj.py:833-839; longcallR-ase.py:308 uses a
+# chunked ProcessPoolExecutor the same way)
+_POOL = {}
+
+# minimum reads per pool chunk (fork+IPC overhead floor)
+ASE_CHUNK_MIN = 2048
+
+# tri-state: None = auto (fork available and no live JAX backend threads —
+# fork() in a thread-carrying process is deadlock-prone), True/False forces
+FORK_POOL: Optional[bool] = None
+
+
+def _fork_pool_ok() -> bool:
+    if FORK_POOL is not None:
+        return FORK_POOL
+    import sys
+    j = sys.modules.get("jax")
+    if j is not None:
+        try:
+            from jax._src import xla_bridge
+            if getattr(xla_bridge, "_backends", None):
+                return False          # device threads live → no fork
+        except Exception:
+            return False
+    import multiprocessing as mp
+    return "fork" in mp.get_all_start_methods()
+
+
+def _assign_chunk(args):
+    chrom, lo, hi = args
+    tree, exon_idx = _POOL["idx"][chrom]
+    return _assign_range(_POOL["bam"], tree, exon_idx, lo, hi)
+
+
+def assign_reads_to_gene(bam: BamFile, merged_genes_exons,
+                         threads: int = 1) -> Dict[str, str]:
+    """read_name → best gene_id (:197-258); chunk-parallel over a
+    fork-based process pool when ``threads > 1`` (:308)."""
+    per_chrom = {}
+    chunks = []
     for chrom, genes in merged_genes_exons.items():
         if chrom not in bam.references:
             continue
-        gene_ivs = []
-        gene_ids = []
-        exon_idx: Dict[str, IntervalIndex] = {}
-        for gene_id, merged in genes.items():
-            gene_ivs.append((merged[0][0], merged[-1][1] + 1))
-            gene_ids.append(gene_id)
-            exon_idx[gene_id] = IntervalIndex([(s, e + 1) for s, e in merged])
-        tree = IntervalIndex(gene_ivs, gene_ids)
+        per_chrom[chrom] = _chrom_indexes(genes)
         lo, hi = bam.contig_record_range(chrom)
-        for ridx in range(lo, hi):
-            r = bam.read(ridx)
-            if r.is_unmapped:
-                continue
-            s1, e1 = r.pos + 1, r.reference_end() + 1  # 1-based half-open query
-            cand = tree.overlap_data(s1, e1)
-            if not cand:
-                continue
-            segs = splice_match_segments(r)
-            best_gene, best_len = None, -1
-            for gene_id in cand:
-                total = sum(exon_idx[gene_id].overlap_length(a, b + 1)
-                            for a, b in segs)
-                if total > best_len:
-                    best_gene, best_len = gene_id, total
-            if best_gene is not None and best_len >= 0:
-                assignment[r.qname] = best_gene
+        if hi <= lo:
+            continue
+        n_chunks = max(1, min(threads * 2, (hi - lo) // ASE_CHUNK_MIN)) \
+            if threads > 1 else 1
+        bounds = np.linspace(lo, hi, n_chunks + 1).astype(int)
+        chunks += [(chrom, int(bounds[j]), int(bounds[j + 1]))
+                   for j in range(n_chunks)]
+
+    assignment: Dict[str, str] = {}
+    use_pool = threads > 1 and len(chunks) > 1 and _fork_pool_ok()
+    if use_pool:
+        import multiprocessing as mp
+        ctx = mp.get_context("fork")
+        from concurrent.futures import ProcessPoolExecutor
+        _POOL["bam"] = bam
+        _POOL["idx"] = per_chrom
+        try:
+            with ProcessPoolExecutor(max_workers=threads,
+                                     mp_context=ctx) as ex:
+                for part in ex.map(_assign_chunk, chunks):
+                    assignment.update(part)    # chunk order == read order
+        finally:
+            _POOL.clear()
+        return assignment
+    for chrom, lo, hi in chunks:
+        tree, exon_idx = per_chrom[chrom]
+        assignment.update(_assign_range(bam, tree, exon_idx, lo, hi))
     return assignment
 
 
@@ -429,7 +506,7 @@ def analyze_ase_genes(annotation_file, bam_file, out_file, threads, gene_types,
         annotation_file, set(gene_types))
     merged = merge_gene_exon_regions(exon_regions)
     bam = BamFile(bam_file, threads=threads)
-    read_assignment = assign_reads_to_gene(bam, merged)
+    read_assignment = assign_reads_to_gene(bam, merged, threads)
     gene_assigned = transform_read_assignment(read_assignment)
     results = []
     mode = "plain"

@@ -23,6 +23,7 @@ from dataclasses import dataclass
 from functools import partial
 from typing import List, Optional, Tuple
 
+from .. import _jaxcfg  # noqa: F401  (x64 before any trace)
 import jax
 import jax.numpy as jnp
 import numpy as np

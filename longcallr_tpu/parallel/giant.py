@@ -27,6 +27,7 @@ import os
 from functools import lru_cache
 from typing import Optional, Tuple
 
+from .. import _jaxcfg  # noqa: F401  (x64 before any trace)
 import jax
 import jax.numpy as jnp
 import numpy as np

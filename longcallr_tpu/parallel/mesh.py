@@ -20,6 +20,7 @@ from __future__ import annotations
 from functools import partial
 from typing import NamedTuple, Optional, Tuple
 
+from .. import _jaxcfg  # noqa: F401  (x64 before any trace)
 import jax
 import jax.numpy as jnp
 import numpy as np

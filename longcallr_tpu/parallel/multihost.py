@@ -23,6 +23,7 @@ from __future__ import annotations
 import json
 from typing import Dict, List, Optional, Sequence, Tuple
 
+from .. import _jaxcfg  # noqa: F401  (x64 before any trace)
 import jax
 import numpy as np
 

@@ -23,6 +23,7 @@ from __future__ import annotations
 import math
 from typing import Dict, List, Optional, Tuple
 
+from .. import _jaxcfg  # noqa: F401  (x64 before any trace)
 import jax.numpy as jnp
 import numpy as np
 

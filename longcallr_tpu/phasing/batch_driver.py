@@ -16,6 +16,7 @@ from __future__ import annotations
 from dataclasses import dataclass
 from typing import Dict, List, Optional, Tuple
 
+from .. import _jaxcfg  # noqa: F401  (x64 before any trace)
 import jax
 import jax.numpy as jnp
 import numpy as np

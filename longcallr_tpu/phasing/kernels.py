@@ -23,6 +23,7 @@ from __future__ import annotations
 import math
 from typing import NamedTuple, Tuple
 
+from .. import _jaxcfg  # noqa: F401  (x64 before any trace)
 import jax
 import jax.numpy as jnp
 import numpy as _np

@@ -30,6 +30,7 @@ from __future__ import annotations
 
 from typing import NamedTuple, Tuple
 
+from .. import _jaxcfg  # noqa: F401  (x64 before any trace)
 import jax
 import jax.numpy as jnp
 

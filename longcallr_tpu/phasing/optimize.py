@@ -29,6 +29,7 @@ from dataclasses import dataclass
 from functools import partial
 from typing import Dict, List, NamedTuple, Optional, Set, Tuple
 
+from .. import _jaxcfg  # noqa: F401  (x64 before any trace)
 import jax
 import jax.numpy as jnp
 import numpy as np

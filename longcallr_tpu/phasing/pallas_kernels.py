@@ -30,6 +30,7 @@ import functools
 import os
 from typing import Tuple
 
+from .. import _jaxcfg  # noqa: F401  (x64 before any trace)
 import jax
 import jax.numpy as jnp
 import numpy as np

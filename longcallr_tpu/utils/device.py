@@ -14,6 +14,7 @@ from __future__ import annotations
 import os
 from typing import Optional
 
+from .. import _jaxcfg  # noqa: F401  (x64 before any trace)
 import jax
 
 MIN_ACCEL_CELLS = int(os.environ.get("LONGCALLR_TPU_MIN_CELLS", str(1 << 24)))

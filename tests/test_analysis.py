@@ -386,3 +386,29 @@ def test_beta_binomial_matches_scipy(rng):
     out = beta_binomial_two_sided_many(np.array([0, 2]), np.array([0, 7]),
                                        mu, rho)
     assert out[0] == 1.0
+
+
+def test_ase_assignment_parallel_equals_serial(tmp_path, rng, monkeypatch):
+    """The fork-pool chunked read→gene assignment equals the serial walk."""
+    from longcallr_tpu.io.bam import BamFile
+
+    monkeypatch.setattr(ase, "ASE_CHUNK_MIN", 8)
+    monkeypatch.setattr(ase, "FORK_POOL", True)
+
+    cfg = preset("hifi-masseq").replace(min_read_length=100)
+    ref = make_reference(rng, 9000)
+    truth = plant_snps(rng, ref, n_het=8, n_hom=0, min_gap=600)
+    bam_path = str(tmp_path / "pp.bam")
+    simulate_bam(bam_path, rng, ref, truth, n_reads=120, read_len=3000,
+                 err_rate=0.01, with_introns=True)
+    gtf = str(tmp_path / "genes.gtf")
+    _write_gtf(gtf, "chrS", [
+        ("G1", "GENE1", 1, 4500, [(1, 2000), (2600, 4500)]),
+        ("G2", "GENE2", 4501, 9000, [(4501, 9000)]),
+    ])
+    _, _, _, exon_regions = ase.get_gene_regions(gtf, {"protein_coding"})
+    merged = ase.merge_gene_exon_regions(exon_regions)
+    bam = BamFile(bam_path)
+    serial = ase.assign_reads_to_gene(bam, merged, threads=1)
+    pooled = ase.assign_reads_to_gene(bam, merged, threads=3)
+    assert serial and pooled == serial
