@@ -66,16 +66,72 @@ def get_exon_intron_regions(read, ref_seq: np.ndarray, no_gtag: bool):
 
 
 def load_reads(bam: BamFile, fasta: FastaFile, merged_genes_exons,
-               no_gtag: bool, min_junctions: int = 0):
+               no_gtag: bool, min_junctions: int = 0, threads: int = 1):
     """read→gene assignment + per-read positions/tags/exons/junctions
     (longcallR-asj.py:198-329). Reads with <= min_junctions junctions are
-    dropped entirely."""
+    dropped entirely. ``threads > 1`` chunk-parallelises the per-read walk
+    over a fork-based process pool (the reference's load_reads process
+    boundary, :276-329), COW-sharing the in-memory BAM + reference."""
+    if threads > 1:
+        from .ase import _fork_pool_ok
+        if _fork_pool_ok():
+            return _load_reads_pooled(bam, fasta, merged_genes_exons,
+                                      no_gtag, min_junctions, threads)
+    return _load_reads_range(bam, fasta, merged_genes_exons, no_gtag,
+                             min_junctions, None)
+
+
+def _load_reads_pooled(bam, fasta, merged_genes_exons, no_gtag,
+                       min_junctions, threads):
+    import multiprocessing as mp
+    from concurrent.futures import ProcessPoolExecutor
+
+    from .ase import ASE_CHUNK_MIN, _POOL
+    chunks = []
+    for chrom in merged_genes_exons:
+        if chrom not in bam.references or chrom not in fasta:
+            continue
+        fasta.fetch(chrom)          # resident before the fork
+        lo, hi = bam.contig_record_range(chrom)
+        if hi <= lo:
+            continue
+        n_chunks = max(1, min(threads * 2, (hi - lo) // ASE_CHUNK_MIN))
+        bounds = np.linspace(lo, hi, n_chunks + 1).astype(int)
+        chunks += [(chrom, int(bounds[j]), int(bounds[j + 1]))
+                   for j in range(n_chunks)]
+    if len(chunks) <= 1:
+        return _load_reads_range(bam, fasta, merged_genes_exons, no_gtag,
+                                 min_junctions, None)
+    _POOL["asj"] = (bam, fasta, merged_genes_exons, no_gtag, min_junctions)
+    try:
+        outs = [{}, {}, {}, {}, {}]
+        with ProcessPoolExecutor(max_workers=threads,
+                                 mp_context=mp.get_context("fork")) as ex:
+            for part in ex.map(_load_chunk, chunks):
+                for acc, d in zip(outs, part):
+                    acc.update(d)   # chunk order == read order
+        return tuple(outs)
+    finally:
+        _POOL.pop("asj", None)
+
+
+def _load_chunk(args):
+    from .ase import _POOL
+    bam, fasta, merged, no_gtag, min_junctions = _POOL["asj"]
+    return _load_reads_range(bam, fasta, merged, no_gtag, min_junctions, args)
+
+
+def _load_reads_range(bam: BamFile, fasta: FastaFile, merged_genes_exons,
+                      no_gtag: bool, min_junctions: int,
+                      only: Optional[Tuple[str, int, int]]):
     read_assignment: Dict[str, str] = {}
     reads_positions: Dict[str, Tuple[int, int]] = {}
     reads_tags: Dict[str, dict] = {}
     reads_exons: Dict[str, list] = {}
     reads_junctions: Dict[str, list] = {}
     for chrom, genes in merged_genes_exons.items():
+        if only is not None and chrom != only[0]:
+            continue
         if chrom not in bam.references or chrom not in fasta:
             continue
         ref_seq = fasta.fetch(chrom)
@@ -87,6 +143,8 @@ def load_reads(bam: BamFile, fasta: FastaFile, merged_genes_exons,
             exon_idx[gene_id] = IntervalIndex([(s, e + 1) for s, e in merged])
         tree = IntervalIndex(gene_ivs, gene_ids)
         lo, hi = bam.contig_record_range(chrom)
+        if only is not None:
+            lo, hi = only[1], only[2]
         for ridx in range(lo, hi):
             r = bam.read(ridx)
             if r.is_unmapped:
@@ -355,7 +413,8 @@ def analyze(annotation_file, bam_file, reference_file, output_prefix,
     bam = BamFile(bam_file, threads=threads)
     fasta = FastaFile(reference_file)
     (read_assignment, reads_positions, reads_tags, reads_exons,
-     reads_introns) = load_reads(bam, fasta, merged, no_gtag, min_junctions)
+     reads_introns) = load_reads(bam, fasta, merged, no_gtag,
+                                 min_junctions, threads)
     gene_assigned = defaultdict(list)
     for q, g in read_assignment.items():
         gene_assigned[g].append(q)

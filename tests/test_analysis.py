@@ -412,3 +412,32 @@ def test_ase_assignment_parallel_equals_serial(tmp_path, rng, monkeypatch):
     serial = ase.assign_reads_to_gene(bam, merged, threads=1)
     pooled = ase.assign_reads_to_gene(bam, merged, threads=3)
     assert serial and pooled == serial
+
+
+def test_asj_load_reads_parallel_equals_serial(tmp_path, rng, monkeypatch):
+    """ASJ's fork-pool chunked load_reads equals the serial walk."""
+    from longcallr_tpu.analysis import asj
+    from longcallr_tpu.io.bam import BamFile
+    from longcallr_tpu.io.fasta import FastaFile
+
+    monkeypatch.setattr(ase, "ASE_CHUNK_MIN", 8)
+    monkeypatch.setattr(ase, "FORK_POOL", True)
+    cfg = preset("hifi-masseq").replace(min_read_length=100)
+    ref = make_reference(rng, 9000)
+    truth = plant_snps(rng, ref, n_het=8, n_hom=0, min_gap=600)
+    bam_path = str(tmp_path / "aj.bam")
+    simulate_bam(bam_path, rng, ref, truth, n_reads=100, read_len=3000,
+                 err_rate=0.01, with_introns=True)
+    gtf = str(tmp_path / "genes.gtf")
+    _write_gtf(gtf, "chrS", [
+        ("G1", "GENE1", 1, 9000, [(1, 4000), (4600, 9000)]),
+    ])
+    _, _, _, exon_regions = ase.get_gene_regions(gtf, {"protein_coding"})
+    merged = ase.merge_gene_exon_regions(exon_regions)
+    bam = BamFile(bam_path)
+    fasta = FastaFile(bam_path.replace(".bam", ".fa"))
+    serial = asj.load_reads(bam, fasta, merged, no_gtag=False, threads=1)
+    pooled = asj.load_reads(bam, fasta, merged, no_gtag=False, threads=3)
+    assert serial[0], "fixture produced no assignments"
+    for a, b in zip(serial, pooled):
+        assert a == b
