@@ -79,6 +79,12 @@ def _declare(lib: ctypes.CDLL) -> None:
         _i64p, _u8p, _u8p, _u8p, _u8p, ctypes.c_int64,
         _i32p, _i8p, _u8p, _i64p, ctypes.c_int64]
     try:
+        lib.fragment_cells_mt.restype = ctypes.c_int
+        lib.fragment_cells_mt.argtypes = (list(lib.fragment_cells.argtypes)
+                                          + [ctypes.c_int])
+    except AttributeError:  # stale .so
+        pass
+    try:
         lib.bam_emit_tagged.restype = ctypes.c_int64
         lib.bam_emit_tagged.argtypes = [
             _u8p, _i64p, _i64p, ctypes.c_int64, _i32p, _i32p, _u8p,

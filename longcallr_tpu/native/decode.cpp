@@ -582,15 +582,17 @@ int64_t bam_emit_tagged(const uint8_t* data, const int64_t* off,
 // For each read, emit (cand_idx, p, baseq) triplets at candidate SNPs under
 // M ops where p != 0 and the candidate is not dense. Outputs flattened with
 // out_counts[r] per read; out buffers sized max_cells.
-int fragment_cells(const uint8_t* data, const int64_t* rec_off,
-                   const int64_t* rec_end, int64_t n_reads,
-                   const int64_t* cand_pos, const uint8_t* cand_ref,
-                   const uint8_t* cand_a1, const uint8_t* cand_a2,
-                   const uint8_t* not_dense, int64_t n_cand,
-                   int32_t* out_idx, int8_t* out_p, uint8_t* out_bq,
-                   int64_t* out_counts, int64_t max_cells) {
-    int64_t w_ptr = 0;
-    for (int64_t r = 0; r < n_reads; ++r) {
+static int fragment_cells_range(
+        const uint8_t* data, const int64_t* rec_off,
+        const int64_t* rec_end, int64_t r_begin, int64_t r_end,
+        const int64_t* cand_pos, const uint8_t* cand_ref,
+        const uint8_t* cand_a1, const uint8_t* cand_a2,
+        const uint8_t* not_dense, int64_t n_cand,
+        int32_t* out_idx, int8_t* out_p, uint8_t* out_bq,
+        int64_t* out_counts, int64_t w_base, int64_t w_limit,
+        int64_t* written) {
+    int64_t w_ptr = w_base;
+    for (int64_t r = r_begin; r < r_end; ++r) {
         RecView v = view_record(data, rec_off[r], rec_end[r]);
         int64_t start_cells = w_ptr;
         int64_t rpos = v.pos;
@@ -617,7 +619,7 @@ int fragment_cells(const uint8_t* data, const int64_t* rec_off,
                         else if ((uint8_t)base == cand_a1[idx]
                                  || (uint8_t)base == cand_a2[idx]) p = -1;
                         if (p != 0 && not_dense[idx]) {
-                            if (w_ptr >= max_cells) return 2;
+                            if (w_ptr >= w_limit) return 2;
                             out_idx[w_ptr] = (int32_t)idx;
                             out_p[w_ptr] = p;
                             out_bq[w_ptr] = (uint8_t)bq;
@@ -637,6 +639,79 @@ int fragment_cells(const uint8_t* data, const int64_t* rec_off,
             }
         }
         out_counts[r] = w_ptr - start_cells;
+    }
+    *written = w_ptr - w_base;
+    return 0;
+}
+
+int fragment_cells(const uint8_t* data, const int64_t* rec_off,
+                   const int64_t* rec_end, int64_t n_reads,
+                   const int64_t* cand_pos, const uint8_t* cand_ref,
+                   const uint8_t* cand_a1, const uint8_t* cand_a2,
+                   const uint8_t* not_dense, int64_t n_cand,
+                   int32_t* out_idx, int8_t* out_p, uint8_t* out_bq,
+                   int64_t* out_counts, int64_t max_cells) {
+    int64_t written = 0;
+    return fragment_cells_range(data, rec_off, rec_end, 0, n_reads,
+                                cand_pos, cand_ref, cand_a1, cand_a2,
+                                not_dense, n_cand, out_idx, out_p, out_bq,
+                                out_counts, 0, max_cells, &written);
+}
+
+// Chunk-parallel fragment extraction over FIXED 16 read-chunks (the pileup
+// MT pattern): chunk c writes into its worst-case slice of the shared out
+// buffers (base = first_read * n_cand, so max_cells must be the uncapped
+// n_reads * n_cand — the caller checks), then one pack pass moves chunk
+// segments down into the packed read-order layout. Outputs are identical
+// to the serial walk for every thread count.
+int fragment_cells_mt(const uint8_t* data, const int64_t* rec_off,
+                      const int64_t* rec_end, int64_t n_reads,
+                      const int64_t* cand_pos, const uint8_t* cand_ref,
+                      const uint8_t* cand_a1, const uint8_t* cand_a2,
+                      const uint8_t* not_dense, int64_t n_cand,
+                      int32_t* out_idx, int8_t* out_p, uint8_t* out_bq,
+                      int64_t* out_counts, int64_t max_cells,
+                      int n_threads) {
+    const int C = 16;
+    if (n_threads <= 1 || n_reads < 2 * C
+        || max_cells < n_reads * n_cand) {
+        return fragment_cells(data, rec_off, rec_end, n_reads, cand_pos,
+                              cand_ref, cand_a1, cand_a2, not_dense, n_cand,
+                              out_idx, out_p, out_bq, out_counts, max_cells);
+    }
+    int T = std::min(n_threads, C);
+    int64_t written[C];
+    int errs_c[C];
+    for (int c = 0; c < C; ++c) { written[c] = 0; errs_c[c] = 0; }
+    auto work = [&](int tid) {
+        for (int c = tid; c < C; c += T) {
+            int64_t r0 = n_reads * c / C, r1 = n_reads * (c + 1) / C;
+            int64_t base = r0 * n_cand;
+            int64_t limit = r1 * n_cand;
+            errs_c[c] = fragment_cells_range(
+                data, rec_off, rec_end, r0, r1, cand_pos, cand_ref,
+                cand_a1, cand_a2, not_dense, n_cand, out_idx, out_p,
+                out_bq, out_counts, base, limit, &written[c]);
+        }
+    };
+    {
+        std::vector<std::thread> ts;
+        for (int t = 0; t < T; ++t) ts.emplace_back(work, t);
+        for (auto& th : ts) th.join();
+    }
+    for (int c = 0; c < C; ++c) if (errs_c[c]) return errs_c[c];
+    // pack chunk segments down (dest <= src always)
+    int64_t w = written[0];
+    for (int c = 1; c < C; ++c) {
+        int64_t r0 = n_reads * c / C;
+        int64_t base = r0 * n_cand;
+        if (base != w && written[c] > 0) {
+            std::memmove(out_idx + w, out_idx + base,
+                         sizeof(int32_t) * written[c]);
+            std::memmove(out_p + w, out_p + base, (size_t)written[c]);
+            std::memmove(out_bq + w, out_bq + base, (size_t)written[c]);
+        }
+        w += written[c];
     }
     return 0;
 }

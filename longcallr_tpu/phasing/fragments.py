@@ -127,8 +127,14 @@ def _read_cells(read, cand_pos: np.ndarray, start_idx: int, end_idx: int,
     return ci, p, bq
 
 
+# read count above which the native extraction runs chunk-parallel
+# (fixed 16-chunk layout, outputs identical to the serial walk)
+FRAG_MT_MIN = int(__import__("os").environ.get("LONGCALLR_FRAG_MT_MIN",
+                                               "1024"))
+
+
 def _extract_cells_flat(bam: BamFile, eligible: List[int], cands: CandidateSet,
-                        use_native: bool = True
+                        use_native: bool = True, threads: int = 1
                         ) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
     """All cells of all eligible reads as flat arrays
     ``(counts[K], cand_idx, p, baseq)`` — cells of read k occupy the segment
@@ -161,12 +167,18 @@ def _extract_cells_flat(bam: BamFile, eligible: List[int], cands: CandidateSet,
             a2 = np.ascontiguousarray(cands.alleles[:, 1])
             nd = np.ones(n_cand, np.uint8)  # dense filter applied by caller
             ptr = lambda a, t: a.ctypes.data_as(t)
-            rc = nlib.fragment_cells(
+            args = (
                 ptr(data, u8p), ptr(rec_off, i64p), ptr(rec_end, i64p),
                 K, ptr(cand_pos, i64p), ptr(cands.ref_base, u8p),
                 ptr(a1, u8p), ptr(a2, u8p), ptr(nd, u8p), n_cand,
                 ptr(out_idx, i32p), ptr(out_p, i8p), ptr(out_bq, u8p),
                 ptr(out_counts, i64p), max_cells)
+            if (threads > 1 and K >= FRAG_MT_MIN
+                    and max_cells == K * max(1, n_cand)
+                    and hasattr(nlib, "fragment_cells_mt")):
+                rc = nlib.fragment_cells_mt(*args, threads)
+            else:
+                rc = nlib.fragment_cells(*args)
             if rc == 0:
                 total = int(out_counts.sum())
                 return (out_counts, out_idx[:total].astype(np.int64),
@@ -267,7 +279,8 @@ def get_fragments(bam: BamFile, region: Region, cands: CandidateSet,
     K = len(qnames)
 
     counts, ci, p, bq = _extract_cells_flat(bam, eligible, cands,
-                                            use_native=use_native)
+                                            use_native=use_native,
+                                            threads=max(1, cfg.threads))
     # keep p != 0 cells at non-dense candidates (fragment.rs:148-152)
     keep = (p != 0) & not_dense[ci]
     kk = np.repeat(np.arange(K, dtype=np.int64), counts)[keep]

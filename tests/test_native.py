@@ -247,3 +247,36 @@ def test_native_pileup_mt_leading_insertion(tmp_path, rng, monkeypatch):
     mt = build_pileup(bam, region, ref, cfg.replace(threads=4))
     np.testing.assert_array_equal(mt.n_ins, serial.n_ins)
     np.testing.assert_array_equal(mt.cnt, serial.cnt)
+
+
+def test_native_fragments_mt_equals_serial(tmp_path, rng, monkeypatch):
+    """fragment_cells_mt: identical flat outputs to the serial walk for
+    several thread counts."""
+    from longcallr_tpu.phasing import fragments as F
+
+    nlib = native.lib()
+    if not hasattr(nlib, "fragment_cells_mt"):
+        pytest.skip("mt entry point unavailable")
+    cfg = preset("hifi-masseq").replace(min_read_length=100)
+    ref = make_reference(rng, 8000)
+    truth = plant_snps(rng, ref, n_het=12, n_hom=2)
+    path = str(tmp_path / "fm.bam")
+    simulate_bam(path, rng, ref, truth, n_reads=200, read_len=2500,
+                 err_rate=0.02, with_introns=True)
+    bam = BamFile(path)
+    region = Region(chr="chrS", start=1, end=len(ref) + 1)
+    pl = build_pileup(bam, region, ref, cfg)
+    cands = select_candidates(pl, cfg)
+    monkeypatch.setattr(F, "FRAG_MT_MIN", 1)
+    serial = get_fragments(bam, region, cands, cfg.replace(threads=1))
+    for th in (2, 4, 7):
+        mt = get_fragments(bam, region, cands, cfg.replace(threads=th))
+        np.testing.assert_array_equal(mt.p, serial.p, err_msg=f"t{th}")
+        np.testing.assert_array_equal(mt.baseq, serial.baseq,
+                                      err_msg=f"t{th}")
+        np.testing.assert_array_equal(mt.num_hete_links,
+                                      serial.num_hete_links)
+        assert set(mt.ld_counts) == set(serial.ld_counts)
+        for k in mt.ld_counts:
+            np.testing.assert_array_equal(mt.ld_counts[k],
+                                          serial.ld_counts[k])
