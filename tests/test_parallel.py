@@ -346,3 +346,64 @@ def test_gather_results_timeout(monkeypatch):
                         lambda local: {**local, 9: {"vcf_lines": []}})
     out2 = mh.gather_results(local, timeout_s=5.0)
     assert 9 in out2
+
+
+_POD_WORKER = r"""
+import sys
+port, pid, bam, fa, out = sys.argv[1:6]
+import jax
+jax.config.update("jax_platforms", "cpu")     # BEFORE distributed init
+jax.config.update("jax_enable_x64", True)
+jax.distributed.initialize(f"localhost:{port}", 2, int(pid))
+from longcallr_tpu.config import preset
+from longcallr_tpu.parallel.multihost import run_multihost
+cfg = preset("hifi-masseq").replace(min_read_length=100, threads=1)
+res = run_multihost(bam, fa, out, cfg)
+print("DONE", jax.process_index(), flush=True)
+"""
+
+
+def test_run_multihost_two_process_pod(tmp_path, rng):
+    """A REAL 2-process jax.distributed pod on the CPU platform: both
+    workers shard the regions, gather, and process 0's outputs equal a
+    single-process run."""
+    import os
+    import socket
+    import subprocess
+    import sys
+
+    from longcallr_tpu.config import preset
+    from longcallr_tpu.pipeline.caller import run
+    from simulate import make_reference, plant_snps, simulate_bam
+
+    cfg = preset("hifi-masseq").replace(min_read_length=100)
+    ref = make_reference(rng, 9000)
+    truth = plant_snps(rng, ref, n_het=8, n_hom=1, min_gap=500)
+    bam_path = str(tmp_path / "pod.bam")
+    simulate_bam(bam_path, rng, ref, truth, n_reads=60, read_len=2500,
+                 err_rate=0.01)
+    fa = bam_path.replace(".bam", ".fa")
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        port = s.getsockname()[1]
+    worker = str(tmp_path / "worker.py")
+    with open(worker, "w") as f:
+        f.write(_POD_WORKER)
+    env = dict(os.environ, JAX_ENABLE_X64="1",
+               PYTHONPATH="/root/repo")
+    procs = [subprocess.Popen(
+        [sys.executable, worker, str(port), str(pid), bam_path, fa,
+         str(tmp_path / "pod")],
+        cwd="/root/repo", env=env,
+        stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True)
+        for pid in (0, 1)]
+    outs = [p.communicate(timeout=300) for p in procs]
+    for p, (so, se) in zip(procs, outs):
+        assert p.returncode == 0, se[-2000:]
+        assert "DONE" in so
+    single = run(bam_path, fa, str(tmp_path / "single"), cfg)
+    with open(str(tmp_path / "pod.vcf")) as f:
+        pod_vcf = f.read()
+    with open(single.vcf_path) as f:
+        single_vcf = f.read()
+    assert pod_vcf == single_vcf
