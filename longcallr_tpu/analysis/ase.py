@@ -195,10 +195,11 @@ def _fork_pool_ok() -> bool:
     if j is not None:
         try:
             from jax._src import xla_bridge
-            if getattr(xla_bridge, "_backends", None):
-                return False          # device threads live → no fork
+            backends = xla_bridge._backends       # may move across versions
+            if backends is None or backends:
+                return False          # device threads live (or unknowable)
         except Exception:
-            return False
+            return False              # fail closed: fork under threads
     import multiprocessing as mp
     return "fork" in mp.get_all_start_methods()
 

@@ -78,7 +78,7 @@ def load_reads(bam: BamFile, fasta: FastaFile, merged_genes_exons,
             return _load_reads_pooled(bam, fasta, merged_genes_exons,
                                       no_gtag, min_junctions, threads)
     return _load_reads_range(bam, fasta, merged_genes_exons, no_gtag,
-                             min_junctions, None)
+                             min_junctions, None)[:5]
 
 
 def _load_reads_pooled(bam, fasta, merged_genes_exons, no_gtag,
@@ -101,15 +101,28 @@ def _load_reads_pooled(bam, fasta, merged_genes_exons, no_gtag,
                    for j in range(n_chunks)]
     if len(chunks) <= 1:
         return _load_reads_range(bam, fasta, merged_genes_exons, no_gtag,
-                                 min_junctions, None)
-    _POOL["asj"] = (bam, fasta, merged_genes_exons, no_gtag, min_junctions)
+                                 min_junctions, None)[:5]
+    # pre-build per-chrom interval indexes once in the parent (COW-shared)
+    indexes = {chrom: _chrom_asj_indexes(genes)
+               for chrom, genes in merged_genes_exons.items()
+               if chrom in bam.references and chrom in fasta}
+    _POOL["asj"] = (bam, fasta, merged_genes_exons, no_gtag, min_junctions,
+                    indexes)
     try:
         outs = [{}, {}, {}, {}, {}]
         with ProcessPoolExecutor(max_workers=threads,
                                  mp_context=mp.get_context("fork")) as ex:
             for part in ex.map(_load_chunk, chunks):
-                for acc, d in zip(outs, part):
+                *dicts, deleted = part
+                for acc, d in zip(outs, dicts):
                     acc.update(d)   # chunk order == read order
+                # a later record of a duplicate qname that fails the
+                # min_junctions filter deletes positions/tags entries set by
+                # EARLIER records too (serial semantics) — apply the chunk's
+                # net deletions across everything merged so far
+                for q in deleted:
+                    outs[1].pop(q, None)
+                    outs[2].pop(q, None)
         return tuple(outs)
     finally:
         _POOL.pop("asj", None)
@@ -117,31 +130,43 @@ def _load_reads_pooled(bam, fasta, merged_genes_exons, no_gtag,
 
 def _load_chunk(args):
     from .ase import _POOL
-    bam, fasta, merged, no_gtag, min_junctions = _POOL["asj"]
-    return _load_reads_range(bam, fasta, merged, no_gtag, min_junctions, args)
+    bam, fasta, merged, no_gtag, min_junctions, indexes = _POOL["asj"]
+    return _load_reads_range(bam, fasta, merged, no_gtag, min_junctions,
+                             args, indexes)
+
+
+def _chrom_asj_indexes(genes):
+    gene_ivs, gene_ids = [], []
+    exon_idx: Dict[str, IntervalIndex] = {}
+    for gene_id, merged in genes.items():
+        gene_ivs.append((merged[0][0], merged[-1][1] + 1))
+        gene_ids.append(gene_id)
+        exon_idx[gene_id] = IntervalIndex([(s, e + 1) for s, e in merged])
+    return IntervalIndex(gene_ivs, gene_ids), exon_idx
 
 
 def _load_reads_range(bam: BamFile, fasta: FastaFile, merged_genes_exons,
                       no_gtag: bool, min_junctions: int,
-                      only: Optional[Tuple[str, int, int]]):
+                      only: Optional[Tuple[str, int, int]],
+                      indexes: Optional[dict] = None):
     read_assignment: Dict[str, str] = {}
     reads_positions: Dict[str, Tuple[int, int]] = {}
     reads_tags: Dict[str, dict] = {}
     reads_exons: Dict[str, list] = {}
     reads_junctions: Dict[str, list] = {}
+    # qnames whose LAST record in this range failed the junction filter
+    # (their positions/tags deletion must win over earlier chunks)
+    deleted: Set[str] = set()
     for chrom, genes in merged_genes_exons.items():
         if only is not None and chrom != only[0]:
             continue
         if chrom not in bam.references or chrom not in fasta:
             continue
         ref_seq = fasta.fetch(chrom)
-        gene_ivs, gene_ids = [], []
-        exon_idx: Dict[str, IntervalIndex] = {}
-        for gene_id, merged in genes.items():
-            gene_ivs.append((merged[0][0], merged[-1][1] + 1))
-            gene_ids.append(gene_id)
-            exon_idx[gene_id] = IntervalIndex([(s, e + 1) for s, e in merged])
-        tree = IntervalIndex(gene_ivs, gene_ids)
+        if indexes is not None:
+            tree, exon_idx = indexes[chrom]
+        else:
+            tree, exon_idx = _chrom_asj_indexes(genes)
         lo, hi = bam.contig_record_range(chrom)
         if only is not None:
             lo, hi = only[1], only[2]
@@ -156,10 +181,12 @@ def _load_reads_range(bam: BamFile, fasta: FastaFile, merged_genes_exons,
                                  "HP": hp if hp is not None else "."}
             ref_end = r.reference_end()
             reads_positions[qname] = (r.pos + 1, ref_end)
+            deleted.discard(qname)
             exons, introns = get_exon_intron_regions(r, ref_seq, no_gtag)
             if len(introns) <= min_junctions:
                 del reads_positions[qname]
                 del reads_tags[qname]
+                deleted.add(qname)
                 continue
             reads_exons[qname] = exons
             reads_junctions[qname] = introns
@@ -175,7 +202,8 @@ def _load_reads_range(bam: BamFile, fasta: FastaFile, merged_genes_exons,
                     best_gene, best_len = gene_id, total
             if best_gene is not None:
                 read_assignment[qname] = best_gene
-    return read_assignment, reads_positions, reads_tags, reads_exons, reads_junctions
+    return (read_assignment, reads_positions, reads_tags,
+            reads_exons, reads_junctions, deleted)
 
 
 class _UnionFind:

@@ -25,6 +25,7 @@ no live code path consumes them — not materialised here.
 
 from __future__ import annotations
 
+import os as _os
 from dataclasses import dataclass, field
 from functools import lru_cache
 from typing import Dict, List, Optional, Tuple
@@ -129,8 +130,7 @@ def _read_cells(read, cand_pos: np.ndarray, start_idx: int, end_idx: int,
 
 # read count above which the native extraction runs chunk-parallel
 # (fixed 16-chunk layout, outputs identical to the serial walk)
-FRAG_MT_MIN = int(__import__("os").environ.get("LONGCALLR_FRAG_MT_MIN",
-                                               "1024"))
+FRAG_MT_MIN = int(_os.environ.get("LONGCALLR_FRAG_MT_MIN", "1024"))
 
 
 def _extract_cells_flat(bam: BamFile, eligible: List[int], cands: CandidateSet,

@@ -388,13 +388,47 @@ def test_beta_binomial_matches_scipy(rng):
     assert out[0] == 1.0
 
 
-def test_ase_assignment_parallel_equals_serial(tmp_path, rng, monkeypatch):
-    """The fork-pool chunked read→gene assignment equals the serial walk."""
-    from longcallr_tpu.io.bam import BamFile
+def _run_pool_driver(tmp_path, script, *argv):
+    """Run a pool-equality driver in a fresh subprocess: no live JAX backend
+    there, so the fork-based pool engages via its own auto gate (forking the
+    pytest process, which has a live backend, is exactly what the gate
+    forbids)."""
+    import os
+    import subprocess
+    import sys
 
-    monkeypatch.setattr(ase, "ASE_CHUNK_MIN", 8)
-    monkeypatch.setattr(ase, "FORK_POOL", True)
+    drv = str(tmp_path / "driver.py")
+    with open(drv, "w") as f:
+        f.write(script)
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ)
+    env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
+    r = subprocess.run([sys.executable, drv, *argv], cwd=repo, env=env,
+                       capture_output=True, text=True, timeout=300)
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "POOL_OK" in r.stdout, r.stdout
 
+
+_ASE_DRIVER = r"""
+import sys
+bam_path, gtf = sys.argv[1:3]
+from longcallr_tpu.analysis import ase
+from longcallr_tpu.io.bam import BamFile
+ase.ASE_CHUNK_MIN = 8
+assert ase._fork_pool_ok(), "fork pool gate closed in a fresh process"
+_, _, _, exon_regions = ase.get_gene_regions(gtf, {"protein_coding"})
+merged = ase.merge_gene_exon_regions(exon_regions)
+bam = BamFile(bam_path)
+serial = ase.assign_reads_to_gene(bam, merged, threads=1)
+pooled = ase.assign_reads_to_gene(bam, merged, threads=3)
+assert serial and pooled == serial, (len(serial), len(pooled))
+print("POOL_OK")
+"""
+
+
+def test_ase_assignment_parallel_equals_serial(tmp_path, rng):
+    """The fork-pool chunked read→gene assignment equals the serial walk
+    (exercised in a jax-backend-free subprocess)."""
     cfg = preset("hifi-masseq").replace(min_read_length=100)
     ref = make_reference(rng, 9000)
     truth = plant_snps(rng, ref, n_het=8, n_hom=0, min_gap=600)
@@ -406,38 +440,73 @@ def test_ase_assignment_parallel_equals_serial(tmp_path, rng, monkeypatch):
         ("G1", "GENE1", 1, 4500, [(1, 2000), (2600, 4500)]),
         ("G2", "GENE2", 4501, 9000, [(4501, 9000)]),
     ])
-    _, _, _, exon_regions = ase.get_gene_regions(gtf, {"protein_coding"})
-    merged = ase.merge_gene_exon_regions(exon_regions)
-    bam = BamFile(bam_path)
-    serial = ase.assign_reads_to_gene(bam, merged, threads=1)
-    pooled = ase.assign_reads_to_gene(bam, merged, threads=3)
-    assert serial and pooled == serial
+    _run_pool_driver(tmp_path, _ASE_DRIVER, bam_path, gtf)
 
 
-def test_asj_load_reads_parallel_equals_serial(tmp_path, rng, monkeypatch):
-    """ASJ's fork-pool chunked load_reads equals the serial walk."""
-    from longcallr_tpu.analysis import asj
+_ASJ_DRIVER = r"""
+import sys
+bam_path, gtf = sys.argv[1:3]
+from longcallr_tpu.analysis import ase, asj
+from longcallr_tpu.io.bam import BamFile
+from longcallr_tpu.io.fasta import FastaFile
+ase.ASE_CHUNK_MIN = 1
+assert ase._fork_pool_ok(), "fork pool gate closed in a fresh process"
+_, _, _, exon_regions = ase.get_gene_regions(gtf, {"protein_coding"})
+merged = ase.merge_gene_exon_regions(exon_regions)
+bam = BamFile(bam_path)
+fasta = FastaFile(bam_path.replace(".bam", ".fa"))
+serial = asj.load_reads(bam, fasta, merged, no_gtag=False, threads=1)
+pooled = asj.load_reads(bam, fasta, merged, no_gtag=False, threads=3)
+assert serial[0], "no assignments"
+# the duplicate qname whose LAST record has no junctions must be absent
+# from positions/tags in BOTH variants (cross-chunk delete semantics)
+assert "dup_read" not in serial[1] and "dup_read" not in serial[2]
+for a, b in zip(serial, pooled):
+    assert a == b
+print("POOL_OK")
+"""
+
+
+def test_asj_load_reads_parallel_equals_serial(tmp_path, rng):
+    """ASJ's fork-pool chunked load_reads equals the serial walk, including
+    a duplicate qname whose later record deletes entries across chunks."""
+    import numpy as _np
+
+    from longcallr_tpu.io import bam as bamio
     from longcallr_tpu.io.bam import BamFile
-    from longcallr_tpu.io.fasta import FastaFile
+    from longcallr_tpu.io.fasta import write_fasta
 
-    monkeypatch.setattr(ase, "ASE_CHUNK_MIN", 8)
-    monkeypatch.setattr(ase, "FORK_POOL", True)
     cfg = preset("hifi-masseq").replace(min_read_length=100)
     ref = make_reference(rng, 9000)
     truth = plant_snps(rng, ref, n_het=8, n_hom=0, min_gap=600)
     bam_path = str(tmp_path / "aj.bam")
     simulate_bam(bam_path, rng, ref, truth, n_reads=100, read_len=3000,
                  err_rate=0.01, with_introns=True)
+    # append a duplicate-qname pair: early spliced record, late junction-free
+    # record (sorted far apart → lands in a different chunk)
+    src = BamFile(bam_path)
+    with bamio.BamWriter(bam_path, ["chrS"], [len(ref)]) as w:
+        def emit(pos, cigar_items, qname):
+            ln = sum(l for l, op in cigar_items if op in ("M",))
+            seq = bytes(ref[pos:pos + 600]) + bytes(ref[pos:pos + 600])
+            seq = seq[:sum(l for l, op in cigar_items if op in ("M", "I"))]
+            w.write_record(qname=qname, flag=0, ref_id=0, pos=pos, mapq=60,
+                           cigar=bamio.encode_cigar(cigar_items),
+                           seq=seq, qual=_np.full(len(seq), 30, _np.uint8))
+        wrote_dup_early = False
+        for i in range(src.n_records):
+            r = src.read(i)
+            if not wrote_dup_early and r.pos > 200:
+                emit(150, [(300, "M"), (200, "N"), (300, "M")], "dup_read")
+                wrote_dup_early = True
+            w.write_record(qname=r.qname, flag=int(r.flag), ref_id=0,
+                           pos=int(r.pos), mapq=int(r.mapq), cigar=r.cigar,
+                           seq=bytes(r.seq), qual=r.qual,
+                           tags=r.aux_bytes())
+        emit(8200, [(600, "M")], "dup_read")   # junction-free, last
+    write_fasta(bam_path.replace(".bam", ".fa"), {"chrS": bytes(ref)})
     gtf = str(tmp_path / "genes.gtf")
     _write_gtf(gtf, "chrS", [
         ("G1", "GENE1", 1, 9000, [(1, 4000), (4600, 9000)]),
     ])
-    _, _, _, exon_regions = ase.get_gene_regions(gtf, {"protein_coding"})
-    merged = ase.merge_gene_exon_regions(exon_regions)
-    bam = BamFile(bam_path)
-    fasta = FastaFile(bam_path.replace(".bam", ".fa"))
-    serial = asj.load_reads(bam, fasta, merged, no_gtag=False, threads=1)
-    pooled = asj.load_reads(bam, fasta, merged, no_gtag=False, threads=3)
-    assert serial[0], "fixture produced no assignments"
-    for a, b in zip(serial, pooled):
-        assert a == b
+    _run_pool_driver(tmp_path, _ASJ_DRIVER, bam_path, gtf)

@@ -389,12 +389,13 @@ def test_run_multihost_two_process_pod(tmp_path, rng):
     worker = str(tmp_path / "worker.py")
     with open(worker, "w") as f:
         f.write(_POD_WORKER)
-    env = dict(os.environ, JAX_ENABLE_X64="1",
-               PYTHONPATH="/root/repo")
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ, JAX_ENABLE_X64="1")
+    env["PYTHONPATH"] = repo_root + os.pathsep + env.get("PYTHONPATH", "")
     procs = [subprocess.Popen(
         [sys.executable, worker, str(port), str(pid), bam_path, fa,
          str(tmp_path / "pod")],
-        cwd="/root/repo", env=env,
+        cwd=repo_root, env=env,
         stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True)
         for pid in (0, 1)]
     outs = [p.communicate(timeout=300) for p in procs]
