@@ -171,10 +171,16 @@ def batched_cross_optimize(batch: BatchedRegions, sigma, delta, eta,
 
 @partial(jax.jit, static_argnames=("mesh",))
 def batched_perturbation_phase(batch: BatchedRegions, best_sigma, best_delta,
-                               best_eta, best_prob, n_rounds, key,
+                               best_eta, best_prob, n_rounds, keys,
                                mesh: Optional[Mesh] = None):
     """The perturbation schedule (phase.rs:1198-1233) over a region bucket:
     fori_loop to max(n_rounds) with per-region round masking, vmapped body.
+
+    ``keys`` is a [B, 2] array of per-region PRNGKeys so each region's
+    perturbation stream depends only on its own seed — never on which other
+    regions share its bucket/wave. This makes batched == per-region and
+    --resume byte-identical to an uninterrupted run (phase.rs:1198-1233 uses
+    an independent thread_rng per region task).
     Returns (sigma, delta, eta, prob[B]) of the per-region best states."""
     from ..phasing.optimize import PhaseState
 
@@ -213,13 +219,15 @@ def batched_perturbation_phase(batch: BatchedRegions, best_sigma, best_delta,
 
     def body(tidx, carry):
         sg, dl, et, pr = carry
-        kr = jax.random.fold_in(key, tidx)
-        keys = jax.random.split(kr, B)
+        # fold the round index into each region's OWN key — identical to the
+        # per-region perturbation_phase draw sequence (optimize.py)
+        round_keys = jax.vmap(lambda kb: jax.random.fold_in(kb, tidx))(keys)
         active = tidx < n_rounds
         flip = jnp.full((B,), (tidx % 2) == 1)
         return jax.vmap(one_round)(
             batch.p, batch.lerr, batch.l1m, batch.exists, batch.read_base,
-            batch.site_mask, batch.conserved, sg, dl, et, pr, active, keys, flip)
+            batch.site_mask, batch.conserved, sg, dl, et, pr, active,
+            round_keys, flip)
 
     init = (best_sigma, best_delta, best_eta, best_prob)
     if mesh is not None:

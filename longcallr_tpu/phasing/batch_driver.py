@@ -168,7 +168,7 @@ def _phase_bucket(group: List[_Prepared], cfg: CallerConfig, K: int,
     eta0 = np.ones((B, I_pad), np.float64)
     n_rounds = np.zeros(B, np.int32)
     lds = []
-    rngs = []
+    region_keys = []
     for b, it in enumerate(group):
         K0, I0 = it.frags.p.shape
         p[b, :K0, :I0] = it.frags.p
@@ -176,18 +176,24 @@ def _phase_bucket(group: List[_Prepared], cfg: CallerConfig, K: int,
         ds = it.frags.downsampled if it.apply_ds else np.ones(K0, bool)
         read_base[b, :K0] = it.frags.for_phasing & ds
         site_mask[b, :I0] = it.cands.for_phasing
+        # each region consumes its OWN rng stream in exactly the order the
+        # per-region path does (optimize.py::_phase_region_padded_impl):
+        # init_haplotypes_ld → padded-K sigma draw → int64 key draw. This
+        # makes batched == per-region and keeps results independent of which
+        # other regions share the bucket (resume/mode invariance).
         rng = np.random.default_rng(
             np.random.SeedSequence([cfg.seed, it.seed & 0x7FFFFFFF]))
-        rngs.append(rng)
         ld = compute_ld_blocks(it.cands, it.frags)
         lds.append(ld)
         d0, cons = init_haplotypes_ld(it.cands, ld, rng)
         delta0[b, :I0] = d0
         conserved[b, :I0] = cons
         eta0[b, :I0] = init_genotype(it.cands)
-        s0 = np.where(rng.random(K0) < 0.5, -1.0, 1.0)
-        sigma0[b, :K0] = np.where(read_base[b, :K0], s0, 0.0)
+        s0 = np.where(rng.random(K) < 0.5, -1.0, 1.0)
+        sigma0[b] = np.where(read_base[b], s0, 0.0)
         n_rounds[b] = I0 // 4 + 1
+        region_keys.append(jax.random.PRNGKey(
+            int(rng.integers(0, np.iinfo(np.int64).max, dtype=np.int64))))
 
     cts_np = make_cell_tables_np(p.reshape(B * K, I_pad),
                                  bq.reshape(B * K, I_pad))
@@ -240,8 +246,9 @@ def _phase_bucket(group: List[_Prepared], cfg: CallerConfig, K: int,
     best_dl = np.where(better[:, None], dl2, dl_np)
     best_prob = np.where(better, prob2_np, prob1_np)
 
-    # 3) batched perturbation schedule with per-region round counts
-    keys = jax.random.PRNGKey(int(rngs[0].integers(0, 2**62)))
+    # 3) batched perturbation schedule with per-region round counts and
+    # per-region keys (bucket-composition-independent randomness)
+    keys = jnp.stack(region_keys)
     sgf, dlf, etf, prf = batched_perturbation_phase(
         batch, dp(best_sg), dp(best_dl), dp(et_np),
         dp(best_prob.astype(np.float64)), dp(n_rounds), keys, mesh=mesh)
