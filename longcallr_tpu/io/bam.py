@@ -700,7 +700,8 @@ def write_tagged_records(bam: "BamFile", ridxs, read_assignments,
             tags += make_tag_bytes("HP", "i", asg)
         psv = read_phasesets.get(qname)
         if psv is not None:
-            tags += make_tag_bytes("PS", "i", psv)
+            # reference pushes Aux::U32 -> BAM type 'I' (thread.rs:355)
+            tags += make_tag_bytes("PS", "I", psv)
         writer.write_raw(buf[int(bam.rec_off[ridx]):int(bam.rec_end[ridx])],
                          extra_tags=tags)
     return n

@@ -17,6 +17,39 @@ _HERE = os.path.dirname(os.path.abspath(__file__))
 _SRC = os.path.join(_HERE, "decode.cpp")
 _BUILD_DIR = os.path.join(_HERE, "build")
 _SO = os.path.join(_BUILD_DIR, "libdecode.so")
+_STAMP = _SO + ".stamp"
+
+
+def _fingerprint() -> str:
+    """Source + compiler + host-CPU fingerprint for the -march=native build.
+
+    mtimes are useless across git checkouts (both files get checkout time)
+    and a .so built elsewhere can SIGILL under -march=native, so rebuild
+    whenever any of source hash, g++ version, or the host's CPU flag set
+    changes.
+    """
+    import hashlib
+
+    h = hashlib.sha256()
+    with open(_SRC, "rb") as f:
+        h.update(f.read())
+    try:
+        out = subprocess.run(["g++", "--version"], capture_output=True,
+                             timeout=30).stdout.splitlines()
+        h.update(out[0] if out else b"?")
+    except Exception:
+        h.update(b"no-gxx")
+    try:
+        with open("/proc/cpuinfo", "rb") as f:
+            for line in f:
+                if line.startswith(b"flags"):
+                    h.update(line)
+                    break
+    except OSError:
+        import platform
+
+        h.update(platform.machine().encode())
+    return h.hexdigest()
 
 _lock = threading.Lock()
 _lib: Optional[ctypes.CDLL] = None
@@ -29,7 +62,7 @@ _u8p = ctypes.POINTER(ctypes.c_uint8)
 _f64p = ctypes.POINTER(ctypes.c_double)
 
 
-def _build() -> bool:
+def _build(fp: str) -> bool:
     os.makedirs(_BUILD_DIR, exist_ok=True)
     base = ["g++", "-O3", "-march=native", "-shared", "-fPIC", "-std=c++17",
             _SRC, "-o", _SO + ".tmp", "-lz", "-lpthread"]
@@ -40,6 +73,8 @@ def _build() -> bool:
         try:
             subprocess.run(cmd, check=True, capture_output=True, timeout=240)
             os.replace(_SO + ".tmp", _SO)
+            with open(_STAMP, "w") as f:
+                f.write(fp)
             return True
         except Exception:
             continue
@@ -107,9 +142,15 @@ def lib() -> Optional[ctypes.CDLL]:
     with _lock:
         if _lib is not None or _failed:
             return _lib
-        if not os.path.exists(_SO) or (
-                os.path.getmtime(_SO) < os.path.getmtime(_SRC)):
-            if not _build():
+        fp = _fingerprint()
+        stamp = None
+        try:
+            with open(_STAMP) as f:
+                stamp = f.read().strip()
+        except OSError:
+            pass
+        if not os.path.exists(_SO) or stamp != fp:
+            if not _build(fp):
                 _failed = True
                 return None
         try:

@@ -548,7 +548,7 @@ int pileup_fill_mt(const uint8_t* data, const int64_t* rec_off,
 
 // Emit n BAM records into one uncompressed stream: per record a little-endian
 // u32 block_size, the raw record bytes [off, end), then optional appended
-// aux tags HP:i (when hp != 0) and PS:i (when ps_has). Mirrors the Python
+// aux tags HP:i (when hp != 0) and PS:I (when ps_has). Mirrors the Python
 // writer loop of pipeline/caller.py (thread.rs:350-357 push_aux semantics).
 // Returns total bytes written, or -1 if out_cap would be exceeded.
 int64_t bam_emit_tagged(const uint8_t* data, const int64_t* off,
@@ -568,7 +568,8 @@ int64_t bam_emit_tagged(const uint8_t* data, const int64_t* off,
             std::memcpy(out + w + 3, hp + r, 4); w += 7;
         }
         if (ps_has[r]) {
-            out[w] = 'P'; out[w + 1] = 'S'; out[w + 2] = 'i';
+            // reference pushes Aux::U32 -> BAM type 'I' (thread.rs:355)
+            out[w] = 'P'; out[w + 1] = 'S'; out[w + 2] = 'I';
             std::memcpy(out + w + 3, ps + r, 4); w += 7;
         }
     }

@@ -64,6 +64,11 @@ def _encode_results(results: Dict[int, dict]) -> np.ndarray:
     return np.frombuffer(raw, dtype=np.uint8)
 
 
+# set when a gather timed out with its thread still blocked in the
+# collective; all later collectives in this process would desync
+_gather_poisoned = False
+
+
 def _gather_collective(local: Dict[int, dict]) -> Dict[int, dict]:
     from jax.experimental import multihost_utils
 
@@ -93,9 +98,22 @@ def gather_results(local: Dict[int, dict],
     bounds the collective: a peer that dies INSIDE the allgather would
     otherwise hang every process. On timeout the local payloads are
     returned — process 0 then re-runs the missing regions serially
-    (``serialize_outputs``) so the run still completes, degraded."""
+    (``serialize_outputs``) so the run still completes, degraded.
+
+    A timed-out gather leaves its daemon thread parked inside
+    ``process_allgather``; surviving peers are still inside that collective,
+    so ANY later collective in this process would desync with them. The
+    gather must therefore be the last collective of the run: after a
+    timeout this module poisons itself and subsequent calls fail loudly
+    instead of silently corrupting a later collective."""
+    global _gather_poisoned
     if jax.process_count() == 1:
         return dict(local)
+    if _gather_poisoned:
+        raise RuntimeError(
+            "gather_results: a previous gather timed out, leaving a thread "
+            "blocked inside process_allgather; collectives in this process "
+            "are unusable (restart the process to rejoin the pod)")
     import os
     import threading
 
@@ -117,6 +135,7 @@ def gather_results(local: Dict[int, dict],
     th.join(timeout_s)
     if "merged" in box:
         return box["merged"]
+    _gather_poisoned = True
     import logging
     logging.getLogger(__name__).warning(
         "gather_results timed out after %.0fs; continuing with local "
@@ -125,14 +144,29 @@ def gather_results(local: Dict[int, dict],
     return dict(local)
 
 
+def _payload(res) -> dict:
+    return dict(vcf_lines=res.vcf_lines,
+                read_assignments=res.read_assignments,
+                phase_sets=res.phase_sets,
+                n_fragments=res.n_fragments,
+                n_candidates=res.n_candidates)
+
+
 def run_local_shard(bam, fasta, regions: Sequence[Region],
-                    mine: Sequence[int], cfg: CallerConfig
-                    ) -> Tuple[Dict[int, dict], List[int]]:
+                    mine: Sequence[int], cfg: CallerConfig,
+                    input_candidates: Optional[dict] = None,
+                    exon_regions: Optional[dict] = None,
+                    ckpt=None) -> Tuple[Dict[int, dict], List[int]]:
     """Process this host's region shard with the batched device driver.
     Returns (region index → result payload, failed region indices);
-    failures are isolated per region, never fatal to the shard."""
+    failures are isolated per region, never fatal to the shard.
+
+    Honors the same per-region inputs as the single-process path
+    (pipeline/caller.run): external -v candidates, --exon-only masks, and
+    an optional RegionCheckpoint for --resume."""
     from ..phasing.batch_driver import phase_regions_batched
-    from ..pipeline.engine import finalize_region, prepare_region
+    from ..pipeline.engine import RegionResult, finalize_region, prepare_region
+    from ..pipeline.caller import _exon_mask_for
 
     local: Dict[int, dict] = {}
     items, item_idx = [], []
@@ -140,9 +174,24 @@ def run_local_shard(bam, fasta, regions: Sequence[Region],
     failed: List[int] = []
     for i in mine:
         reg = regions[i]
+        done = ckpt.get(reg) if ckpt is not None else None
+        if done is not None:
+            local[i] = _payload(done)
+            continue
+        exon_mask = None
+        if cfg.exon_only and reg.gene_id is not None:
+            exon_mask = _exon_mask_for(reg, exon_regions or {})
+            if exon_mask is None:
+                empty = RegionResult(reg, [], {}, {}, 0, 0)
+                local[i] = _payload(empty)
+                if ckpt is not None:
+                    ckpt.put(empty)
+                continue
         try:
             ref_seq = fasta.fetch(reg.chr)
-            cands, frags, apply_ds = prepare_region(bam, reg, ref_seq, cfg)
+            cands, frags, apply_ds = prepare_region(
+                bam, reg, ref_seq, cfg,
+                input_candidates=input_candidates, exon_mask=exon_mask)
         except Exception:
             failed.append(i)
             continue
@@ -162,21 +211,23 @@ def run_local_shard(bam, fasta, regions: Sequence[Region],
         except Exception:
             failed.append(i)
             continue
-        local[i] = dict(vcf_lines=res.vcf_lines,
-                        read_assignments=res.read_assignments,
-                        phase_sets=res.phase_sets,
-                        n_fragments=res.n_fragments,
-                        n_candidates=res.n_candidates)
+        local[i] = _payload(res)
+        if ckpt is not None:
+            ckpt.put(res)
     return local, failed
 
 
 def serialize_outputs(bam, fasta, regions: Sequence[Region],
                       merged: Dict[int, dict], cfg: CallerConfig,
-                      output_prefix: str) -> dict:
+                      output_prefix: str,
+                      input_candidates: Optional[dict] = None,
+                      exon_regions: Optional[dict] = None) -> dict:
     """Process-0 output stage: retry regions missing from the gathered
-    results (peer crash / local failure — stateless re-run), then write the
-    VCF and phased BAM in contig order (thread.rs:224-361)."""
+    results (peer crash / local failure — stateless re-run) under the same
+    per-region inputs as the shard pass, then write the VCF and phased BAM
+    in contig order (thread.rs:224-361)."""
     from ..io.vcf import write_vcf_header
+    from ..pipeline.caller import _exon_mask_for
     from ..pipeline.engine import process_region
 
     missing = [i for i in range(len(regions)) if i not in merged]
@@ -184,12 +235,18 @@ def serialize_outputs(bam, fasta, regions: Sequence[Region],
     for i in missing:
         try:
             reg = regions[i]
-            res = process_region(bam, reg, fasta.fetch(reg.chr), cfg)
-            merged[i] = dict(vcf_lines=res.vcf_lines,
-                             read_assignments=res.read_assignments,
-                             phase_sets=res.phase_sets,
-                             n_fragments=res.n_fragments,
-                             n_candidates=res.n_candidates)
+            exon_mask = None
+            if cfg.exon_only and reg.gene_id is not None:
+                exon_mask = _exon_mask_for(reg, exon_regions or {})
+                if exon_mask is None:
+                    merged[i] = dict(vcf_lines=[], read_assignments={},
+                                     phase_sets={}, n_fragments=0,
+                                     n_candidates=0)
+                    continue
+            res = process_region(bam, reg, fasta.fetch(reg.chr), cfg,
+                                 input_candidates=input_candidates,
+                                 exon_mask=exon_mask)
+            merged[i] = _payload(res)
         except Exception:
             continue  # genuinely poisoned region: skip, keep the run
 
@@ -261,9 +318,28 @@ def run_multihost(bam_path: str, ref_path: str, output_prefix: str,
         run_kwargs.get("contigs"), run_kwargs.get("anno_path"))
     mine = shard_regions(regions, n_proc, pid)
 
-    local, failed = run_local_shard(bam, fasta, regions, mine, cfg)
+    input_vcf = run_kwargs.get("input_vcf")
+    input_candidates = None
+    if input_vcf is not None:
+        from ..io.vcf import load_input_candidates
+        input_candidates = load_input_candidates(input_vcf)
+    ckpt = None
+    if run_kwargs.get("resume"):
+        # one sidecar per process: peers must not interleave appends
+        from ..pipeline.resume import RegionCheckpoint, config_key
+        ckpt = RegionCheckpoint(
+            f"{output_prefix}.regions.p{pid}.ckpt",
+            key=config_key(cfg, input_vcf, run_kwargs.get("anno_path")))
+
+    local, failed = run_local_shard(bam, fasta, regions, mine, cfg,
+                                    input_candidates=input_candidates,
+                                    exon_regions=exon_regions, ckpt=ckpt)
     merged = gather_results(local)
+    if ckpt is not None:
+        ckpt.close()
     if pid != 0:
         return {"process": pid, "n_regions_local": len(mine),
                 "n_failed_local": len(failed)}
-    return serialize_outputs(bam, fasta, regions, merged, cfg, output_prefix)
+    return serialize_outputs(bam, fasta, regions, merged, cfg, output_prefix,
+                             input_candidates=input_candidates,
+                             exon_regions=exon_regions)

@@ -103,8 +103,9 @@ def run(bam_path: str, ref_path: str, output_prefix: str, cfg: CallerConfig,
                         if input_vcf is not None else None)
 
     t2 = time.monotonic()
-    from .resume import RegionCheckpoint
-    ckpt = RegionCheckpoint(output_prefix + ".regions.ckpt" if resume else None)
+    from .resume import RegionCheckpoint, config_key
+    ckpt = RegionCheckpoint(output_prefix + ".regions.ckpt" if resume else None,
+                            key=config_key(cfg, input_vcf, anno_path))
     if ckpt.n_done:
         log.info("resume: %d regions already completed", ckpt.n_done)
 
@@ -245,8 +246,9 @@ def run_streaming(bam_path: str, ref_path: str, output_prefix: str,
     vcf_path = output_prefix + ".vcf"
     phased_bam_path = (None if cfg.no_bam_output
                        else output_prefix + ".phased.bam")
-    from .resume import RegionCheckpoint
-    ckpt = RegionCheckpoint(output_prefix + ".regions.ckpt" if resume else None)
+    from .resume import RegionCheckpoint, config_key
+    ckpt = RegionCheckpoint(output_prefix + ".regions.ckpt" if resume else None,
+                            key=config_key(cfg, input_vcf, anno_path))
     if ckpt.n_done:
         log.info("resume: %d regions already completed", ckpt.n_done)
     writer = None

@@ -271,7 +271,7 @@ def test_run_streaming_resume(tmp_path, rng):
     ckpt = tmp_path / "sr.regions.ckpt"
     assert ckpt.exists()
     n_lines = len(ckpt.read_text().splitlines())
-    assert n_lines == out1.n_regions
+    assert n_lines == out1.n_regions + 1  # +1: config-key header
     out2 = run_streaming(bam_path, fa_path, str(tmp_path / "sr"), cfg,
                          resume=True)
     with open(out1.vcf_path) as f:

@@ -143,6 +143,38 @@ def test_resume_checkpoint(tmp_path, rng):
     assert out2.n_records == out1.n_records
 
 
+def test_resume_discards_stale_config(tmp_path, rng):
+    """--resume under a changed configuration discards the checkpoint
+    instead of silently reusing results computed under the old config
+    (checkpoint stores a config-key header)."""
+    import json
+    import os
+    cfg = preset("hifi-masseq").replace(min_read_length=100)
+    ref = make_reference(rng, 5000)
+    truth = plant_snps(rng, ref, n_het=5, n_hom=1)
+    bam_path = str(tmp_path / "s.bam")
+    simulate_bam(bam_path, rng, ref, truth, n_reads=40, read_len=2500,
+                 err_rate=0.01)
+    fa = bam_path.replace(".bam", ".fa")
+    run(bam_path, fa, str(tmp_path / "s1"), cfg, resume=True)
+    ckpt = str(tmp_path / "s1.regions.ckpt")
+    with open(ckpt) as f:
+        header = json.loads(f.readline())
+    assert "__config__" in header
+    # different tunables -> checkpoint invalidated and rewritten
+    cfg2 = cfg.replace(min_allele_freq=0.33)
+    run(bam_path, fa, str(tmp_path / "s1"), cfg2, resume=True)
+    with open(ckpt) as f:
+        header2 = json.loads(f.readline())
+        body = f.read().splitlines()
+    assert header2["__config__"] != header["__config__"]
+    assert body  # regions recomputed and re-stored under the new key
+    # same config again -> reused (file not regrown)
+    size = os.path.getsize(ckpt)
+    run(bam_path, fa, str(tmp_path / "s1"), cfg2, resume=True)
+    assert os.path.getsize(ckpt) == size
+
+
 def test_batched_pipeline_quality(tmp_path, rng):
     """The batched multi-region pipeline recovers truth like the per-region
     path (RNG streams differ, so compare against truth not bytes)."""

@@ -280,6 +280,73 @@ def test_multihost_shard_merge_retry(tmp_path, rng):
     assert tags_p == tags_s
 
 
+def test_multihost_honors_input_vcf_and_resume(tmp_path, rng):
+    """The sharded path threads -v candidates and the resume checkpoint
+    exactly like pipeline/caller.run (round-1 gap: run_local_shard ignored
+    them, so pod runs silently diverged from single-process runs)."""
+    from longcallr_tpu.config import preset
+    from longcallr_tpu.io.bam import BamFile
+    from longcallr_tpu.io.fasta import FastaFile
+    from longcallr_tpu.io.vcf import load_input_candidates
+    from longcallr_tpu.parallel.multihost import (run_local_shard,
+                                                  serialize_outputs,
+                                                  shard_regions)
+    from longcallr_tpu.pipeline.caller import build_regions, run
+    from longcallr_tpu.pipeline.resume import RegionCheckpoint, config_key
+    from simulate import make_reference, plant_snps, simulate_bam
+
+    cfg = preset("hifi-masseq").replace(min_read_length=100)
+    ref = make_reference(rng, 12000)
+    truth = plant_snps(rng, ref, n_het=6, n_hom=0, min_gap=1500)
+    bam_path = str(tmp_path / "mhv.bam")
+    simulate_bam(bam_path, rng, ref, truth, n_reads=60, read_len=3000,
+                 err_rate=0.01)
+    fa = bam_path.replace(".bam", ".fa")
+    vcf_in = str(tmp_path / "in.vcf")
+    with open(vcf_in, "w") as f:
+        f.write("##fileformat=VCFv4.3\n#CHROM\tPOS\tID\tREF\tALT\tQUAL"
+                "\tFILTER\tINFO\tFORMAT\tS\n")
+        for p, (refb, altb) in sorted(truth.het_snps.items()):
+            f.write(f"chrS\t{p+1}\t.\t{chr(refb)}\t{chr(altb)}\t60\tPASS"
+                    f"\t.\tGT\t0/1\n")
+
+    single = run(bam_path, fa, str(tmp_path / "sv"), cfg, input_vcf=vcf_in)
+
+    bam = BamFile(bam_path)
+    fasta = FastaFile(fa)
+    regions, _ = build_regions(bam, fasta, cfg)
+    cands_in = load_input_candidates(vcf_in)
+    ckpt = RegionCheckpoint(str(tmp_path / "pod.regions.p0.ckpt"),
+                            key=config_key(cfg, vcf_in, None))
+    sh0 = shard_regions(regions, 2, 0)
+    sh1 = shard_regions(regions, 2, 1)
+    loc0, f0 = run_local_shard(bam, fasta, regions, sh0, cfg,
+                               input_candidates=cands_in, ckpt=ckpt)
+    loc1, f1 = run_local_shard(bam, fasta, regions, sh1, cfg,
+                               input_candidates=cands_in)
+    assert not f0 and not f1
+    out = serialize_outputs(bam, fasta, regions, {**loc0, **loc1}, cfg,
+                            str(tmp_path / "pod"),
+                            input_candidates=cands_in)
+    with open(out["vcf_path"]) as f:
+        pod_vcf = f.read()
+    with open(single.vcf_path) as f:
+        single_vcf = f.read()
+    assert pod_vcf == single_vcf
+    # only the imported sites are called (the -v contract)
+    body = [ln for ln in pod_vcf.splitlines() if not ln.startswith("#")]
+    got = {int(ln.split("\t")[1]) - 1 for ln in body}
+    assert got == set(truth.het_snps)
+    # resume: a second shard pass reuses the checkpoint (results identical)
+    ckpt2 = RegionCheckpoint(str(tmp_path / "pod.regions.p0.ckpt"),
+                             key=config_key(cfg, vcf_in, None))
+    assert ckpt2.n_done == len(loc0)
+    loc0b, _ = run_local_shard(bam, fasta, regions, sh0, cfg,
+                               input_candidates=cands_in, ckpt=ckpt2)
+    assert {k: v["vcf_lines"] for k, v in loc0b.items()} == \
+           {k: v["vcf_lines"] for k, v in loc0.items()}
+
+
 def test_batched_driver_routes_giant_items(tmp_path, rng, monkeypatch):
     """phase_regions_batched keeps giant regions out of padded buckets and
     sends them through phase_region (→ sharded ascent when a mesh exists)."""
@@ -341,6 +408,12 @@ def test_gather_results_timeout(monkeypatch):
     out = mh.gather_results(local, timeout_s=0.3)
     assert time.monotonic() - t0 < 5
     assert out == local
+    # the timed-out thread is still parked in the collective: the module
+    # poisons itself so a later collective fails loudly instead of desyncing
+    import pytest
+    with pytest.raises(RuntimeError, match="timed out"):
+        mh.gather_results(local, timeout_s=5.0)
+    monkeypatch.setattr(mh, "_gather_poisoned", False)
     # fast peer: completes inside the timeout
     monkeypatch.setattr(mh, "_gather_collective",
                         lambda local: {**local, 9: {"vcf_lines": []}})
