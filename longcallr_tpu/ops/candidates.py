@@ -314,21 +314,28 @@ def dense_mask(pos: np.ndarray, win: int, min_cnt: int, strict: bool) -> np.ndar
     """One dense-window pass over sorted candidate positions
     (candidate.rs:471-497 with ``diff > win``; the hard-coded second pass
     uses ``diff >= win`` — ``strict=False``). The tail case marks [i, j)
-    with j = n-1, i.e. never the last element (reference quirk)."""
+    with j = n-1, i.e. never the last element (reference quirk).
+
+    Vectorised (searchsorted + interval-difference sweep) — the reference's
+    nested scan is O(n·w) and a pathological cluster of thousands of
+    candidates (exactly what this filter exists for) went quadratic in
+    interpreter time. ``tests/oracle_candidates.dense_mask_scalar`` keeps
+    the literal transcription as the comparison oracle."""
     n = len(pos)
-    dense = np.zeros(n, dtype=bool)
-    for i in range(n):
-        start = pos[i]
-        for j in range(i, n):
-            diff = pos[j] - start
-            over = diff > win if strict else diff >= win
-            if over:
-                if (j - i) >= min_cnt:
-                    dense[i:j] = True
-                break
-            if j == n - 1 and (j - i + 1) >= min_cnt:
-                dense[i:j] = True
-    return dense
+    if n == 0:
+        return np.zeros(0, dtype=bool)
+    pos = np.asarray(pos, dtype=np.int64)
+    # first j with pos[j]-pos[i] > win (strict) / >= win: the scan's break
+    j = np.searchsorted(pos, pos + win, side="right" if strict else "left")
+    # break inside the array marks [i, j) when j-i >= min_cnt; running off
+    # the end (j == n) marks [i, n-1) when n-i >= min_cnt
+    end = np.where(j < n, j, n - 1)
+    cnt = np.where(j < n, j, n) - np.arange(n)
+    starts = np.nonzero((cnt >= min_cnt) & (end > np.arange(n)))[0]
+    diff = np.zeros(n + 1, dtype=np.int32)
+    np.add.at(diff, starts, 1)
+    np.add.at(diff, end[starts], -1)
+    return np.cumsum(diff[:-1]) > 0
 
 
 def _round_up(n: int, mult: int = 512) -> int:

@@ -224,42 +224,45 @@ def assign_snp_haplotype_genotype(frags: FragmentMatrix, cands: CandidateSet,
     lm = pick(lm_a, lm_b)
 
     has_cover = (frags.p != 0).any(axis=0) if K else np.zeros(I, bool)
-    for i in range(I):
-        if not cands.for_phasing[i]:
-            cands.non_selected[i] = True
-            continue
-        if not has_cover[i]:
-            cands.single[i] = True
-            continue
-        if cov[i] == 0:
-            cands.non_selected[i] = True
-            continue
-        qs = (q1[i], q2[i], q3[i], q4[i])
-        mx = max(qs)
-        if q1[i] == mx:
-            cands.genotype[i] = 0
-            cands.variant_type[i] = 1
-        elif q2[i] == mx:
-            cands.haplotype[i] = -cands.haplotype[i]
-            cands.genotype[i] = 0
-            cands.variant_type[i] = 1
-        elif q3[i] == mx:
-            cands.genotype[i] = 1
-            cands.variant_type[i] = 0
-        else:
-            cands.genotype[i] = -1
-            if cands.variant_type[i] not in (2, 3):
-                cands.variant_type[i] = 2
-        if cands.genotype[i] != 0:
-            cands.non_selected[i] = True
-            continue
-        if cov[i] > 0 and n_h1[i] >= 1 and n_h2[i] >= 1:
-            lcur = lp[i] if cands.haplotype[i] > 0 else lm[i]
-            # exact reference expression: -10·log10(1 - (1 - lcur/Σ))
-            q = 1.0 - lcur / (lp[i] + lm[i])
-            cands.phase_score[i] = -10.0 * math.log10(1.0 - q)
-        else:
-            cands.phase_score[i] = PHASE_SCORE_SENTINEL
+    # vectorised form of the reference's per-SNP loop (snpfrags.rs:401-545);
+    # the round-1 Python loop ran 6x per region and went interpreter-bound
+    # at 1e4+ candidates per contig
+    forp = cands.for_phasing
+    cands.non_selected[~forp] = True
+    c_single = forp & ~has_cover
+    cands.single[c_single] = True
+    live = forp & has_cover
+    cands.non_selected[live & (cov == 0)] = True
+    live &= cov != 0
+    # Rust's fold-max semantics (NaN never wins a `>` comparison): iterate
+    # "if q > mx: mx = q" so a NaN mx from a zero denominator keeps the
+    # reference's all-branches-miss behaviour (falls through to genotype=-1)
+    mx = q1.copy()
+    for q in (q2, q3, q4):
+        upd = q > mx
+        mx = np.where(upd, q, mx)
+    b1 = live & (q1 == mx)
+    b2 = live & ~b1 & (q2 == mx)
+    b3 = live & ~b1 & ~b2 & (q3 == mx)
+    b4 = live & ~b1 & ~b2 & ~b3
+    cands.haplotype[b2] = -cands.haplotype[b2]
+    het = b1 | b2
+    cands.genotype[het] = 0
+    cands.variant_type[het] = 1
+    cands.genotype[b3] = 1
+    cands.variant_type[b3] = 0
+    cands.genotype[b4] = -1
+    vt_keep = (cands.variant_type == 2) | (cands.variant_type == 3)
+    cands.variant_type[b4 & ~vt_keep] = 2
+    cands.non_selected[b3 | b4] = True
+    ph_ok = het & (cov > 0) & (n_h1 >= 1) & (n_h2 >= 1)
+    lcur = np.where(cands.haplotype > 0, lp, lm)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        # exact reference expression: -10·log10(1 - (1 - lcur/Σ))
+        q = 1.0 - lcur / (lp + lm)
+        score = -10.0 * np.log10(1.0 - q)
+    cands.phase_score[ph_ok] = score[ph_ok]
+    cands.phase_score[het & ~ph_ok] = PHASE_SCORE_SENTINEL
 
 
 def _phase_lp_lm(frags: FragmentMatrix, ct: CellTables, read_mask: np.ndarray,
@@ -297,41 +300,46 @@ def _eval_rescue(frags: FragmentMatrix, cands: CandidateSet,
     ps1 = _phase_score_cols(frags, ct, gmask, np.ones(I), gs)
     ps2 = _phase_score_cols(frags, ct, gmask, -np.ones(I), gs)
     has_cover = (frags.p != 0).any(axis=0)
-    for i in idx.tolist():
-        if not has_cover[i]:
-            cands.single[i] = True
-            continue
-        if cands.variant_type[i] != 1:
-            cands.non_selected[i] = True
-            continue
-        if cov[i] == 0 or n_h1[i] < 2 or n_h2[i] < 2:
-            cands.single[i] = True
-            continue
-        cands.single[i] = False
-        best = max(ps1[i], ps2[i])
-        if best >= min_phase_score:
-            # in-phase: rescue (snpfrags.rs:250-274, 342-368)
-            cands.non_selected[i] = False
-            cands.rna_editing[i] = False
-            if kind == "somatic":
-                cands.cand_somatic[i] = False
-            cands.for_phasing[i] = True
-            covers = np.nonzero(frags.p[:, i] != 0)[0]
-            for k in covers:
-                frags.for_phasing[k] = True
-                if frags.haplotag[k] == 0 or frags.assignment[k] == 0:
-                    frags.haplotag[k] = -1 if rng.random() < 0.5 else 1
-            cands.haplotype[i] = 1 if ps1[i] >= ps2[i] else -1
-            cands.genotype[i] = 0
-            cands.variant_type[i] = 1
-            cands.phase_score[i] = best
-        else:
-            cands.non_selected[i] = True
-            if kind == "edit":
-                cands.rna_editing[i] = True
-            else:
-                cands.cand_somatic[i] = True
-                cands.for_phasing[i] = False
+    # vectorised classification (per-column inputs were all precomputed
+    # above, so the reference's sequential scan only matters for the RNG
+    # side effects of rescued columns — handled in idx order below)
+    m_nc = ~has_cover[idx]
+    m_vt = ~m_nc & (cands.variant_type[idx] != 1)
+    m_low = (~m_nc & ~m_vt
+             & ((cov[idx] == 0) | (n_h1[idx] < 2) | (n_h2[idx] < 2)))
+    m_eval = ~m_nc & ~m_vt & ~m_low
+    cands.single[idx[m_nc | m_low]] = True
+    cands.non_selected[idx[m_vt]] = True
+    cands.single[idx[m_eval]] = False
+    best = np.maximum(ps1[idx], ps2[idx])
+    m_resc = m_eval & (best >= min_phase_score)
+    m_fail = m_eval & ~m_resc
+    # failed: parked for the next pass (snpfrags.rs:276-281, 370-376)
+    cands.non_selected[idx[m_fail]] = True
+    if kind == "edit":
+        cands.rna_editing[idx[m_fail]] = True
+    else:
+        cands.cand_somatic[idx[m_fail]] = True
+        cands.for_phasing[idx[m_fail]] = False
+    # rescued: in-phase at the relaxed threshold (snpfrags.rs:250-274,
+    # 342-368). Sequential in idx order: the per-covering-read rng.random()
+    # draws are order-dependent and later columns see earlier haplotag writes.
+    ri = idx[m_resc]
+    cands.non_selected[ri] = False
+    cands.rna_editing[ri] = False
+    if kind == "somatic":
+        cands.cand_somatic[ri] = False
+    cands.for_phasing[ri] = True
+    cands.haplotype[ri] = np.where(ps1[ri] >= ps2[ri], 1, -1)
+    cands.genotype[ri] = 0
+    cands.variant_type[ri] = 1
+    cands.phase_score[ri] = best[m_resc]
+    for i in ri.tolist():
+        covers = np.nonzero(frags.p[:, i] != 0)[0]
+        for k in covers:
+            frags.for_phasing[k] = True
+            if frags.haplotag[k] == 0 or frags.assignment[k] == 0:
+                frags.haplotag[k] = -1 if rng.random() < 0.5 else 1
 
 
 def eval_rna_edit_var_phase(frags, cands, cfg, ct, min_phase_score,

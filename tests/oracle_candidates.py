@@ -245,3 +245,23 @@ def apply_dense_filters(out, het_snps, homo_snps, win, min_cnt):
                 for tk in range(i, j):
                     out[concat[tk]]["dense"] = True
                     out[concat[tk]]["for_phasing"] = False
+
+
+def dense_mask_scalar(pos, win, min_cnt, strict):
+    """Literal transcription of one dense-window scan (candidate.rs:471-497):
+    the comparison oracle for the vectorised ops.candidates.dense_mask."""
+    import numpy as np
+    n = len(pos)
+    dense = np.zeros(n, dtype=bool)
+    for i in range(n):
+        start = pos[i]
+        for j in range(i, n):
+            diff = pos[j] - start
+            over = diff > win if strict else diff >= win
+            if over:
+                if (j - i) >= min_cnt:
+                    dense[i:j] = True
+                break
+            if j == n - 1 and (j - i + 1) >= min_cnt:
+                dense[i:j] = True
+    return dense

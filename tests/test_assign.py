@@ -88,3 +88,78 @@ def test_full_assignment_sequence_matches_oracle(tmp_path, rng):
     np.testing.assert_array_equal(cands.genotype, c2.genotype)
     np.testing.assert_allclose(cands.phase_score, c2.phase_score,
                                rtol=1e-12, atol=1e-12)
+
+
+def _synth_large(rng, K=400, I=10000):
+    """Synthetic [K,I] fragment/candidate state with ~30 cells per read."""
+    from longcallr_tpu.ops.candidates import CandidateSet
+    from longcallr_tpu.phasing.fragments import FragmentMatrix
+    from longcallr_tpu.tiles.regions import Region
+
+    p = np.zeros((K, I), dtype=np.int8)
+    # contiguous spans: read k covers a window of candidates
+    for k in range(K):
+        lo = int(rng.integers(0, I - 40))
+        w = int(rng.integers(10, 40))
+        p[k, lo:lo + w] = rng.choice([-1, 1], size=w)
+        p[k, lo:lo + w] *= (rng.random(w) > 0.05).astype(np.int8)
+    baseq = np.where(p != 0, rng.integers(10, 31, size=(K, I)), 0).astype(np.uint8)
+    frags = FragmentMatrix(
+        region=Region(chr="chrX", start=1, end=I * 10),
+        p=p, baseq=baseq, qnames=[f"q{k}" for k in range(K)],
+        num_hete_links=(p != 0).sum(axis=1).astype(np.int32),
+        for_phasing=np.ones(K, bool), downsampled=np.ones(K, bool),
+        haplotag=rng.choice([-1, 0, 1], size=K).astype(np.int8),
+        assignment=rng.integers(0, 3, size=K).astype(np.int8),
+        assignment_score=np.zeros(K))
+    n = I
+    cands = CandidateSet(
+        chrom="chrX", pos=np.arange(n, dtype=np.int64) * 10,
+        ref_base=np.full(n, ord("A"), np.uint8),
+        alleles=np.full((n, 2), ord("C"), np.uint8),
+        allele_freqs=np.zeros((n, 2), np.float32),
+        alt_frac=np.zeros((n, 2), np.float32),
+        depth=np.full(n, 30, np.int32),
+        variant_quality=np.full(n, 60.0),
+        genotype_quality=np.full(n, 60.0),
+        genotype_prob=np.zeros((n, 3)),
+        variant_type=rng.choice([0, 1, 1, 1, 2], size=n).astype(np.int8),
+        genotype=np.zeros(n, np.int8),
+        haplotype=rng.choice([-1, 1], size=n).astype(np.int8),
+        rna_editing=rng.random(n) < 0.02,
+        cand_somatic=rng.random(n) < 0.02,
+        dense=np.zeros(n, bool),
+        hom_var=np.zeros(n, bool), het_var=np.ones(n, bool),
+        for_phasing=rng.random(n) < 0.9,
+        single=np.zeros(n, bool), non_selected=np.zeros(n, bool),
+        somatic=np.zeros(n, bool), somatic_score=np.zeros(n),
+        phase_score=np.zeros(n), phase_set=np.zeros(n, np.uint32))
+    return frags, cands
+
+
+def test_assignment_layer_scales_to_10k_candidates():
+    """VERDICT round-1 #4: the per-SNP flag loop and the rescue loop must
+    stay vectorised — 10k candidates in well under the interpreter-bound
+    regime, outputs equal to the scalar oracle."""
+    import time
+    rng = np.random.default_rng(3)
+    frags, cands = _synth_large(rng)
+    cfg = preset("hifi-masseq")
+    ct = make_cell_tables_np(frags.p, frags.baseq)
+    A._t4(ct)  # prime the table cache outside the timed window
+    c2 = copy.deepcopy(cands)
+    f2 = copy.deepcopy(frags)
+
+    t0 = time.monotonic()
+    A.assign_snp_haplotype_genotype(frags, cands, cfg, ct, False)
+    idx = np.nonzero(cands.rna_editing)[0]
+    A._eval_rescue(frags, cands, cfg, ct, idx, 8.0, False,
+                   np.random.default_rng(5), "edit")
+    dt = time.monotonic() - t0
+    assert dt < 1.0, f"assignment stages took {dt:.3f}s at I=10k"
+
+    OA.assign_snp_haplotype_genotype(f2, c2, cfg, False)
+    np.testing.assert_array_equal(cands.genotype[~cands.rna_editing & ~c2.rna_editing],
+                                  c2.genotype[~cands.rna_editing & ~c2.rna_editing])
+    np.testing.assert_array_equal(frags.haplotag[frags.assignment == 0],
+                                  f2.haplotag[f2.assignment == 0])

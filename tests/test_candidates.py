@@ -208,3 +208,28 @@ def test_select_candidates_batched_equals_serial(tmp_path, rng, monkeypatch):
                                        rtol=1e-12, atol=1e-12)
             total += a.n
         assert total > 0
+
+
+def test_dense_mask_matches_scalar_oracle():
+    """Vectorised dense_mask == literal scalar transcription across random
+    position sets, both scan variants, and the tail-exclusion quirk."""
+    import numpy as np
+    from longcallr_tpu.ops.candidates import dense_mask
+    from oracle_candidates import dense_mask_scalar
+    rng = np.random.default_rng(11)
+    for trial in range(40):
+        n = int(rng.integers(0, 60))
+        pos = np.sort(rng.choice(2000, size=n, replace=False)).astype(np.int64)
+        win = int(rng.integers(1, 300))
+        min_cnt = int(rng.integers(1, 8))
+        strict = bool(rng.integers(0, 2))
+        got = dense_mask(pos, win, min_cnt, strict)
+        want = dense_mask_scalar(pos, win, min_cnt, strict)
+        assert np.array_equal(got, want), (trial, pos, win, min_cnt, strict)
+    # pathological cluster: thousands of candidates in one window stays fast
+    import time
+    pos = np.arange(20000, dtype=np.int64) * 3
+    t0 = time.monotonic()
+    m = dense_mask(pos, 100, 5, True)
+    assert time.monotonic() - t0 < 0.1
+    assert m[:-1].all() and not m[-1]
