@@ -8,7 +8,9 @@ records in rayon completion order (nondeterministic across runs,
 thread.rs:215-221); we emit regions in deterministic (contig, start) order.
 
 The input-candidate loader replaces ``get_genotype_quality_phase_from_vcf``
-(vcf.rs:400-462, rust-htslib bcf) with a text VCF parser (plain or bgzf).
+(vcf.rs:400-462, rust-htslib bcf) with a text VCF parser (plain or bgzf)
+plus a BCF2 binary decoder (``load_bcf_candidates``); the format is
+detected from file content, not the extension.
 """
 
 from __future__ import annotations
@@ -223,11 +225,175 @@ class GenotypeAndQuality:
     phased: bool
 
 
+def _gt_pair_code(g0: int, g1: int) -> int:
+    """Genotype pair → reference code (vcf.rs:418-447): 0/0→0, 0/1→1,
+    1/1→2, 1/2→3, anything else (incl. missing alleles) → 4; missing
+    allele is treated as '3' first, like the text path's '.'→3."""
+    pair = (g0, g1)
+    if pair == (0, 0):
+        return 0
+    if pair in ((0, 1), (1, 0)):
+        return 1
+    if pair == (1, 1):
+        return 2
+    if pair in ((1, 2), (2, 1)):
+        return 3
+    return 4
+
+
+# BCF2 typed-value descriptors (hts-specs BCFv2.2 §6.3.3)
+_BCF_TYPE_SIZE = {1: 1, 2: 2, 3: 4, 5: 4, 7: 1}
+_BCF_MISSING_QUAL = 0x7F800001  # bit pattern of the "missing" float
+
+
+def _bcf_typed_head(buf: bytes, o: int) -> Tuple[int, int, int]:
+    """Decode one type descriptor at offset o → (type, length, next_off)."""
+    b = buf[o]
+    o += 1
+    t = b & 0x0F
+    ln = b >> 4
+    if ln == 15:  # overflow: length follows as a typed int
+        t2, ln2, o = _bcf_typed_head(buf, o)
+        ln = _bcf_int(buf, o, t2)
+        o += _BCF_TYPE_SIZE[t2] * ln2
+    return t, ln, o
+
+
+def _bcf_int(buf: bytes, o: int, t: int) -> int:
+    import struct
+    if t == 1:
+        return struct.unpack_from("<b", buf, o)[0]
+    if t == 2:
+        return struct.unpack_from("<h", buf, o)[0]
+    if t == 3:
+        return struct.unpack_from("<i", buf, o)[0]
+    raise ValueError(f"BCF: unexpected int type {t}")
+
+
+def _bcf_skip_typed(buf: bytes, o: int) -> int:
+    t, ln, o = _bcf_typed_head(buf, o)
+    return o + (_BCF_TYPE_SIZE[t] * ln if t != 0 else 0)
+
+
+def _bcf_header_dicts(header: str) -> Tuple[Dict[int, str], Dict[int, str]]:
+    """Build the (string dictionary, contig dictionary) from the embedded
+    VCF header text: IDX= wins, else order of first appearance; PASS is
+    implicitly string index 0 (hts-specs §6.2.1)."""
+    import re
+    strings: Dict[int, str] = {}
+    contigs: Dict[int, str] = {}
+    seen: Dict[str, int] = {}
+    next_idx = 0
+
+    def add_string(name: str, idx: Optional[int]) -> None:
+        nonlocal next_idx
+        if name in seen:
+            return
+        if idx is None:
+            idx = next_idx
+        seen[name] = idx
+        strings[idx] = name
+        next_idx = max(next_idx, idx + 1)
+
+    add_string("PASS", 0)
+    n_ctg = 0
+    for line in header.splitlines():
+        m = re.match(r"##(FILTER|INFO|FORMAT|contig)=<(.*)>\s*$", line)
+        if not m:
+            continue
+        kind, body = m.group(1), m.group(2)
+        mid = re.search(r"(?:^|,)ID=([^,>]+)", body)
+        if not mid:
+            continue
+        midx = re.search(r"(?:^|,)IDX=(\d+)", body)
+        idx = int(midx.group(1)) if midx else None
+        if kind == "contig":
+            contigs[idx if idx is not None else n_ctg] = mid.group(1)
+            n_ctg += 1
+        else:
+            add_string(mid.group(1), idx)
+    return strings, contigs
+
+
+def load_bcf_candidates(data: bytes) -> Dict[str, Dict[int, GenotypeAndQuality]]:
+    """Decode a BCF2 stream (already BGZF-decompressed) into the same
+    chr → pos → GenotypeAndQuality map as the text path — the binary half
+    of get_genotype_quality_phase_from_vcf (vcf.rs:400-462, rust-htslib
+    accepts both)."""
+    import struct
+    if data[:3] != b"BCF":
+        raise ValueError("not a BCF stream")
+    if data[3] != 2:
+        raise ValueError(f"unsupported BCF major version {data[3]}")
+    l_text = struct.unpack_from("<I", data, 5)[0]
+    header = data[9:9 + l_text].split(b"\x00", 1)[0].decode()
+    strings, contigs = _bcf_header_dicts(header)
+    gt_keys = {i for i, s in strings.items() if s == "GT"}
+    out: Dict[str, Dict[int, GenotypeAndQuality]] = {}
+    o = 9 + l_text
+    n = len(data)
+    while o + 8 <= n:
+        l_shared, l_indiv = struct.unpack_from("<II", data, o)
+        rec_end = o + 8 + l_shared + l_indiv
+        s = o + 8
+        rid, pos0 = struct.unpack_from("<ii", data, s)
+        (qual_bits,) = struct.unpack_from("<I", data, s + 12)
+        qual = (0.0 if qual_bits == _BCF_MISSING_QUAL
+                else struct.unpack_from("<f", data, s + 12)[0])
+        n_allele_info, n_fmt_sample = struct.unpack_from("<II", data, s + 16)
+        n_info = n_allele_info & 0xFFFF
+        n_allele = n_allele_info >> 16
+        n_sample = n_fmt_sample & 0xFFFFFF
+        n_fmt = n_fmt_sample >> 24
+        p = s + 24
+        p = _bcf_skip_typed(data, p)            # ID
+        for _ in range(n_allele):               # REF + ALTs
+            p = _bcf_skip_typed(data, p)
+        p = _bcf_skip_typed(data, p)            # FILTER
+        for _ in range(n_info):                 # INFO k/v pairs
+            p = _bcf_skip_typed(data, p)
+            p = _bcf_skip_typed(data, p)
+        # indiv block: n_fmt × (typed key, per-sample typed vector)
+        p = o + 8 + l_shared
+        for _ in range(n_fmt):
+            tk, lk, p = _bcf_typed_head(data, p)
+            key = _bcf_int(data, p, tk)
+            p += _BCF_TYPE_SIZE[tk] * lk
+            tv, lv, p = _bcf_typed_head(data, p)
+            width = _BCF_TYPE_SIZE.get(tv, 0) * lv
+            if key in gt_keys and n_sample >= 1 and tv in (1, 2, 3):
+                # first sample's genotype vector (vcf.rs takes sample 0)
+                vals = [_bcf_int(data, p + j * _BCF_TYPE_SIZE[tv], tv)
+                        for j in range(lv)]
+                # drop END_OF_VECTOR padding (0x80+1 for int8 etc.)
+                eov = {1: -127, 2: -32767, 3: -2147483647}[tv]
+                vals = [v for v in vals if v != eov]
+                if len(vals) == 2:
+                    phased = bool(vals[1] & 1)
+                    al = [((v >> 1) - 1) if v > 0 else 3 for v in vals]
+                    code = _gt_pair_code(al[0], al[1])
+                    chrom = contigs.get(rid, str(rid))
+                    out.setdefault(chrom, {})[pos0] = GenotypeAndQuality(
+                        code, float(qual), phased)
+            p += width * n_sample
+        o = rec_end
+    return out
+
+
 def load_input_candidates(vcf_path: str) -> Dict[str, Dict[int, GenotypeAndQuality]]:
     """get_genotype_quality_phase_from_vcf (vcf.rs:400-462): chr → 0-based
-    pos → genotype code + quality. Text VCF, plain or bgzipped."""
-    if vcf_path.endswith(".gz") or vcf_path.endswith(".bgz"):
-        text = decompress_file(vcf_path).decode()
+    pos → genotype code + quality. Accepts text VCF (plain or bgzipped)
+    and binary BCF2 — format detected from content, not extension."""
+    with open(vcf_path, "rb") as f:
+        head = f.read(4)
+    if head[:2] == b"\x1f\x8b":
+        data = decompress_file(vcf_path)
+        if data[:3] == b"BCF":
+            return load_bcf_candidates(data)
+        text = data.decode()
+    elif head[:3] == b"BCF":
+        with open(vcf_path, "rb") as f:
+            return load_bcf_candidates(f.read())
     else:
         text = open(vcf_path).read()
     out: Dict[str, Dict[int, GenotypeAndQuality]] = {}
@@ -259,16 +425,6 @@ def load_input_candidates(vcf_path: str) -> Dict[str, Dict[int, GenotypeAndQuali
             g1 = 3 if al[1] == "." else int(al[1])
         except ValueError:
             continue
-        pair = (g0, g1)
-        if pair == (0, 0):
-            code = 0
-        elif pair in ((0, 1), (1, 0)):
-            code = 1
-        elif pair == (1, 1):
-            code = 2
-        elif pair in ((1, 2), (2, 1)):
-            code = 3
-        else:
-            code = 4
+        code = _gt_pair_code(g0, g1)
         out.setdefault(chrom, {})[pos0] = GenotypeAndQuality(code, qual, phased)
     return out

@@ -129,3 +129,104 @@ def test_fasta_roundtrip(tmp_path):
     assert bytes(fa.fetch("chrA")) == seqs["chrA"]
     assert bytes(fa.fetch("chrB")) == seqs["chrB"]  # case preserved
     assert fasta.parse_fai(path + ".fai") == [("chrA", 402), ("chrB", 264)]
+
+
+def _bcf_typed_str(s: bytes) -> bytes:
+    assert len(s) < 15
+    return bytes([(len(s) << 4) | 7]) + s
+
+
+def _encode_bcf(records, contig="chrS", with_idx=False):
+    """Minimal BCF2.2 encoder for round-trip tests: records are
+    (pos0, qual, gt_text) with gt_text like '0/1', '1|1', './1'."""
+    import struct
+    idx = lambda i: f",IDX={i}" if with_idx else ""
+    header = "\n".join([
+        "##fileformat=VCFv4.2",
+        f'##FILTER=<ID=PASS,Description="P"{idx(0)}>',
+        f'##FORMAT=<ID=GQ,Number=1,Type=Integer,Description="g"{idx(1)}>',
+        f'##FORMAT=<ID=GT,Number=1,Type=String,Description="G"{idx(2)}>',
+        f'##contig=<ID={contig}{idx(0)}>',
+        "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\tS1",
+    ]) + "\n\x00"
+    gt_key = 2
+    body = b""
+    for pos0, qual, gt in records:
+        phased = "|" in gt
+        al = gt.replace("|", "/").split("/")
+        enc = []
+        for j, a in enumerate(al):
+            v = 0 if a == "." else ((int(a) + 1) << 1)
+            enc.append(v | (1 if (phased and j > 0 and v) else 0))
+        shared = struct.pack("<iiifII", 0, pos0, 1,
+                             qual, (2 << 16) | 0, (1 << 24) | 1)
+        shared += b"\x07"                 # ID: empty string
+        shared += _bcf_typed_str(b"A")    # REF
+        shared += _bcf_typed_str(b"C")    # ALT
+        shared += b"\x11\x00"             # FILTER: one int8 = 0 (PASS)
+        indiv = bytes([0x11, gt_key])     # fmt key: typed int8
+        indiv += bytes([(len(enc) << 4) | 1]) + bytes(enc)  # int8 vector
+        body += struct.pack("<II", len(shared), len(indiv)) + shared + indiv
+    raw = b"BCF\x02\x02" + struct.pack("<I", len(header)) + header.encode()
+    return raw + body
+
+
+def test_bcf_input_candidates(tmp_path):
+    """-v accepts binary BCF (vcf.rs:400-410 via rust-htslib): BCF records
+    decode to the same map as the equivalent text VCF, for plain, BGZF, and
+    IDX-annotated headers."""
+    from longcallr_tpu.io.bgzf import compress_block
+    from longcallr_tpu.io.vcf import load_input_candidates
+
+    records = [(99, 60.0, "0/1"), (199, 31.5, "1|1"), (299, 10.0, "0/0"),
+               (399, 55.0, "1/2"), (499, 20.0, "./1"), (599, 12.0, "0|1")]
+    text = ["##fileformat=VCFv4.2",
+            "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\tS1"]
+    for pos0, qual, gt in records:
+        text.append(f"chrS\t{pos0+1}\t.\tA\tC\t{qual}\tPASS\t.\tGT\t{gt}")
+    vcf_path = str(tmp_path / "in.vcf")
+    with open(vcf_path, "w") as f:
+        f.write("\n".join(text) + "\n")
+    want = load_input_candidates(vcf_path)
+
+    for tag, with_idx in (("plain", False), ("idx", True)):
+        raw = _encode_bcf(records, with_idx=with_idx)
+        bcf_path = str(tmp_path / f"in_{tag}.bcf")
+        with open(bcf_path, "wb") as f:
+            f.write(compress_block(raw))
+            f.write(compress_block(b""))  # EOF block
+        got = load_input_candidates(bcf_path)
+        assert set(got) == {"chrS"}
+        assert {p: (g.genotype, g.quality, g.phased)
+                for p, g in got["chrS"].items()} == \
+               {p: (g.genotype, g.quality, g.phased)
+                for p, g in want["chrS"].items()}, tag
+
+    # uncompressed BCF stream is also accepted
+    ub = str(tmp_path / "u.bcf")
+    with open(ub, "wb") as f:
+        f.write(_encode_bcf(records))
+    got = load_input_candidates(ub)
+    assert len(got["chrS"]) == len(want["chrS"])
+
+
+def test_vcf_gz_roundtrip_input(tmp_path):
+    """.vcf.gz input: BGZF-compressed text VCF decodes like plain text."""
+    from longcallr_tpu.io.bgzf import compress_block
+    from longcallr_tpu.io.vcf import load_input_candidates
+
+    text = ("##fileformat=VCFv4.2\n"
+            "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\tS1\n"
+            "chrS\t100\t.\tA\tC\t60\tPASS\t.\tGT\t0|1\n")
+    plain = str(tmp_path / "a.vcf")
+    with open(plain, "w") as f:
+        f.write(text)
+    gz = str(tmp_path / "a.vcf.gz")
+    with open(gz, "wb") as f:
+        f.write(compress_block(text.encode()))
+        f.write(compress_block(b""))
+    a = load_input_candidates(plain)
+    b = load_input_candidates(gz)
+    assert a.keys() == b.keys()
+    assert {p: (g.genotype, g.quality, g.phased) for p, g in a["chrS"].items()} \
+        == {p: (g.genotype, g.quality, g.phased) for p, g in b["chrS"].items()}
