@@ -16,9 +16,11 @@ These kernels improve on that in two ways:
   ``f64(hi) + f64(lo)``, matching the f64 reference matvec to ~1e-9
   relative (tested), slightly better than the chunked-einsum scheme.
 
-Eligibility: bucket shapes with K a multiple of 8 and I a multiple of 128
-(f32 tile constraints); smaller problems stay on the einsum path. The
-kernels run under ``interpret=True`` on CPU for the test suite.
+Eligibility: K ≥ 8 and I ≥ 128 (profitability floor). Unaligned shapes are
+zero-padded to f32 tile multiples inside the wrappers — exact, since padded
+rows/columns contribute nothing to the contractions and padded outputs are
+sliced away. The kernels run under ``interpret=True`` on CPU for the test
+suite.
 
 Reference semantics: the sums these matvecs feed are the log-emission
 kernels of ``longcallR/src/phase.rs:14-276`` (see kernels.py).
@@ -80,13 +82,20 @@ def _pallas_available() -> bool:
 
 
 def eligible(K: int, I: int) -> bool:
-    """Shapes the kernels handle without boundary masking: tile-aligned in
-    both dims (a partial contraction-dim tile would read undefined padding
-    into every output)."""
-    return (K >= 8 and I >= 128
-            and K % 8 == 0 and I % 128 == 0
-            and (K <= _TK or K % _TK == 0)
-            and (I <= _TI or I % _TI == 0))
+    """Shapes worth routing to the kernels. Alignment is no longer required
+    — the wrappers zero-pad operands up to tile multiples (exact for these
+    contractions: padded rows/cols contribute 0 and padded outputs are
+    sliced away); the floor only gates profitability (tiny problems stay on
+    the einsum path)."""
+    return K >= 8 and I >= 128
+
+
+def _padded(n: int, tile: int, big: int) -> int:
+    """Target size: next multiple of the min tile, or of the block size once
+    the dim exceeds one block (grid tiling needs whole blocks)."""
+    if n <= big:
+        return max(tile, ((n + tile - 1) // tile) * tile)
+    return ((n + big - 1) // big) * big
 
 
 def _two_sum(acc_hi, acc_lo, x):
@@ -154,8 +163,15 @@ except Exception:  # pragma: no cover
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def dual_matvec_rows(dp_hi, dp_lo, x2, interpret: bool = False):
     """``dp @ x2`` for x2 [I, 2] (both operands in one pass over dp).
-    Returns [K, 2] f64."""
-    K, I = dp_hi.shape
+    Returns [K, 2] f64. Unaligned shapes are zero-padded to tile multiples
+    (XLA hoists the loop-invariant pad of dp out of the ascent while_loop)."""
+    K0, I0 = dp_hi.shape
+    K = _padded(K0, 8, _TK)
+    I = _padded(I0, 128, _TI)
+    if (K, I) != (K0, I0):
+        dp_hi = jnp.pad(dp_hi, ((0, K - K0), (0, I - I0)))
+        dp_lo = jnp.pad(dp_lo, ((0, K - K0), (0, I - I0)))
+        x2 = jnp.pad(x2, ((0, I - I0), (0, 0)))
     tk = min(_TK, K)
     ti = min(_TI, I)
     grid = (pl.cdiv(K, tk), pl.cdiv(I, ti))
@@ -181,13 +197,19 @@ def dual_matvec_rows(dp_hi, dp_lo, x2, interpret: bool = False):
                    jax.ShapeDtypeStruct((K, 2), f32)],
         interpret=interpret,
     )(dp_hi, dp_lo, xt)
-    return out_hi.astype(f64) + out_lo.astype(f64)
+    return (out_hi.astype(f64) + out_lo.astype(f64))[:K0]
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def matvec_cols(dp_hi, dp_lo, s, interpret: bool = False):
-    """``dp.T @ s`` → [I] f64."""
-    K, I = dp_hi.shape
+    """``dp.T @ s`` → [I] f64. Unaligned shapes are zero-padded (exact)."""
+    K0, I0 = dp_hi.shape
+    K = _padded(K0, 8, _TK)
+    I = _padded(I0, 128, _TI)
+    if (K, I) != (K0, I0):
+        dp_hi = jnp.pad(dp_hi, ((0, K - K0), (0, I - I0)))
+        dp_lo = jnp.pad(dp_lo, ((0, K - K0), (0, I - I0)))
+        s = jnp.pad(s, (0, K - K0))
     tk = min(_TK, K)
     ti = min(_TI, I)
     grid = (pl.cdiv(I, ti), pl.cdiv(K, tk))
@@ -213,4 +235,4 @@ def matvec_cols(dp_hi, dp_lo, s, interpret: bool = False):
                    jax.ShapeDtypeStruct((1, I), f32)],
         interpret=interpret,
     )(dp_hi, dp_lo, st)
-    return (out_hi[0].astype(f64) + out_lo[0].astype(f64))
+    return (out_hi[0].astype(f64) + out_lo[0].astype(f64))[:I0]

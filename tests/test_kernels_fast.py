@@ -208,3 +208,37 @@ def test_pallas_cross_optimize_equivalent(rng, monkeypatch):
     np.testing.assert_allclose(float(prob_a), float(prob_b), rtol=1e-6)
     agree = (np.asarray(st_a.sigma) == np.asarray(st_b.sigma)).mean()
     assert agree > 0.95, agree
+
+
+def test_pallas_unaligned_shapes_padded(rng):
+    """Round-1 gap: eligibility required K%8==0 and I%128==0, silently
+    skipping most real (unpadded per-region) shapes. The wrappers now
+    zero-pad to tile multiples — exact for these contractions."""
+    from longcallr_tpu.phasing import pallas_kernels as PK
+
+    if not PK._HAVE_PALLAS:
+        pytest.skip("pallas unavailable")
+    for K, I in [(37, 300), (1025, 129), (8, 128), (513, 700)]:
+        assert PK.eligible(K, I)
+        dp = rng.normal(size=(K, I)) * rng.integers(0, 2, size=(K, I))
+        hi = dp.astype(np.float32)
+        lo = (dp - hi.astype(np.float64)).astype(np.float32)
+        x2 = rng.integers(-1, 2, size=(I, 2)).astype(np.float64)
+        want = dp @ x2
+        got = np.asarray(PK.dual_matvec_rows(
+            jnp.asarray(hi), jnp.asarray(lo), jnp.asarray(x2),
+            interpret=True))
+        assert got.shape == want.shape
+        scale = np.abs(want).max() + 1e-30
+        assert np.abs(got - want).max() / scale < 1e-6, (K, I)
+        s = rng.integers(-1, 2, size=K).astype(np.float64)
+        wantc = dp.T @ s
+        gotc = np.asarray(PK.matvec_cols(
+            jnp.asarray(hi), jnp.asarray(lo), jnp.asarray(s),
+            interpret=True))
+        assert gotc.shape == wantc.shape
+        sc = np.abs(wantc).max() + 1e-30
+        assert np.abs(gotc - wantc).max() / sc < 1e-6, (K, I)
+    # below the profitability floor: stays on the einsum path
+    assert not PK.eligible(4, 512)
+    assert not PK.eligible(512, 64)
