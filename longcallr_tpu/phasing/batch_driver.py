@@ -258,3 +258,32 @@ def _phase_bucket(group: List[_Prepared], cfg: CallerConfig, K: int,
         out[it.index] = PhaseState(jnp.asarray(sgf[b, :K0]),
                                    jnp.asarray(dlf[b, :I0]),
                                    jnp.asarray(etf[b, :I0]))
+
+    # f32 safety net (same contract as the per-region path, optimize.py):
+    # margins re-checked in exact f64 on the host; near-tie regions are
+    # recomputed per-region under the CPU default-device context where auto
+    # mode resolves to f64.
+    from .optimize import (F32_SAFETY_TOL, USE_FAST_KERNELS, _f32_mode,
+                           f64_decision_margin)
+    if USE_FAST_KERNELS and _f32_mode() and F32_SAFETY_TOL > 0:
+        p3 = np.asarray(cts_np.p).reshape(shape3)
+        le3 = np.asarray(cts_np.lerr).reshape(shape3)
+        l13 = np.asarray(cts_np.l1m).reshape(shape3)
+        ex3 = np.asarray(cts_np.exists).reshape(shape3)
+        cpu = jax.devices("cpu")[0]
+        with jax.default_device(cpu):
+            if _f32_mode():        # forced-f32 env: no exact rerun exists
+                return
+            for b, it in enumerate(group):
+                ct_b = CellTables(p=jnp.asarray(p3[b]),
+                                  lerr=jnp.asarray(le3[b]),
+                                  l1m=jnp.asarray(l13[b]),
+                                  exists=jnp.asarray(ex3[b]))
+                st_pad = PhaseState(jnp.asarray(sgf[b]), jnp.asarray(dlf[b]),
+                                    jnp.asarray(etf[b]))
+                margin = float(f64_decision_margin(
+                    ct_b, st_pad, jnp.asarray(read_base[b]),
+                    jnp.asarray(site_mask[b])))
+                if margin < F32_SAFETY_TOL:
+                    out[it.index] = phase_region(it.frags, it.cands, cfg,
+                                                 it.seed, it.apply_ds)

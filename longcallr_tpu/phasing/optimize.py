@@ -250,6 +250,44 @@ def selected_loop():
     return _cross_optimize_fast_loop if USE_FAST_KERNELS else _cross_optimize_loop
 
 
+# f32 safety net (round-1 review): the hi/lo f32-split sums carry ~1e-4
+# absolute error, so a near-tie argmax can deviate from the f64 spec of
+# phase.rs:128-176 on exactly the backends where f32 mode defaults on.
+# After an f32-mode iterative ascent the final state's decision margins are
+# re-evaluated with the exact f64 kernels; when the state is not an f64
+# fixed point with margins above this bound, the region is recomputed on
+# the host backend (where auto mode resolves to f64).
+# LONGCALLR_F32_SAFETY=0 disables; any other value overrides the bound.
+_SAFETY_ENV = os.environ.get("LONGCALLR_F32_SAFETY", "")
+F32_SAFETY_TOL: float = (float(_SAFETY_ENV) if _SAFETY_ENV else 1e-3)
+
+
+@jax.jit
+def f64_decision_margin(ct: CellTables, st: PhaseState, read_base,
+                        site_mask) -> jnp.ndarray:
+    """Smallest decision gap at the final state, in exact f64: per read the
+    |q − q_flip| separation, per SNP the top-2 gap among the four (δ, η)
+    candidates of the genotype re-argmax. A gap below the f32 error bound
+    means the f32-mode run may have taken a different branch than f64 would
+    — the safety net's trigger. (The final state need not be an argmax
+    fixed point — the ascent stops on an aggregate rule — so the SIGN of a
+    margin is uninformative; only near-tie magnitude is.)"""
+    rm0 = read_base & (st.sigma != 0)
+    lp, lm, ncell = read_logliks(ct, st.delta, st.eta, site_mask[None, :])
+    upd = rm0 & (ncell > 0)
+    q, qn = sigma_q(lp, lm, st.sigma)
+    sig_gap = jnp.where(upd, jnp.abs(q - qn), jnp.inf).min()
+    sums = snp_sums(ct, st.sigma, st.delta, rm0, site_mask)
+    qs = jnp.stack(snp_qs(*sums))                        # [4, I]
+    upds = site_mask & (sums[4] > 0)
+    mx = qs.max(axis=0)
+    am = qs.argmax(axis=0)
+    second = jnp.where(jnp.arange(4)[:, None] == am[None, :],
+                       -jnp.inf, qs).max(axis=0)
+    snp_gap = jnp.where(upds, mx - second, jnp.inf).min()
+    return jnp.minimum(sig_gap, snp_gap)
+
+
 @jax.jit
 def perturbation_phase(ct: CellTables, st: PhaseState, best_st: PhaseState,
                        best_prob, read_base, site_mask, conserved,
@@ -665,4 +703,23 @@ def _phase_region_padded_impl(frags, cands, cfg, seed, apply_downsampling,
     best_st, best_prob_dev = perturbation_phase(
         ct, best_st, best_st, jnp.asarray(best_prob, f64), read_base,
         site_mask, conserved, jnp.int32(n_rounds), key)
+    if USE_FAST_KERNELS and _f32_mode() and F32_SAFETY_TOL > 0:
+        # f32 safety net: accept the f32-mode result only when it is an f64
+        # fixed point with all winning margins above the bound; otherwise
+        # recompute the region on the host backend (auto → f64 there). The
+        # margin itself is evaluated on the host CPU (native f64, and the
+        # same placement the batched driver's net uses).
+        cpu = jax.devices("cpu")[0]
+        with jax.default_device(cpu):
+            if _f32_mode():       # forced-f32 env: no exact rerun exists
+                return best_st
+            ct_h = CellTables(*(jnp.asarray(a) for a in ct_np))
+            st_h = PhaseState(*(jnp.asarray(np.asarray(a)) for a in best_st))
+            margin = float(f64_decision_margin(
+                ct_h, st_h, jnp.asarray(read_base_np),
+                jnp.asarray(site_mask_np)))
+            if margin < F32_SAFETY_TOL:
+                return _phase_region_padded_impl(
+                    frags, cands, cfg, seed, apply_downsampling,
+                    K0, I0, K, I_pad)
     return best_st

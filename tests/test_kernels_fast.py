@@ -1,5 +1,6 @@
 """Matvec-form kernels vs the reference-form kernels."""
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -242,3 +243,93 @@ def test_pallas_unaligned_shapes_padded(rng):
     # below the profitability floor: stays on the einsum path
     assert not PK.eligible(4, 512)
     assert not PK.eligible(512, 64)
+
+
+def _mk_region(tmp_path, rng, n_het=14):
+    from longcallr_tpu.config import preset
+    from longcallr_tpu.io.bam import BamFile
+    from longcallr_tpu.ops.candidates import select_candidates
+    from longcallr_tpu.phasing.fragments import get_fragments
+    from longcallr_tpu.tiles.pileup import build_pileup
+    from longcallr_tpu.tiles.regions import Region
+    from simulate import make_reference, plant_snps, simulate_bam
+
+    cfg = preset("hifi-masseq").replace(min_read_length=100)
+    ref = make_reference(rng, 9000)
+    truth = plant_snps(rng, ref, n_het=n_het, n_hom=0, min_gap=8500 // (n_het + 1))
+    path = str(tmp_path / "f32net.bam")
+    simulate_bam(path, rng, ref, truth, n_reads=60, read_len=4000,
+                 err_rate=0.01)
+    bam = BamFile(path)
+    region = Region(chr="chrS", start=1, end=len(ref) + 1)
+    pl = build_pileup(bam, region, ref, cfg)
+    cands = select_candidates(pl, cfg)
+    frags = get_fragments(bam, region, cands, cfg)
+    return cfg, cands, frags
+
+
+def test_f64_margin_nonnegative_at_f64_fixed_point(tmp_path, rng):
+    """The decision-gap statistic is well-formed at a converged f64 state:
+    nonnegative and finite. (It is NOT asserted to exceed the safety bound:
+    a read with weak evidence — e.g. covering one ambiguous site — can have
+    a genuinely tiny |q − q_flip| gap even on clean data; the net firing on
+    such a region just costs one cheap f64 rerun.)"""
+    from longcallr_tpu.phasing import optimize as opt
+    from longcallr_tpu.phasing.kernels import make_cell_tables_np, CellTables
+    from longcallr_tpu.phasing.optimize import (PhaseState, f64_decision_margin,
+                                                phase_region)
+
+    cfg, cands, frags = _mk_region(tmp_path, rng)
+    assert cands.n > cfg.max_enum_snps, "need the iterative path"
+    st = phase_region(frags, cands, cfg, seed=3)
+    K0, I0 = frags.p.shape
+    ct = CellTables(*(jnp.asarray(np.asarray(a))
+                      for a in make_cell_tables_np(frags.p, frags.baseq)))
+    margin = float(f64_decision_margin(
+        ct, PhaseState(jnp.asarray(np.asarray(st.sigma)),
+                       jnp.asarray(np.asarray(st.delta)),
+                       jnp.asarray(np.asarray(st.eta))),
+        jnp.asarray(frags.for_phasing), jnp.asarray(cands.for_phasing)))
+    assert np.isfinite(margin) and margin >= 0.0, margin
+
+
+def test_f32_safety_net_recomputes_near_ties(tmp_path, rng, monkeypatch):
+    """With f32 mode faked on (as on an accelerator backend) and the margin
+    bound raised above every real margin, the net must recompute in f64 and
+    land on the pure-f64 result — for the per-region AND batched drivers."""
+    from longcallr_tpu.phasing import batch_driver as BD
+    from longcallr_tpu.phasing import optimize as opt
+    from longcallr_tpu.phasing.batch_driver import phase_regions_batched
+    from longcallr_tpu.phasing.optimize import phase_region
+
+    cfg, cands, frags = _mk_region(tmp_path, rng)
+    assert cands.n > cfg.max_enum_snps
+
+    want = phase_region(frags, cands, cfg, seed=3)  # pure f64 (CPU auto)
+
+    def fake_f32():
+        # auto semantics on a TPU host: on, except under an explicit CPU
+        # default-device context (the net's rerun placement)
+        dev = jax.config.jax_default_device
+        return not (dev is not None and dev.platform == "cpu")
+
+    jax.clear_caches()  # drop f64-traced programs for these shapes
+    monkeypatch.setattr(opt, "_f32_mode", fake_f32)
+    try:
+        monkeypatch.setattr(opt, "F32_SAFETY_TOL", np.inf)  # always trigger
+        got = phase_region(frags, cands, cfg, seed=3)
+        np.testing.assert_array_equal(np.asarray(got.sigma),
+                                      np.asarray(want.sigma))
+        np.testing.assert_array_equal(np.asarray(got.delta),
+                                      np.asarray(want.delta))
+        np.testing.assert_array_equal(np.asarray(got.eta),
+                                      np.asarray(want.eta))
+        got_b = phase_regions_batched(
+            [(frags, cands, 3, False), (frags, cands, 3, False)], cfg)
+        for stb in got_b:
+            np.testing.assert_array_equal(np.asarray(stb.sigma),
+                                          np.asarray(want.sigma))
+            np.testing.assert_array_equal(np.asarray(stb.delta),
+                                          np.asarray(want.delta))
+    finally:
+        jax.clear_caches()  # drop the f32-traced programs again
