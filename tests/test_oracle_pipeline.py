@@ -1,0 +1,106 @@
+"""Gating test for the stage *wiring*: the end-to-end scalar oracle
+(tests/oracle_pipeline.py — a literal transcription of the reference
+per-region closure thread.rs:77-222 composed from the per-stage oracles)
+must reproduce the fast pipeline's VCF lines, read assignments and phase
+sets byte-exactly on simulated diploid inputs. A mistranscription of the
+pass ordering, flag routing, or seed plumbing in either implementation
+fails this test even when every per-stage formula is individually right."""
+
+import numpy as np
+import pytest
+
+from longcallr_tpu.config import preset
+from longcallr_tpu.io.bam import BamFile
+from longcallr_tpu.pipeline.engine import process_region
+from longcallr_tpu.tiles.regions import Region
+
+from oracle_pipeline import scalar_process_region
+from simulate import make_reference, plant_snps, simulate_bam
+
+
+def _compare(tmp_path, rng, cfg, ref_len, sim_kwargs, region=None):
+    ref = make_reference(rng, ref_len)
+    truth = plant_snps(rng, ref, **sim_kwargs.pop("plant"))
+    bam_path = str(tmp_path / "sim.bam")
+    simulate_bam(bam_path, rng, ref, truth, **sim_kwargs)
+    bam = BamFile(bam_path)
+    if region is None:
+        region = Region(chr="chrS", start=1, end=len(ref) + 1)
+
+    fast = process_region(bam, region, ref, cfg)
+    o_lines, o_assign, o_ps = scalar_process_region(bam, region, ref, cfg)
+
+    assert fast.vcf_lines == o_lines
+    assert fast.read_assignments == o_assign
+    assert fast.phase_sets == o_ps
+    # sanity: the case actually produced work at every stage
+    assert len(o_lines) > 0 and len(o_assign) > 0
+    return fast
+
+
+def test_oracle_pipeline_enumeration_path(tmp_path, rng):
+    """Few candidates → 2^n enumeration branch (phase.rs:1097-1122)."""
+    cfg = preset("hifi-masseq").replace(min_read_length=100)
+    fast = _compare(tmp_path, rng, cfg, 4500,
+                    dict(plant=dict(n_het=4, n_hom=1, min_gap=500),
+                         n_reads=40, read_len=2200, err_rate=0.002))
+    assert 0 < fast.n_candidates <= cfg.max_enum_snps
+
+
+def test_oracle_pipeline_iterative_path(tmp_path, rng):
+    """Many candidates → LD init + ascent + perturbation schedule
+    (phase.rs:1123-1294), incl. phase sets across the whole region."""
+    cfg = preset("hifi-masseq").replace(min_read_length=100)
+    fast = _compare(tmp_path, rng, cfg, 9000,
+                    dict(plant=dict(n_het=14, n_hom=3, min_gap=420),
+                         n_reads=90, read_len=4000, err_rate=0.01))
+    assert fast.n_candidates > cfg.max_enum_snps
+    assert len(fast.phase_sets) > 0
+
+
+def test_oracle_pipeline_downsampled(tmp_path, rng):
+    """Downsampling on (thread.rs:144-151): the apply_ds routing through
+    phase/assign/rescue and the final full-depth assignment pass."""
+    cfg = preset("hifi-masseq").replace(min_read_length=100, downsample=True,
+                                        downsample_depth=40)
+    _compare(tmp_path, rng, cfg, 8000,
+             dict(plant=dict(n_het=12, n_hom=2, min_gap=450),
+                  n_reads=80, read_len=3500, err_rate=0.01))
+
+
+def test_oracle_pipeline_ont_preset(tmp_path, rng):
+    """ONT preset: different thresholds, noisier reads → dense windows and
+    rescue candidates exercise the noselect/RnaEdit VCF branches."""
+    cfg = preset("ont-cdna").replace(min_read_length=100)
+    _compare(tmp_path, rng, cfg, 9000,
+             dict(plant=dict(n_het=12, n_hom=2, min_gap=300),
+                  n_reads=80, read_len=3500, err_rate=0.03))
+
+
+def test_oracle_pipeline_demo_region(demo_bam_path):
+    """Full-pipeline oracle on REAL demo reads (reference README demo,
+    hifi-masseq): a window of the demo chr20 locus against the consensus
+    pseudo-reference (utils/demo.py). Slow (pure-Python phasing over real
+    depth) — deselect together with test_demo_pileup_oracle for quick runs."""
+    import os
+    from longcallr_tpu.io.fasta import FastaFile
+    from longcallr_tpu.utils.demo import make_consensus_reference
+    from longcallr_tpu.tiles.regions import extract_isolated_regions_parallel
+
+    cfg = preset("hifi-masseq")
+    data_dir = os.path.join(os.path.dirname(__file__), "..", "data")
+    ref_fa = os.path.join(data_dir, "demo_chr20_consensus.fa")
+    make_consensus_reference(demo_bam_path, ref_fa)
+    ref = np.frombuffer(FastaFile(ref_fa).fetch("chr20"), dtype=np.uint8).copy()
+
+    bam = BamFile(demo_bam_path)
+    regs = extract_isolated_regions_parallel(bam, [("chr20", len(ref))], cfg)
+    reg = max(regs, key=lambda r: r.length)
+    sub = Region(chr="chr20", start=reg.start, end=min(reg.end, reg.start + 6000))
+
+    fast = process_region(bam, sub, ref, cfg)
+    o_lines, o_assign, o_ps = scalar_process_region(bam, sub, ref, cfg)
+    assert fast.vcf_lines == o_lines
+    assert fast.read_assignments == o_assign
+    assert fast.phase_sets == o_ps
+    assert len(o_lines) > 0
