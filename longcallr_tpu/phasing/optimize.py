@@ -620,6 +620,13 @@ def _phase_region_padded(frags: FragmentMatrix, cands: CandidateSet,
 def _phase_region_padded_impl(frags, cands, cfg, seed, apply_downsampling,
                               K0, I0, K, I_pad) -> PhaseState:
     I = I0  # logical candidate count (enumeration path keys off this)
+    if USE_FAST_KERNELS and _f32_mode():
+        # resolve the Pallas auto-probe HERE (host level, outside any trace):
+        # probing inside the jitted ascent would inline the probe kernel
+        # into the outer program instead of observing a compile rejection
+        from . import pallas_kernels as PK
+        if PK.eligible(K, I_pad):
+            PK.prime_probe()
     rng = np.random.default_rng(np.random.SeedSequence([cfg.seed, seed & 0x7FFFFFFF]))
     padKI = lambda a: np.pad(a, ((0, K - K0), (0, I_pad - I0)))
     padK = lambda a, v=0: np.pad(a, (0, K - K0), constant_values=v)

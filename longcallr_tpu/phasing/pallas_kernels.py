@@ -54,12 +54,46 @@ INTERPRET = False
 _probe_result = None
 
 
+def _in_trace() -> bool:
+    """True when called under an active jax trace. Probing must not happen
+    there: a jit-wrapped probe call inside an outer trace is *inlined into
+    the outer jaxpr* instead of compiling eagerly, so it cannot observe a
+    compile rejection — it would "succeed" and then poison the outer
+    program with a kernel the backend rejects. Private-module sniff; if the
+    API moves on a jax upgrade, report in-trace (the conservative answer:
+    unprimed traces stay on the einsum path)."""
+    try:
+        from jax._src import core as _core
+        return not _core.trace_state_clean()
+    except Exception:
+        return True
+
+
+def prime_probe() -> bool:
+    """Run the one-time probe compile eagerly (host level, outside any
+    trace). Call sites that may trace the kernels (the ascent dispatchers)
+    invoke this first so auto mode can observe the backend's verdict."""
+    global _probe_result
+    if USE_PALLAS is not None:
+        return USE_PALLAS
+    if _probe_result is None and not _in_trace():
+        try:
+            out = dual_matvec_rows(jnp.zeros((8, 128), f32),
+                                   jnp.zeros((8, 128), f32),
+                                   jnp.zeros((128, 2)), interpret=False)
+            jax.block_until_ready(out)
+            _probe_result = True
+        except Exception:
+            _probe_result = False
+    return bool(_probe_result)
+
+
 def _pallas_available() -> bool:
     """Auto mode: TPU backend AND a successful one-time probe compile of a
     minimal kernel (some remote-compile backends — e.g. the tunneled axon
-    service — reject Mosaic programs; the probe makes the fallback to the
-    einsum path automatic there)."""
-    global _probe_result
+    service — reject ALL Mosaic programs; the probe makes the fallback to
+    the einsum path automatic there). Inside a trace an unprimed probe
+    resolves to False rather than probing (see _in_trace)."""
     if USE_PALLAS is not None:
         return USE_PALLAS
     try:
@@ -70,14 +104,7 @@ def _pallas_available() -> bool:
     if plat != "tpu":
         return False
     if _probe_result is None:
-        try:
-            out = dual_matvec_rows(jnp.zeros((8, 128), f32),
-                                   jnp.zeros((8, 128), f32),
-                                   jnp.zeros((128, 2)), interpret=False)
-            jax.block_until_ready(out)
-            _probe_result = True
-        except Exception:
-            _probe_result = False
+        return prime_probe()
     return _probe_result
 
 

@@ -333,3 +333,31 @@ def test_f32_safety_net_recomputes_near_ties(tmp_path, rng, monkeypatch):
                                           np.asarray(want.delta))
     finally:
         jax.clear_caches()  # drop the f32-traced programs again
+
+
+def test_pallas_probe_never_runs_inside_trace(monkeypatch):
+    """Auto-mode probing inside an active trace is forbidden: a jit-wrapped
+    probe call under an outer trace inlines into the outer jaxpr instead of
+    compiling eagerly, so it cannot observe a backend compile rejection —
+    it would report success and poison the outer program with a kernel the
+    backend rejects (observed against the axon remote-compile service).
+    prime_probe must resolve to False there and leave the cache unset."""
+    import jax
+    from longcallr_tpu.phasing import pallas_kernels as PK
+
+    assert not PK._in_trace()
+    monkeypatch.setattr(PK, "USE_PALLAS", None)
+    monkeypatch.setattr(PK, "_probe_result", None)
+    seen = {}
+
+    @jax.jit
+    def f(x):
+        seen["in_trace"] = PK._in_trace()
+        seen["primed"] = PK.prime_probe()
+        seen["cache"] = PK._probe_result
+        return x
+
+    f(jnp.zeros(1))
+    assert seen["in_trace"] is True
+    assert seen["primed"] is False
+    assert seen["cache"] is None  # not cached: a host-level prime can still probe
