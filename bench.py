@@ -129,10 +129,22 @@ def main() -> int:
     except Exception as e:  # scaled bench is auxiliary; never break the metric
         scaled = {"scaled16_error": repr(e)[:200]}
 
+    # deep workload (utils/bench_workload.py): the TPU-dominant regime —
+    # 4 regions × (K≈4096 reads, I≈512 SNPs, 126 perturbation rounds).
+    # Identical input runs once on the accelerator path and once with the
+    # host CPU backend (jax.default_device → f64 kernels, same as
+    # LONGCALLR_BENCH_CPU=1); the MFU probe instruments the hot ascent.
+    deep = {}
+    try:
+        deep = deep_bench(cfg, data_dir)
+    except Exception as e:
+        deep = {"deep_error": repr(e)[:300]}
+
     from longcallr_tpu.pipeline import engine as _engine
     extra = {
         "wall_s": round(wall, 3),
         **scaled,
+        **deep,
         "engine_stages": {k: round(v, 3) for k, v in _engine.STAGE_TOTALS.items()},
         "n_reads": n_reads,
         "n_regions": out.n_regions,
@@ -142,6 +154,133 @@ def main() -> int:
     }
     print(json.dumps(extra), file=sys.stderr)
     return 0
+
+
+def deep_bench(cfg, data_dir: str) -> dict:
+    """Deep-workload benchmark + ascent-kernel MFU probe. Returns a dict of
+    extras for the bench JSON."""
+    import time
+
+    import jax
+    import numpy as np
+
+    from longcallr_tpu.pipeline.caller import run
+    from longcallr_tpu.utils.bench_workload import make_deep_workload
+
+    bam_path = os.path.join(data_dir, "deep_bench.bam")
+    fa_path = os.path.join(data_dir, "deep_bench.fa")
+    params = make_deep_workload(bam_path, fa_path)
+    out_prefix = os.path.join(data_dir, "deep_out")
+
+    accel = jax.devices()[0].platform != "cpu"
+
+    # accelerator path (default placement; phase routes to the device by
+    # work — utils/device.py). warmup + best-of-2.
+    run(bam_path, fa_path, out_prefix, cfg, batched=True)
+    wall_tpu = float("inf")
+    for _ in range(2):
+        t0 = time.monotonic()
+        out_t = run(bam_path, fa_path, out_prefix, cfg, batched=True)
+        wall_tpu = min(wall_tpu, time.monotonic() - t0)
+
+    res = {
+        "deep_reads": params["n_reads"],
+        "deep_regions": out_t.n_regions,
+        "deep_records": out_t.n_records,
+        "deep_wall_s": round(wall_tpu, 3),
+        "deep_reads_per_s": round(params["n_reads"] / wall_tpu, 1),
+    }
+
+    if accel:
+        # identical input on the host CPU backend (the reference-form f64
+        # placement): one run — it is the slow leg being beaten.
+        cpu = jax.devices("cpu")[0]
+        with jax.default_device(cpu):
+            t0 = time.monotonic()
+            out_c = run(bam_path, fa_path, out_prefix + "_cpu", cfg,
+                        batched=True)
+            wall_cpu = time.monotonic() - t0
+        a = [l for l in open(out_prefix + ".vcf") if not l.startswith("#")]
+        b = [l for l in open(out_prefix + "_cpu.vcf") if not l.startswith("#")]
+        res.update({
+            "deep_cpu_wall_s": round(wall_cpu, 3),
+            "deep_speedup_vs_cpu": round(wall_cpu / wall_tpu, 2),
+            "deep_outputs_match_cpu": a == b,
+        })
+        res.update(mfu_probe(bam_path, fa_path, cfg))
+    return res
+
+
+def mfu_probe(bam_path: str, fa_path: str, cfg) -> dict:
+    """Instrument the perturbation-schedule ascent on region 0 of the deep
+    workload: measured wall (host readback forced), exact ascent-iteration
+    count, → bytes moved and flops for the hi/lo f32-split Dp matvecs
+    (kernels_fast.py). Speed-of-light: v5e HBM 819 GB/s, MXU bf16 197
+    TFLOP/s — a matvec schedule is bandwidth-bound, so hbm_util is the
+    binding roofline and mfu is reported for completeness."""
+    import time
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from longcallr_tpu.io.bam import BamFile
+    from longcallr_tpu.io.fasta import FastaFile
+    from longcallr_tpu.phasing import optimize as O
+    from longcallr_tpu.phasing.kernels import CompactCells
+    from longcallr_tpu.pipeline.engine import prepare_region
+    from longcallr_tpu.tiles.regions import extract_isolated_regions_parallel
+
+    with open(fa_path + ".fai") as f:
+        contig, clen = f.readline().split("\t")[:2]
+    ref = np.frombuffer(FastaFile(fa_path).fetch(contig), np.uint8).copy()
+    bam = BamFile(bam_path, threads=cfg.threads)
+    regs = extract_isolated_regions_parallel(bam, [(contig, int(clen))], cfg)
+    cands, frags, _ = prepare_region(bam, regs[0], ref, cfg)
+    K0, I0 = frags.p.shape
+    K, I = O._bucket(max(1, K0)), O._bucket(max(1, I0))
+    pad = lambda a: np.pad(a, ((0, K - K0), (0, I - I0)))
+    ct = CompactCells(jnp.asarray(pad(frags.p)),
+                      jnp.asarray(pad(frags.baseq).astype(np.uint8)))
+    rb = jnp.asarray(np.pad(frags.for_phasing, (0, K - K0)))
+    sm = jnp.asarray(np.pad(cands.for_phasing, (0, I - I0)))
+    cons = jnp.zeros(I, bool)
+    rng = np.random.default_rng(1)
+    st0 = O.PhaseState(
+        jnp.asarray(np.where(np.asarray(rb), rng.choice([-1.0, 1.0], K), 0.0)),
+        jnp.asarray(rng.choice([-1.0, 1.0], I)), jnp.zeros(I))
+    st1, prob = O.selected_loop()(ct, st0, rb, sm, cons,
+                                  with_genotype=False, keep_conserved=False)
+    n_rounds = jnp.int32(I0 // 4 + 1)
+    key = jax.random.PRNGKey(7)
+    args = (ct, st1, st1, prob, rb, sm, cons, n_rounds, key)
+    bst, bp, iters = O.perturbation_phase_stats(*args)   # compile + warm
+    float(bp)
+    t0 = time.monotonic()
+    bst, bp, iters = O.perturbation_phase_stats(*args)
+    # axon's block_until_ready is a no-op; a host readback forces execution
+    np.asarray(bst.sigma), float(bp)
+    dt = time.monotonic() - t0
+    it = int(iters)
+    calls = 2 * int(n_rounds)
+    KI = K * I
+    # per ascent iteration: rows dual-matvec streams dp_hi+dp_lo once
+    # (8·KI bytes, 8·KI flops), cols matvec the same pair again (8·KI
+    # bytes, 4·KI flops). per ascent call: split-table build (~33·KI bytes)
+    # + final objective (8·KI bytes, 8·KI flops).
+    bytes_moved = it * 16 * KI + calls * 41 * KI
+    flops = it * 12 * KI + calls * 8 * KI
+    return {
+        "mfu_kernel": "perturbation_phase (split-f32 Dp matvec ascent)",
+        "mfu_shape": [int(K), int(I)],
+        "mfu_rounds": int(n_rounds),
+        "mfu_ascent_iters": it,
+        "mfu_wall_ms": round(dt * 1e3, 1),
+        "mfu_gbytes_per_s": round(bytes_moved / dt / 1e9, 1),
+        "mfu_gflops_per_s": round(flops / dt / 1e9, 1),
+        "mfu_hbm_util_vs_819GBs": round(bytes_moved / dt / 819e9, 4),
+        "mfu_vs_bf16_peak_197T": round(flops / dt / 197e12, 6),
+    }
 
 
 if __name__ == "__main__":

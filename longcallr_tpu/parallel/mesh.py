@@ -30,7 +30,7 @@ except ImportError:  # pragma: no cover
     from jax.experimental.shard_map import shard_map
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from ..phasing.kernels import CellTables, f64
+from ..phasing.kernels import CellTables, CompactCells, expand_cells, f64
 from ..phasing.optimize import PhaseState, _sigma_step, _snp_step
 
 
@@ -50,21 +50,21 @@ def make_mesh(n_regions_axis: Optional[int] = None,
 
 
 class BatchedRegions(NamedTuple):
-    """A bucket of B same-shape padded regions."""
+    """A bucket of B same-shape padded regions, in compact transfer form
+    (2 bytes/cell; the f64 emission tables expand on device inside each
+    program — kernels.expand_cells, bit-identical to host expansion)."""
 
-    p: jnp.ndarray         # [B,K,I] f64
-    lerr: jnp.ndarray      # [B,K,I] f64
-    l1m: jnp.ndarray       # [B,K,I] f64
-    exists: jnp.ndarray    # [B,K,I] bool
+    p: jnp.ndarray         # [B,K,I] int8 in {-1,0,+1}
+    q: jnp.ndarray         # [B,K,I] uint8 capped baseq
     read_base: jnp.ndarray  # [B,K] bool
     site_mask: jnp.ndarray  # [B,I] bool
     conserved: jnp.ndarray  # [B,I] bool
 
 
-def _one_region_step(p, lerr, l1m, exists, read_base, site_mask, conserved,
+def _one_region_step(p, q, read_base, site_mask, conserved,
                      sigma, delta, eta, with_genotype: bool,
                      keep_conserved: bool):
-    ct = CellTables(p=p, lerr=lerr, l1m=l1m, exists=exists)
+    ct = expand_cells(CompactCells(p, q))
     st = PhaseState(sigma, delta, eta)
     new_sigma, s_inc = _sigma_step(ct, st, read_base, site_mask)
     st = st._replace(sigma=new_sigma)
@@ -85,7 +85,7 @@ def batched_phase_step(batch: BatchedRegions, sigma, delta, eta,
     its own regions' sweep (pure data parallelism, zero collectives)."""
     fn = jax.vmap(partial(_one_region_step, with_genotype=with_genotype,
                           keep_conserved=keep_conserved))
-    args = (batch.p, batch.lerr, batch.l1m, batch.exists, batch.read_base,
+    args = (batch.p, batch.q, batch.read_base,
             batch.site_mask, batch.conserved, sigma, delta, eta)
     if mesh is not None:
         shardings = []
@@ -137,10 +137,9 @@ from ..phasing.optimize import selected_loop  # noqa: E402
 
 
 def _region_ct(batch: BatchedRegions, b=None):
-    from ..phasing.kernels import CellTables
     if b is None:
-        return CellTables(batch.p, batch.lerr, batch.l1m, batch.exists)
-    return CellTables(batch.p[b], batch.lerr[b], batch.l1m[b], batch.exists[b])
+        return expand_cells(CompactCells(batch.p, batch.q))
+    return expand_cells(CompactCells(batch.p[b], batch.q[b]))
 
 
 @partial(jax.jit, static_argnames=("keep_conserved", "with_genotype", "mesh"))
@@ -151,15 +150,14 @@ def batched_cross_optimize(batch: BatchedRegions, sigma, delta, eta,
     """Full ≤21-iteration coordinate ascent, vmapped over a region bucket.
     Returns (sigma, delta, eta, prob[B])."""
 
-    def one(p, lerr, l1m, exists, rb, sm, cons, sg, dl, et):
-        from ..phasing.kernels import CellTables
+    def one(p, q, rb, sm, cons, sg, dl, et):
         from ..phasing.optimize import PhaseState
-        ct = CellTables(p, lerr, l1m, exists)
+        ct = expand_cells(CompactCells(p, q))
         st, prob = selected_loop()(ct, PhaseState(sg, dl, et), rb, sm,
                                    cons, with_genotype, keep_conserved)
         return st.sigma, st.delta, st.eta, prob
 
-    args = (batch.p, batch.lerr, batch.l1m, batch.exists, batch.read_base,
+    args = (batch.p, batch.q, batch.read_base,
             batch.site_mask, batch.conserved, sigma, delta, eta)
     if mesh is not None:
         args = tuple(
@@ -187,11 +185,14 @@ def batched_perturbation_phase(batch: BatchedRegions, best_sigma, best_delta,
     B, K = best_sigma.shape
     I = best_delta.shape[1]
     max_rounds = jnp.max(n_rounds)
+    # expand ONCE, outside the round loop: expanding inside the fori body
+    # is not hoisted by XLA through vmap and re-gathers the f64 tables
+    # every round (measured 0.3 s → 35 s at deep-workload scale)
+    ct_full = expand_cells(CompactCells(batch.p, batch.q))
 
-    def one_round(p, lerr, l1m, exists, rb, sm, cons, b_sigma, b_delta, b_eta,
-                  b_prob, active, kr, flip):
-        from ..phasing.kernels import CellTables
-        ct = CellTables(p, lerr, l1m, exists)
+    def one_round(cp, clerr, cl1m, cexists, rb, sm, cons, b_sigma, b_delta,
+                  b_eta, b_prob, active, kr, flip):
+        ct = CellTables(cp, clerr, cl1m, cexists)
         b_st = PhaseState(b_sigma, b_delta, b_eta)
 
         def keep(b_st, b_p, st_new, prob_new):
@@ -225,9 +226,9 @@ def batched_perturbation_phase(batch: BatchedRegions, best_sigma, best_delta,
         active = tidx < n_rounds
         flip = jnp.full((B,), (tidx % 2) == 1)
         return jax.vmap(one_round)(
-            batch.p, batch.lerr, batch.l1m, batch.exists, batch.read_base,
-            batch.site_mask, batch.conserved, sg, dl, et, pr, active,
-            round_keys, flip)
+            ct_full.p, ct_full.lerr, ct_full.l1m, ct_full.exists,
+            batch.read_base, batch.site_mask, batch.conserved, sg, dl, et,
+            pr, active, round_keys, flip)
 
     init = (best_sigma, best_delta, best_eta, best_prob)
     if mesh is not None:
@@ -241,14 +242,14 @@ def batched_perturbation_phase(batch: BatchedRegions, best_sigma, best_delta,
 def batched_overall_probability(batch: BatchedRegions, sigma, delta, eta,
                                 mesh: Optional[Mesh] = None):
     """cal_overall_probability per region of a bucket → prob[B]."""
-    from ..phasing.kernels import overall_probability, CellTables
+    from ..phasing.kernels import overall_probability
 
-    def one(p, lerr, l1m, exists, rb, sm, sg, dl, et):
-        ct = CellTables(p, lerr, l1m, exists)
+    def one(p, q, rb, sm, sg, dl, et):
+        ct = expand_cells(CompactCells(p, q))
         rm = rb & (sg != 0)
         return overall_probability(ct, sg, dl, et, rm, sm[None, :])
 
-    args = (batch.p, batch.lerr, batch.l1m, batch.exists, batch.read_base,
+    args = (batch.p, batch.q, batch.read_base,
             batch.site_mask, sigma, delta, eta)
     if mesh is not None:
         args = tuple(
@@ -267,21 +268,20 @@ def batched_enum_cross_optimize(batch: BatchedRegions, sigma0, configs, eta0,
     (regions in a bucket have the same logical candidate count); eta0 [B,I].
     Returns (sigma, delta, eta)[B,C,...] and prob[B,C]."""
 
-    def one_cfg(p, lerr, l1m, exists, rb, sm, et, sg0, cfg_delta):
-        from ..phasing.kernels import CellTables
+    def one_cfg(ct, rb, sm, et, sg0, cfg_delta):
         from ..phasing.optimize import PhaseState
-        ct = CellTables(p, lerr, l1m, exists)
         st, prob = selected_loop()(
             ct, PhaseState(sg0, cfg_delta, et), rb, sm,
             jnp.zeros_like(sm), True, False)
         return st.sigma, st.delta, st.eta, prob
 
-    def one_region(p, lerr, l1m, exists, rb, sm, et, sg0):
+    def one_region(p, q, rb, sm, et, sg0):
+        ct = expand_cells(CompactCells(p, q))
         return jax.vmap(one_cfg,
-                        in_axes=(None,) * 7 + (0, 0)
-                        )(p, lerr, l1m, exists, rb, sm, et, sg0, configs)
+                        in_axes=(None,) * 4 + (0, 0)
+                        )(ct, rb, sm, et, sg0, configs)
 
-    args = (batch.p, batch.lerr, batch.l1m, batch.exists, batch.read_base,
+    args = (batch.p, batch.q, batch.read_base,
             batch.site_mask, eta0, sigma0)
     if mesh is not None:
         args = tuple(

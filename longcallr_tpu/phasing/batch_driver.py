@@ -13,6 +13,7 @@ device mesh ("regions" axis, see parallel/mesh.py).
 
 from __future__ import annotations
 
+import time
 from dataclasses import dataclass
 from typing import Dict, List, Optional, Tuple
 
@@ -23,7 +24,7 @@ import numpy as np
 
 from ..config import CallerConfig
 from ..ops.candidates import CandidateSet
-from ..utils.device import small_problem_device
+from ..utils.device import phase_problem_device
 from .fragments import FragmentMatrix
 from .kernels import CellTables, f64, make_cell_tables_np
 from .optimize import (PhaseState, _bucket, block_flip_pass, compute_ld_blocks,
@@ -112,20 +113,14 @@ def _phase_enum_bucket(group: List[_Prepared], cfg: CallerConfig, K: int,
         s = np.where(rngs[b].random((C, K)) < 0.5, -1.0, 1.0)
         sig0[b] = np.where(read_base[b][None, :], s, 0.0)
 
-    cts_np = make_cell_tables_np(p.reshape(B * K, I_pad),
-                                 bq.reshape(B * K, I_pad))
-    shape3 = (B, K, I_pad)
-    dev = small_problem_device(B * C * K * I_pad) if mesh is None else None
+    dev = phase_problem_device(B * C * K * I_pad) if mesh is None else None
 
     def dp(a):
         a = jnp.asarray(a)
         return jax.device_put(a, dev) if dev is not None else a
 
     batch = BatchedRegions(
-        p=dp(np.asarray(cts_np.p).reshape(shape3)),
-        lerr=dp(np.asarray(cts_np.lerr).reshape(shape3)),
-        l1m=dp(np.asarray(cts_np.l1m).reshape(shape3)),
-        exists=dp(np.asarray(cts_np.exists).reshape(shape3)),
+        p=dp(p), q=dp(bq),
         read_base=dp(read_base), site_mask=dp(site_mask),
         conserved=dp(np.zeros((B, I_pad), bool)))
 
@@ -147,9 +142,9 @@ def _phase_enum_bucket(group: List[_Prepared], cfg: CallerConfig, K: int,
     for b, it in enumerate(group):
         K0, _ = it.frags.p.shape
         sgb, dlb, etb = best[b]
-        out[it.index] = PhaseState(jnp.asarray(sgb[:K0]),
-                                   jnp.asarray(dlb[:I0]),
-                                   jnp.asarray(etb[:I0]))
+        # numpy out: the consumer (finalize_region) is a host stage — a
+        # jnp.asarray here would bounce the vectors through the accelerator
+        out[it.index] = PhaseState(sgb[:K0], dlb[:I0], etb[:I0])
 
 
 def _phase_bucket(group: List[_Prepared], cfg: CallerConfig, K: int,
@@ -195,22 +190,20 @@ def _phase_bucket(group: List[_Prepared], cfg: CallerConfig, K: int,
         region_keys.append(jax.random.PRNGKey(
             int(rng.integers(0, np.iinfo(np.int64).max, dtype=np.int64))))
 
-    cts_np = make_cell_tables_np(p.reshape(B * K, I_pad),
-                                 bq.reshape(B * K, I_pad))
-    shape3 = (B, K, I_pad)
-    dev = small_problem_device(B * K * I_pad) if mesh is None else None
+    from ..pipeline.engine import STAGE_TOTALS
+    _t = time.monotonic()
+    dev = phase_problem_device(B * K * I_pad * int(n_rounds.max())) if mesh is None else None
 
     def dp(a):
         a = jnp.asarray(a)
         return jax.device_put(a, dev) if dev is not None else a
 
     batch = BatchedRegions(
-        p=dp(np.asarray(cts_np.p).reshape(shape3)),
-        lerr=dp(np.asarray(cts_np.lerr).reshape(shape3)),
-        l1m=dp(np.asarray(cts_np.l1m).reshape(shape3)),
-        exists=dp(np.asarray(cts_np.exists).reshape(shape3)),
+        p=dp(p), q=dp(bq),
         read_base=dp(read_base), site_mask=dp(site_mask),
         conserved=dp(conserved))
+    STAGE_TOTALS["phase_tables"] += time.monotonic() - _t
+    _t = time.monotonic()
 
     # 1) first ascent (keep_conserved=True, phase.rs:1132)
     sg, dl, et, prob1 = batched_cross_optimize(
@@ -218,21 +211,18 @@ def _phase_bucket(group: List[_Prepared], cfg: CallerConfig, K: int,
         keep_conserved=True, with_genotype=False, mesh=mesh)
     sg_np, dl_np, et_np = (np.asarray(a) for a in (sg, dl, et))
     prob1_np = np.asarray(prob1)
+    STAGE_TOTALS["phase_ascent1"] += time.monotonic() - _t
+    _t = time.monotonic()
 
     # 2) host block-flip per region against the best-so-far (== ascent) state
     sg2 = sg_np.copy()
     dl2 = dl_np.copy()
     for b, it in enumerate(group):
         K0, I0 = it.frags.p.shape
-        ct_b = CellTables(p=np.asarray(cts_np.p).reshape(shape3)[b],
-                          lerr=np.asarray(cts_np.lerr).reshape(shape3)[b],
-                          l1m=np.asarray(cts_np.l1m).reshape(shape3)[b],
-                          exists=np.asarray(cts_np.exists).reshape(shape3)[b])
-        exists_pad = np.asarray(cts_np.exists).reshape(shape3)[b]
-        st_b = PhaseState(jnp.asarray(sg_np[b]), jnp.asarray(dl_np[b]),
-                          jnp.asarray(et_np[b]))
+        ct_b = make_cell_tables_np(p[b], bq[b])   # host pass: per-region
+        st_b = PhaseState(sg_np[b], dl_np[b], et_np[b])
         st2 = block_flip_pass(ct_b, st_b, read_base[b], site_mask[b],
-                              exists_pad, lds[b])
+                              np.asarray(ct_b.exists), lds[b])
         sg2[b] = np.asarray(st2.sigma)
         dl2[b] = np.asarray(st2.delta)
 
@@ -245,6 +235,8 @@ def _phase_bucket(group: List[_Prepared], cfg: CallerConfig, K: int,
     best_sg = np.where(better[:, None], sg2, sg_np)
     best_dl = np.where(better[:, None], dl2, dl_np)
     best_prob = np.where(better, prob2_np, prob1_np)
+    STAGE_TOTALS["phase_blockflip"] += time.monotonic() - _t
+    _t = time.monotonic()
 
     # 3) batched perturbation schedule with per-region round counts and
     # per-region keys (bucket-composition-independent randomness)
@@ -253,37 +245,31 @@ def _phase_bucket(group: List[_Prepared], cfg: CallerConfig, K: int,
         batch, dp(best_sg), dp(best_dl), dp(et_np),
         dp(best_prob.astype(np.float64)), dp(n_rounds), keys, mesh=mesh)
     sgf, dlf, etf = (np.asarray(a) for a in (sgf, dlf, etf))
+    STAGE_TOTALS["phase_perturb"] += time.monotonic() - _t
+    _t = time.monotonic()
     for b, it in enumerate(group):
         K0, I0 = it.frags.p.shape
-        out[it.index] = PhaseState(jnp.asarray(sgf[b, :K0]),
-                                   jnp.asarray(dlf[b, :I0]),
-                                   jnp.asarray(etf[b, :I0]))
+        out[it.index] = PhaseState(sgf[b, :K0], dlf[b, :I0], etf[b, :I0])
 
     # f32 safety net (same contract as the per-region path, optimize.py):
     # margins re-checked in exact f64 on the host; near-tie regions are
     # recomputed per-region under the CPU default-device context where auto
     # mode resolves to f64.
     from .optimize import (F32_SAFETY_TOL, USE_FAST_KERNELS, _f32_mode,
-                           f64_decision_margin)
+                           f64_decision_margin_batched)
     if USE_FAST_KERNELS and _f32_mode() and F32_SAFETY_TOL > 0:
-        p3 = np.asarray(cts_np.p).reshape(shape3)
-        le3 = np.asarray(cts_np.lerr).reshape(shape3)
-        l13 = np.asarray(cts_np.l1m).reshape(shape3)
-        ex3 = np.asarray(cts_np.exists).reshape(shape3)
         cpu = jax.devices("cpu")[0]
         with jax.default_device(cpu):
             if _f32_mode():        # forced-f32 env: no exact rerun exists
                 return
+            # whole-bucket margins in one host program (matvec-form f64)
+            margins = np.asarray(f64_decision_margin_batched(
+                jnp.asarray(p), jnp.asarray(bq), jnp.asarray(sgf),
+                jnp.asarray(dlf), jnp.asarray(etf), jnp.asarray(read_base),
+                jnp.asarray(site_mask)))
             for b, it in enumerate(group):
-                ct_b = CellTables(p=jnp.asarray(p3[b]),
-                                  lerr=jnp.asarray(le3[b]),
-                                  l1m=jnp.asarray(l13[b]),
-                                  exists=jnp.asarray(ex3[b]))
-                st_pad = PhaseState(jnp.asarray(sgf[b]), jnp.asarray(dlf[b]),
-                                    jnp.asarray(etf[b]))
-                margin = float(f64_decision_margin(
-                    ct_b, st_pad, jnp.asarray(read_base[b]),
-                    jnp.asarray(site_mask[b])))
-                if margin < F32_SAFETY_TOL:
+                if margins[b] < F32_SAFETY_TOL:
+                    STAGE_TOTALS["phase_safety_recompute"] += 1
                     out[it.index] = phase_region(it.frags, it.cands, cfg,
                                                  it.seed, it.apply_ds)
+        STAGE_TOTALS["phase_safety"] += time.monotonic() - _t

@@ -81,6 +81,36 @@ def make_cell_tables(p_np, baseq_np) -> CellTables:
                       l1m=jnp.asarray(ct.l1m), exists=jnp.asarray(ct.exists))
 
 
+class CompactCells(NamedTuple):
+    """Device-transfer form of the per-region cell data: 2 bytes/cell
+    instead of the 25 bytes/cell of expanded CellTables. The f64 emission
+    tables are expanded ON DEVICE (expand_cells) inside the jitted programs
+    — an exact gather from the same log10 tables, so results are
+    bit-identical to host expansion while host→HBM traffic drops ~12× and
+    the host never materialises padded f64 tables (this VM pays ~0.5 ms per
+    first-touch page; a [B,K,I] f64 table build recurrently cost 14-45 s
+    per wave at deep-workload scale)."""
+
+    p: jnp.ndarray   # [K,I] int8 in {-1,0,+1} (0 = no cell)
+    q: jnp.ndarray   # [K,I] uint8 capped baseq
+
+
+def expand_cells(cc: CompactCells) -> CellTables:
+    """Traceable CompactCells → CellTables (see make_cell_tables_np)."""
+    exists = cc.p != 0
+    qi = cc.q.astype(jnp.int32)
+    lerr = jnp.where(exists, jnp.asarray(_LOG10_ERR_NP)[qi], 0.0)
+    l1m = jnp.where(exists, jnp.asarray(_LOG10_1MERR_NP)[qi], 0.0)
+    return CellTables(p=cc.p.astype(f64), lerr=lerr, l1m=l1m, exists=exists)
+
+
+def as_tables(ct) -> CellTables:
+    """Accept either expanded CellTables or CompactCells (expanded here, at
+    the top of the jitted program, so downstream reuse is HBM-resident and
+    loop-invariant expansion hoists out of ascent loops)."""
+    return expand_cells(ct) if isinstance(ct, CompactCells) else ct
+
+
 def _cell_term(ct: CellTables, x: jnp.ndarray) -> jnp.ndarray:
     """log10 aki per cell for target allele x[k,i] ∈ {-1,+1} (phase.rs:32-49):
     (p == x) ? log10(1-err) : log10(err)."""

@@ -36,11 +36,12 @@ import numpy as np
 
 from ..config import CallerConfig
 from ..ops.candidates import CandidateSet
-from ..utils.device import small_problem_device
+from ..utils.device import phase_problem_device
 from .fragments import FragmentMatrix
-from .kernels import (CellTables, f64, make_cell_tables, make_cell_tables_np, overall_probability,
-                      prior_het_log, read_logliks, sigma_q, snp_q_for,
-                      snp_qs, snp_sums)
+from .kernels import (CellTables, CompactCells, as_tables, f64,
+                      make_cell_tables, make_cell_tables_np,
+                      overall_probability, prior_het_log, read_logliks,
+                      sigma_q, snp_q_for, snp_qs, snp_sums)
 
 
 class PhaseState(NamedTuple):
@@ -98,6 +99,7 @@ def _cross_optimize_loop(ct: CellTables, st: PhaseState, read_base,
                          site_mask, conserved, with_genotype: bool,
                          keep_conserved: bool) -> Tuple[PhaseState, jnp.ndarray]:
     """Traceable core of cross_optimize (inlined by the fused phase loop)."""
+    ct = as_tables(ct)
 
     def cond(carry):
         st, it, go = carry
@@ -134,10 +136,23 @@ def cross_optimize(ct: CellTables, st: PhaseState, read_base: jnp.ndarray,
 def _cross_optimize_fast_loop(ct: CellTables, st: PhaseState, read_base,
                               site_mask, conserved, with_genotype: bool,
                               keep_conserved: bool):
+    st, prob, _ = _cross_optimize_fast_loop_it(ct, st, read_base, site_mask,
+                                               conserved, with_genotype,
+                                               keep_conserved)
+    return st, prob
+
+
+def _cross_optimize_fast_loop_it(ct: CellTables, st: PhaseState, read_base,
+                                 site_mask, conserved, with_genotype: bool,
+                                 keep_conserved: bool):
     """Matvec-form ascent (see kernels_fast.py): same argmax/tie rules as the
     reference-form loop, 2 matvecs per iteration instead of ~8 full-matrix
-    passes. Opt-in (summation order differs at the ulp level)."""
+    passes. Opt-in (summation order differs at the ulp level).
+    Returns (state, prob, iterations) — the count feeds the bench's
+    bytes/flops accounting (perturbation_phase_stats)."""
     from . import kernels_fast as KF
+
+    ct = as_tables(ct)
 
     rm0 = read_base & (st.sigma != 0)
     if _f32_mode():
@@ -199,9 +214,9 @@ def _cross_optimize_fast_loop(ct: CellTables, st: PhaseState, read_base,
         st = st._replace(delta=new_delta, eta=new_eta)
         return st, it + 1, s_inc | d_inc
 
-    st, _, _ = jax.lax.while_loop(cond, body, (st, jnp.int32(0), jnp.bool_(True)))
+    st, it, _ = jax.lax.while_loop(cond, body, (st, jnp.int32(0), jnp.bool_(True)))
     prob = fast_overall_probability(ft, st.sigma, st.delta, st.eta)
-    return st, prob
+    return st, prob, it
 
 
 @partial(jax.jit, static_argnames=("with_genotype", "keep_conserved"))
@@ -262,6 +277,55 @@ _SAFETY_ENV = os.environ.get("LONGCALLR_F32_SAFETY", "")
 F32_SAFETY_TOL: float = (float(_SAFETY_ENV) if _SAFETY_ENV else 1e-3)
 
 
+def _margin_fast_one(p8, q8, sigma, delta, eta, read_base, site_mask):
+    """f64_decision_margin via the matvec-form f64 kernels (one pass over
+    Dp per gap family instead of ~10 full-matrix masked passes). Sums agree
+    with the reference-form kernels to ~1e-12 relative — far inside the
+    1e-3 trigger tolerance, so the recompute decision is unchanged except
+    exactly at the tolerance boundary, where either answer is safe (the
+    margin is a conservative trigger, not a spec quantity)."""
+    from . import kernels_fast as KF
+    ct = as_tables(CompactCells(p8, q8))
+    st = PhaseState(sigma, delta, eta)
+    rm0 = read_base & (st.sigma != 0)
+    ft = KF.make_fast_tables(ct, rm0, site_mask)
+    lp, lm, ncell = KF.fast_read_logliks(ft, st.delta, st.eta)
+    upd = rm0 & (ncell > 0)
+    q, qn = sigma_q(lp, lm, st.sigma)
+    sig_gap = jnp.where(upd, jnp.abs(q - qn), jnp.inf).min()
+    sums = KF.fast_snp_sums(ft, st.sigma, st.delta)
+    qs = jnp.stack(snp_qs(*sums))                        # [4, I]
+    upds = site_mask & (sums[4] > 0)
+    mx = qs.max(axis=0)
+    am = qs.argmax(axis=0)
+    second = jnp.where(jnp.arange(4)[:, None] == am[None, :],
+                       -jnp.inf, qs).max(axis=0)
+    snp_gap = jnp.where(upds, mx - second, jnp.inf).min()
+    return jnp.minimum(sig_gap, snp_gap)
+
+
+@jax.jit
+def f64_decision_margin_fast(p8, q8, sigma, delta, eta, read_base, site_mask):
+    return _margin_fast_one(p8, q8, sigma, delta, eta, read_base, site_mask)
+
+
+@jax.jit
+def f64_decision_margin_batched(p8, q8, sigma, delta, eta, read_base,
+                                site_mask):
+    """Per-region fast margins for a whole bucket in ONE program ([B]
+    out) — the batched driver's safety net runs this on the host backend."""
+    return jax.vmap(_margin_fast_one)(p8, q8, sigma, delta, eta, read_base,
+                                      site_mask)
+
+
+@jax.jit
+def _overall_probability_jit(ct, sigma, delta, eta, read_base, site_mask):
+    """cal_overall_probability as one dispatch (accepts CompactCells)."""
+    ct = as_tables(ct)
+    rm = read_base & (sigma != 0)
+    return overall_probability(ct, sigma, delta, eta, rm, site_mask[None, :])
+
+
 @jax.jit
 def f64_decision_margin(ct: CellTables, st: PhaseState, read_base,
                         site_mask) -> jnp.ndarray:
@@ -272,6 +336,7 @@ def f64_decision_margin(ct: CellTables, st: PhaseState, read_base,
     — the safety net's trigger. (The final state need not be an argmax
     fixed point — the ascent stops on an aggregate rule — so the SIGN of a
     margin is uninformative; only near-tie magnitude is.)"""
+    ct = as_tables(ct)
     rm0 = read_base & (st.sigma != 0)
     lp, lm, ncell = read_logliks(ct, st.delta, st.eta, site_mask[None, :])
     upd = rm0 & (ncell > 0)
@@ -296,6 +361,7 @@ def perturbation_phase(ct: CellTables, st: PhaseState, best_st: PhaseState,
     program: n_rounds iterations of {10%% SNP resets → cross_optimize →
     keep-best → 10%% read flips → cross_optimize → keep-best}, with
     device-side jax.random. Returns (best state, best prob)."""
+    ct = as_tables(ct)
     K = st.sigma.shape[0]
     I = st.delta.shape[0]
 
@@ -333,6 +399,55 @@ def perturbation_phase(ct: CellTables, st: PhaseState, best_st: PhaseState,
     best_st, best_prob = jax.lax.fori_loop(
         0, n_rounds, body, (best_st, jnp.asarray(best_prob, f64)))
     return best_st, best_prob
+
+
+@jax.jit
+def perturbation_phase_stats(ct: CellTables, st: PhaseState,
+                             best_st: PhaseState, best_prob, read_base,
+                             site_mask, conserved, n_rounds, key):
+    """perturbation_phase with ascent-iteration accounting: returns
+    (best state, best prob, total ascent iterations across all 2·n_rounds
+    cross_optimize calls). Each iteration is two passes over the split Dp
+    matrix (kernels_fast.py) — the count converts measured wall time into
+    bytes-moved / flops for the bench's MFU line. Fast-kernel path only."""
+    ct = as_tables(ct)
+    K = st.sigma.shape[0]
+    I = st.delta.shape[0]
+
+    def keep_best(carry_best, st_new, prob_new):
+        b_st, b_p = carry_best
+        better = prob_new > b_p
+        sel = lambda a, b: jnp.where(better, a, b)
+        return (PhaseState(sel(st_new.sigma, b_st.sigma),
+                           sel(st_new.delta, b_st.delta),
+                           sel(st_new.eta, b_st.eta)),
+                jnp.where(better, prob_new, b_p))
+
+    def body(tidx, carry):
+        (b_st, b_p, iters) = carry
+        kr = jax.random.fold_in(key, tidx)
+        k1, k2 = jax.random.split(kr)
+        flip = (tidx % 2) == 1
+        lowv = jnp.where(flip, 1.0, -1.0)
+        highv = -lowv
+        rg = jax.random.uniform(k1, (I,))
+        delta = jnp.where(rg < 0.1, lowv,
+                          jnp.where(rg >= 0.9, highv, b_st.delta))
+        st1, prob1, it1 = _cross_optimize_fast_loop_it(
+            ct, b_st._replace(delta=delta), read_base, site_mask, conserved,
+            with_genotype=False, keep_conserved=False)
+        b_st, b_p = keep_best((b_st, b_p), st1, prob1)
+        fl = (jax.random.uniform(k2, (K,)) < 0.1) & read_base & (b_st.sigma != 0)
+        sigma = jnp.where(fl, -b_st.sigma, b_st.sigma)
+        st2, prob2, it2 = _cross_optimize_fast_loop_it(
+            ct, b_st._replace(sigma=sigma), read_base, site_mask, conserved,
+            with_genotype=False, keep_conserved=False)
+        b_st, b_p = keep_best((b_st, b_p), st2, prob2)
+        return (b_st, b_p, iters + it1 + it2)
+
+    best_st, best_prob, iters = jax.lax.fori_loop(
+        0, n_rounds, body, (best_st, jnp.asarray(best_prob, f64), jnp.int32(0)))
+    return best_st, best_prob, iters
 
 
 # vmapped enumeration: one cross_optimize per initial haplotype config
@@ -555,8 +670,11 @@ def block_flip_pass(ct_np: CellTables, st: PhaseState, read_base: np.ndarray,
             covers = phase_site_cells[:, cols].any(axis=1)
             flip_reads = (full_in == bid) & covers & read_mask
             new_sigma[flip_reads] = -sigma[flip_reads]
-    return PhaseState(jnp.asarray(new_sigma, f64), jnp.asarray(new_delta, f64),
-                      st.eta)
+    # numpy out: this is a host pass — placing the (small) vectors on the
+    # default device here would bounce them through the accelerator between
+    # two host stages (measured ~150 ms per dispatch on the tunneled TPU)
+    return PhaseState(new_sigma.astype(np.float64),
+                      new_delta.astype(np.float64), np.asarray(st.eta))
 
 
 # ---------------------------------------------------------------------------
@@ -587,9 +705,11 @@ def phase_region(frags: FragmentMatrix, cands: CandidateSet,
     (padding rows/cols are fully masked)."""
     K0, I0 = frags.p.shape
     if I0 == 0:
-        return PhaseState(jnp.zeros(K0, f64), jnp.zeros(0, f64), jnp.zeros(0, f64))
+        return PhaseState(np.zeros(K0), np.zeros(0), np.zeros(0))
     st = _phase_region_padded(frags, cands, cfg, seed, apply_downsampling)
-    return PhaseState(st.sigma[:K0], st.delta[:I0], st.eta[:I0])
+    # numpy out (single readback): every consumer is a host stage
+    return PhaseState(np.asarray(st.sigma)[:K0], np.asarray(st.delta)[:I0],
+                      np.asarray(st.eta)[:I0])
 
 
 def _phase_region_padded(frags: FragmentMatrix, cands: CandidateSet,
@@ -607,8 +727,13 @@ def _phase_region_padded(frags: FragmentMatrix, cands: CandidateSet,
             if mesh is not None:
                 return phase_region_sharded(frags, cands, cfg, seed,
                                             apply_downsampling, mesh)
-    # route tiny regions to the host CPU backend (see utils/device.py)
-    dev = small_problem_device(K * I_pad)
+    # route low-work regions to the host CPU backend (work = cells × rounds
+    # — the schedule's cost model, see utils/device.py)
+    if I0 <= cfg.max_enum_snps:
+        work = (1 << min(I0, 40)) * K * I_pad
+    else:
+        work = K * I_pad * (I0 // 4 + 1)
+    dev = phase_problem_device(work)
     if dev is not None:
         with jax.default_device(dev):
             return _phase_region_padded_impl(frags, cands, cfg, seed,
@@ -631,8 +756,13 @@ def _phase_region_padded_impl(frags, cands, cfg, seed, apply_downsampling,
     padKI = lambda a: np.pad(a, ((0, K - K0), (0, I_pad - I0)))
     padK = lambda a, v=0: np.pad(a, (0, K - K0), constant_values=v)
     padI = lambda a, v=0: np.pad(a, (0, I_pad - I0), constant_values=v)
-    ct_np = make_cell_tables_np(padKI(frags.p), padKI(frags.baseq))
-    ct = CellTables(*(jnp.asarray(a) for a in ct_np))
+    # compact transfer form: 2 bytes/cell to the device; the f64 emission
+    # tables expand inside the jitted programs (kernels.expand_cells —
+    # bit-identical to host expansion). Host f64 tables are built lazily
+    # only where a host pass needs them (block flip).
+    p_pad = padKI(frags.p)
+    q_pad = padKI(frags.baseq).astype(np.uint8)
+    ct = CompactCells(jnp.asarray(p_pad), jnp.asarray(q_pad))
     site_mask_np = padI(cands.for_phasing)
     site_mask = jnp.asarray(site_mask_np)
     ds = frags.downsampled if apply_downsampling else np.ones(K0, bool)
@@ -695,10 +825,11 @@ def _phase_region_padded_impl(frags, cands, cfg, seed, apply_downsampling,
 
     exists_pad = np.zeros((K, I_pad), dtype=bool)
     exists_pad[:K0, :I] = frags.exists()
+    ct_np = make_cell_tables_np(p_pad, q_pad)   # host pass: block flip only
     st2 = block_flip_pass(ct_np, st, read_base_np, site_mask_np, exists_pad, ld)
-    read_mask = read_base & (st2.sigma != 0)
-    prob = overall_probability(ct, st2.sigma, st2.delta, st2.eta, read_mask,
-                               site_mask[None, :])
+    del ct_np
+    prob = _overall_probability_jit(ct, st2.sigma, st2.delta, st2.eta,
+                                    read_base, site_mask)
     consider(st2, prob)
     st = best_st
 
@@ -720,10 +851,10 @@ def _phase_region_padded_impl(frags, cands, cfg, seed, apply_downsampling,
         with jax.default_device(cpu):
             if _f32_mode():       # forced-f32 env: no exact rerun exists
                 return best_st
-            ct_h = CellTables(*(jnp.asarray(a) for a in ct_np))
             st_h = PhaseState(*(jnp.asarray(np.asarray(a)) for a in best_st))
-            margin = float(f64_decision_margin(
-                ct_h, st_h, jnp.asarray(read_base_np),
+            margin = float(f64_decision_margin_fast(
+                jnp.asarray(p_pad), jnp.asarray(q_pad), st_h.sigma,
+                st_h.delta, st_h.eta, jnp.asarray(read_base_np),
                 jnp.asarray(site_mask_np)))
             if margin < F32_SAFETY_TOL:
                 return _phase_region_padded_impl(

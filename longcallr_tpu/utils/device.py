@@ -19,6 +19,18 @@ import jax
 
 MIN_ACCEL_CELLS = int(os.environ.get("LONGCALLR_TPU_MIN_CELLS", str(1 << 24)))
 
+# Phase-stage routing is WORK-based, not cell-based: the ascent schedule
+# costs ~(rounds × iterations) passes over the cell matrix, so a region
+# with 2M cells and 129 perturbation rounds is ~15s of host CPU work while
+# a 2M-cell single pass is milliseconds. Work unit: cells × rounds
+# (B·K·I_pad·(I//4+1) for the iterative path; B·2^I·K·I_pad for the
+# enumeration path — per-config ascents play the rounds role).
+# Calibration (this host, K=4096 I=512 rounds=129): host CPU ≈ 17M work/s,
+# tunneled TPU ≈ 1.8G work/s with ~0.5s fixed dispatch+transfer cost →
+# crossover ≈ 10M. Default slightly below: transfers amortize with K.
+MIN_ACCEL_PHASE_WORK = int(os.environ.get("LONGCALLR_TPU_MIN_PHASE_WORK",
+                                          str(1 << 23)))
+
 
 def ensure_cpu_backend_registered() -> None:
     """Allow 'cpu' alongside the default platform (call before first jax
@@ -35,6 +47,18 @@ def small_problem_device(n_cells: int) -> Optional[jax.Device]:
     """CPU device for sub-threshold problems, else None (default device)."""
     if n_cells >= MIN_ACCEL_CELLS:
         return None
+    return _cpu_or_none()
+
+
+def phase_problem_device(work: int) -> Optional[jax.Device]:
+    """CPU device for sub-threshold PHASE problems (work = cells × rounds,
+    see MIN_ACCEL_PHASE_WORK), else None (default device)."""
+    if work >= MIN_ACCEL_PHASE_WORK:
+        return None
+    return _cpu_or_none()
+
+
+def _cpu_or_none() -> Optional[jax.Device]:
     try:
         default = jax.devices()[0]
         if default.platform == "cpu":

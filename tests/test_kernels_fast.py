@@ -361,3 +361,45 @@ def test_pallas_probe_never_runs_inside_trace(monkeypatch):
     assert seen["in_trace"] is True
     assert seen["primed"] is False
     assert seen["cache"] is None  # not cached: a host-level prime can still probe
+
+
+def test_expand_cells_bit_equals_host_tables(rng):
+    """On-device table expansion (kernels.expand_cells — the compact
+    2-byte/cell transfer form) must be bit-identical to host
+    make_cell_tables_np: same gather from the same f64 log10 tables."""
+    import jax
+    from longcallr_tpu.phasing.kernels import (CompactCells, expand_cells,
+                                               make_cell_tables_np)
+
+    p = rng.choice([-1, 0, 1], size=(64, 48), p=[0.3, 0.4, 0.3]).astype(np.int8)
+    q = rng.integers(0, 31, size=(64, 48)).astype(np.uint8)
+    host = make_cell_tables_np(p, q)
+    dev = jax.jit(expand_cells)(CompactCells(jnp.asarray(p), jnp.asarray(q)))
+    np.testing.assert_array_equal(np.asarray(dev.p), np.asarray(host.p))
+    np.testing.assert_array_equal(np.asarray(dev.lerr), np.asarray(host.lerr))
+    np.testing.assert_array_equal(np.asarray(dev.l1m), np.asarray(host.l1m))
+    np.testing.assert_array_equal(np.asarray(dev.exists), np.asarray(host.exists))
+
+
+def test_fast_margin_matches_reference_margin(rng):
+    """f64_decision_margin_fast (matvec-form, compact input) equals the
+    reference-form f64_decision_margin to ~1e-12 — the safety-net trigger
+    semantics are preserved."""
+    from longcallr_tpu.phasing.kernels import CompactCells, make_cell_tables
+    from longcallr_tpu.phasing.optimize import (PhaseState,
+                                                f64_decision_margin,
+                                                f64_decision_margin_fast)
+
+    K, I = 48, 24
+    p = rng.choice([-1, 0, 1], size=(K, I), p=[0.3, 0.4, 0.3]).astype(np.int8)
+    q = rng.integers(10, 31, size=(K, I)).astype(np.uint8)
+    sigma = jnp.asarray(rng.choice([-1.0, 1.0], K))
+    delta = jnp.asarray(rng.choice([-1.0, 1.0], I))
+    eta = jnp.asarray(rng.choice([-1.0, 0.0, 1.0], I))
+    rb = jnp.asarray(rng.random(K) < 0.9)
+    sm = jnp.asarray(rng.random(I) < 0.9)
+    st = PhaseState(sigma, delta, eta)
+    ref = float(f64_decision_margin(make_cell_tables(p, q), st, rb, sm))
+    fast = float(f64_decision_margin_fast(jnp.asarray(p), jnp.asarray(q),
+                                          sigma, delta, eta, rb, sm))
+    assert abs(ref - fast) <= 1e-9 * max(1.0, abs(ref))

@@ -15,12 +15,9 @@ from longcallr_tpu.phasing.optimize import PhaseState, _sigma_step, _snp_step
 def _batch(rng, B, K, I):
     p = rng.choice([-1, 0, 1], size=(B, K, I), p=[0.3, 0.4, 0.3]).astype(np.int8)
     q = rng.integers(5, 31, size=(B, K, I)).astype(np.uint8)
-    cts = [make_cell_tables(p[b], q[b]) for b in range(B)]
     batch = BatchedRegions(
-        p=jnp.stack([c.p for c in cts]),
-        lerr=jnp.stack([c.lerr for c in cts]),
-        l1m=jnp.stack([c.l1m for c in cts]),
-        exists=jnp.stack([c.exists for c in cts]),
+        p=jnp.asarray(p),
+        q=jnp.asarray(q),
         read_base=jnp.ones((B, K), bool),
         site_mask=jnp.ones((B, I), bool),
         conserved=jnp.zeros((B, I), bool),
@@ -36,10 +33,10 @@ def test_batched_step_matches_unbatched(rng):
     batch, sigma, delta, eta = _batch(rng, B, K, I)
     ns, nd, ne, imp = batched_phase_step(batch, sigma, delta, eta,
                                          with_genotype=True)
-    # per-region reference computation
+    # per-region reference computation (host-expanded tables: must equal
+    # the programs' on-device expansion bit-exactly)
     for b in range(B):
-        from longcallr_tpu.phasing.kernels import CellTables
-        ct = CellTables(batch.p[b], batch.lerr[b], batch.l1m[b], batch.exists[b])
+        ct = make_cell_tables(np.asarray(batch.p[b]), np.asarray(batch.q[b]))
         st = PhaseState(sigma[b], delta[b], eta[b])
         s1, _ = _sigma_step(ct, st, batch.read_base[b], batch.site_mask[b])
         st = st._replace(sigma=s1)
