@@ -193,9 +193,11 @@ def deep_bench(cfg, data_dir: str) -> dict:
 
     if accel:
         # identical input on the host CPU backend (the reference-form f64
-        # placement): one run — it is the slow leg being beaten.
+        # placement): warm the CPU-placement compiles first so the slow leg
+        # is measured at steady state, not with first-compile overheads.
         cpu = jax.devices("cpu")[0]
         with jax.default_device(cpu):
+            run(bam_path, fa_path, out_prefix + "_cpu", cfg, batched=True)
             t0 = time.monotonic()
             out_c = run(bam_path, fa_path, out_prefix + "_cpu", cfg,
                         batched=True)
