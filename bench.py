@@ -140,6 +140,15 @@ def main() -> int:
     except Exception as e:
         deep = {"deep_error": repr(e)[:300]}
 
+    # whole-genome --stream leg: ≥100k reads over 5 contigs / 65 loci,
+    # per-contig BAI windows (pipeline/caller.run_streaming)
+    stream = {}
+    try:
+        stream = stream_bench(cfg, data_dir)
+    except Exception as e:
+        stream = {"stream_error": repr(e)[:300]}
+    deep.update(stream)
+
     from longcallr_tpu.pipeline import engine as _engine
     extra = {
         "wall_s": round(wall, 3),
@@ -211,6 +220,85 @@ def deep_bench(cfg, data_dir: str) -> dict:
         })
         res.update(mfu_probe(bam_path, fa_path, cfg))
     return res
+
+
+class _RssPeak:
+    """Peak VmRSS (MB) sampled over a with-block (/proc/self/status).
+    malloc trim is disabled (utils/malloc_tune), so RSS is ~monotone within
+    a process: sample the floor on entry and the peak during the block."""
+
+    def __enter__(self):
+        import threading
+
+        self.floor = self.peak = self._read()
+        self._stop = threading.Event()
+
+        def loop():
+            while not self._stop.wait(0.025):
+                self.peak = max(self.peak, self._read())
+
+        self._th = threading.Thread(target=loop, daemon=True)
+        self._th.start()
+        return self
+
+    def __exit__(self, *exc):
+        self._stop.set()
+        self._th.join()
+        self.peak = max(self.peak, self._read())
+        return False
+
+    @staticmethod
+    def _read() -> float:
+        try:
+            with open("/proc/self/status") as f:
+                for line in f:
+                    if line.startswith("VmRSS:"):
+                        return int(line.split()[1]) / 1024.0
+        except OSError:
+            pass
+        return 0.0
+
+
+def stream_bench(cfg, data_dir: str) -> dict:
+    """--stream at whole-genome scale: ≥100k reads, 5 contigs × 13 loci.
+    The streaming leg runs FIRST on a clean heap floor; the resident leg
+    follows, so the per-leg RSS peaks show the one-contig-at-a-time memory
+    contract at a scale where the whole decompressed BAM dominates."""
+    import gc
+    import time
+
+    from longcallr_tpu.pipeline.caller import run, run_streaming
+    from longcallr_tpu.utils.bench_workload import make_genome_workload
+
+    bam_path = os.path.join(data_dir, "genome_bench.bam")
+    fa_path = os.path.join(data_dir, "genome_bench.fa")
+    spec = [(f"chr{i + 1}", [(40_000, 120, 200)] * 13) for i in range(5)]
+    params = make_genome_workload(bam_path, fa_path, contigs=spec)
+    out_prefix = os.path.join(data_dir, "genome_out")
+
+    run_streaming(bam_path, fa_path, out_prefix + "_s", cfg)   # warm compiles
+    gc.collect()
+    with _RssPeak() as r_s:
+        t0 = time.monotonic()
+        out_s = run_streaming(bam_path, fa_path, out_prefix + "_s", cfg)
+        wall_s = time.monotonic() - t0
+    gc.collect()
+    with _RssPeak() as r_f:
+        out_f = run(bam_path, fa_path, out_prefix + "_f", cfg, batched=True)
+    a = [l for l in open(out_prefix + "_s.vcf") if not l.startswith("#")]
+    b = [l for l in open(out_prefix + "_f.vcf") if not l.startswith("#")]
+    return {
+        "stream_reads": params["n_reads"],
+        "stream_contigs": len(spec),
+        "stream_records": out_s.n_records,
+        "stream_wall_s": round(wall_s, 3),
+        "stream_reads_per_s": round(params["n_reads"] / wall_s, 1),
+        "stream_matches_resident": a == b,
+        "stream_rss_floor_mb": round(r_s.floor, 1),
+        "stream_rss_peak_mb": round(r_s.peak, 1),
+        "resident_rss_peak_mb": round(r_f.peak, 1),
+        "stream_bam_mb": round(os.path.getsize(bam_path) / 1e6, 1),
+    }
 
 
 def mfu_probe(bam_path: str, fa_path: str, cfg) -> dict:

@@ -118,3 +118,102 @@ def make_deep_workload(out_bam: str, out_fasta: str, n_regions: int = 4,
     with open(side, "w") as f:
         json.dump(params, f)
     return params
+
+
+def make_genome_workload(out_bam: str, out_fasta: str,
+                         contigs=None, gap: int = 40_000,
+                         seed: int = 20_260_818) -> Dict:
+    """Multi-contig whole-genome-style workload for ``--stream`` validation:
+    several contigs with mixed region sizes (including a deep "giant"
+    locus), BAI-indexed, cached like make_deep_workload.
+
+    ``contigs``: list of (name, [(region_len, coverage, snp_spacing), ...]).
+    Default: 3 contigs, 8 loci, one giant (deep) locus on the middle contig.
+    """
+    from ..io.bai import build_bai
+
+    if contigs is None:
+        contigs = [
+            ("chrA", [(30_000, 40, 160), (20_000, 60, 200)]),
+            ("chrB", [(30_000, 300, 200), (10_000, 50, 150)]),   # giant locus
+            ("chrC", [(15_000, 40, 160), (15_000, 40, 300), (8_000, 80, 150)]),
+        ]
+    spec = [(n, list(map(list, rs))) for n, rs in contigs]
+    params = dict(version=_GEN_VERSION, kind="genome", contigs=spec,
+                  gap=gap, seed=seed)
+    side = out_bam + ".params.json"
+    if (os.path.exists(out_bam) and os.path.exists(out_fasta + ".fai")
+            and os.path.exists(out_bam + ".bai") and os.path.exists(side)):
+        try:
+            with open(side) as f:
+                old = json.load(f)
+            if {k: old.get(k) for k in params} == params:
+                return old
+        except (OSError, ValueError):
+            pass
+
+    rng = np.random.default_rng(np.random.SeedSequence([seed]))
+    margin = 2_000
+    read_len = 3_000
+    err_rate = 0.002
+    refs: Dict[str, bytes] = {}
+    per_contig_reads = {}
+    n_snps = 0
+    names, lens = [], []
+    all_reads = []   # (tid, pos, qname, seq, qual)
+    for tid, (name, loci) in enumerate(contigs):
+        L = margin + sum(rl + gap for rl, _, _ in loci)
+        ref = _BASES[rng.integers(0, 4, size=L)]
+        hap1 = ref.copy()
+        spans = []
+        cur = margin
+        for rl, cov, spacing in loci:
+            rstart, rend = cur, cur + rl
+            spans.append((rstart, rend, cov))
+            pos = rstart + 200
+            while pos < rend - 200:
+                p = int(pos + rng.integers(0, max(1, spacing // 4)))
+                alts = _ALTS[int(ref[p])]
+                hap1[p] = alts[int(rng.integers(0, len(alts)))]
+                n_snps += 1
+                pos += spacing
+            cur = rend + gap
+        haps = {1: hap1, 2: ref}
+        cnt = 0
+        for rstart, rend, cov in spans:
+            n = int(np.ceil((rend - rstart) * cov / read_len))
+            starts = rng.integers(rstart, rend - read_len, size=n)
+            starts.sort()
+            for i in range(n):
+                hap = 1 + (i % 2)
+                pos = int(starts[i])
+                seq = haps[hap][pos:pos + read_len].copy()
+                errs = rng.random(read_len) < err_rate
+                ne = int(errs.sum())
+                if ne:
+                    seq[errs] = _BASES[rng.integers(0, 4, size=ne)]
+                qual = rng.integers(25, 31, size=read_len).astype(np.uint8)
+                all_reads.append((tid, pos, f"g{tid}_{cnt:06d}", seq, qual))
+                cnt += 1
+        per_contig_reads[name] = cnt
+        refs[name] = bytes(ref)
+        names.append(name)
+        lens.append(L)
+
+    all_reads.sort(key=lambda t: (t[0], t[1]))
+    tmp_bam = out_bam + ".tmp"
+    with bamio.BamWriter(tmp_bam, names, lens) as w:
+        for tid, pos, qn, seq, qual in all_reads:
+            w.write_record(qname=qn, flag=0, ref_id=tid, pos=pos, mapq=60,
+                           cigar=bamio.encode_cigar([(len(seq), "M")]),
+                           seq=bytes(seq), qual=qual,
+                           tags=bamio.make_tag_bytes("de", "f", err_rate))
+    os.replace(tmp_bam, out_bam)
+    write_fasta(out_fasta, refs)
+    build_bai(out_bam)
+
+    params.update(n_reads=len(all_reads), n_snps=n_snps,
+                  per_contig_reads=per_contig_reads)
+    with open(side, "w") as f:
+        json.dump(params, f)
+    return params
