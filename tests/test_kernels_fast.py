@@ -403,3 +403,32 @@ def test_fast_margin_matches_reference_margin(rng):
     fast = float(f64_decision_margin_fast(jnp.asarray(p), jnp.asarray(q),
                                           sigma, delta, eta, rb, sm))
     assert abs(ref - fast) <= 1e-9 * max(1.0, abs(ref))
+
+
+def test_prebuilt_fast_tables_bit_identical(rng):
+    """The schedule-level fast-table hoist (optimize._fast_tables_for +
+    ft= argument) must be bit-identical to per-call builds: same inputs,
+    same gather — only the redundant rebuilds are elided."""
+    from longcallr_tpu.phasing.kernels import make_cell_tables
+    from longcallr_tpu.phasing.optimize import (PhaseState,
+                                                _cross_optimize_fast_loop_it,
+                                                _fast_tables_for)
+
+    K, I = 64, 32
+    p = rng.choice([-1, 0, 1], size=(K, I), p=[0.3, 0.4, 0.3]).astype(np.int8)
+    q = rng.integers(10, 31, size=(K, I)).astype(np.uint8)
+    ct = make_cell_tables(p, q)
+    rb = jnp.asarray(rng.random(K) < 0.9)
+    sigma0 = jnp.asarray(np.where(np.asarray(rb), rng.choice([-1.0, 1.0], K), 0.0))
+    st = PhaseState(sigma0, jnp.asarray(rng.choice([-1.0, 1.0], I)),
+                    jnp.zeros(I))
+    sm = jnp.ones(I, bool)
+    cons = jnp.zeros(I, bool)
+    a_st, a_p, a_it = _cross_optimize_fast_loop_it(ct, st, rb, sm, cons,
+                                                   False, False)
+    ft = _fast_tables_for(ct, rb, st.sigma, sm)
+    b_st, b_p, b_it = _cross_optimize_fast_loop_it(ct, st, rb, sm, cons,
+                                                   False, False, ft=ft)
+    assert float(a_p) == float(b_p) and int(a_it) == int(b_it)
+    for x, y in zip(a_st, b_st):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
