@@ -182,17 +182,34 @@ def batched_perturbation_phase(batch: BatchedRegions, best_sigma, best_delta,
     Returns (sigma, delta, eta, prob[B]) of the per-region best states."""
     from ..phasing.optimize import PhaseState
 
+    from ..phasing.optimize import (USE_FAST_KERNELS,
+                                    _cross_optimize_fast_loop_it,
+                                    _fast_tables_for)
+
     B, K = best_sigma.shape
     I = best_delta.shape[1]
     max_rounds = jnp.max(n_rounds)
     # expand ONCE, outside the round loop: expanding inside the fori body
     # is not hoisted by XLA through vmap and re-gathers the f64 tables
-    # every round (measured 0.3 s → 35 s at deep-workload scale)
+    # every round (measured 0.3 s → 35 s at deep-workload scale). With the
+    # fast kernels the per-region ascent tables are likewise built once —
+    # the active-read set is schedule-invariant (σ only flips sign) — and
+    # threaded into every ascent call of every round.
     ct_full = expand_cells(CompactCells(batch.p, batch.q))
+    fts = (jax.vmap(_fast_tables_for)(ct_full, batch.read_base, best_sigma,
+                                      batch.site_mask)
+           if USE_FAST_KERNELS else None)
 
-    def one_round(cp, clerr, cl1m, cexists, rb, sm, cons, b_sigma, b_delta,
-                  b_eta, b_prob, active, kr, flip):
+    def one_round(cp, clerr, cl1m, cexists, ft, rb, sm, cons, b_sigma,
+                  b_delta, b_eta, b_prob, active, kr, flip):
         ct = CellTables(cp, clerr, cl1m, cexists)
+        if USE_FAST_KERNELS:
+            ascend = lambda st0: _cross_optimize_fast_loop_it(
+                ct, st0, rb, sm, cons, with_genotype=False,
+                keep_conserved=False, ft=ft)[:2]
+        else:
+            ascend = lambda st0: selected_loop()(ct, st0, rb, sm, cons,
+                                                 False, False)
         b_st = PhaseState(b_sigma, b_delta, b_eta)
 
         def keep(b_st, b_p, st_new, prob_new):
@@ -208,13 +225,11 @@ def batched_perturbation_phase(batch: BatchedRegions, best_sigma, best_delta,
         rg = jax.random.uniform(k1, (b_delta.shape[0],))
         delta = jnp.where(rg < 0.1, lowv,
                           jnp.where(rg >= 0.9, -lowv, b_st.delta))
-        st1, prob1 = selected_loop()(ct, b_st._replace(delta=delta),
-                                     rb, sm, cons, False, False)
+        st1, prob1 = ascend(b_st._replace(delta=delta))
         b_st, b_prob = keep(b_st, b_prob, st1, prob1)
         fl = (jax.random.uniform(k2, (b_sigma.shape[0],)) < 0.1) & rb & (b_st.sigma != 0)
         sigma = jnp.where(fl, -b_st.sigma, b_st.sigma)
-        st2, prob2 = selected_loop()(ct, b_st._replace(sigma=sigma),
-                                     rb, sm, cons, False, False)
+        st2, prob2 = ascend(b_st._replace(sigma=sigma))
         b_st, b_prob = keep(b_st, b_prob, st2, prob2)
         return b_st.sigma, b_st.delta, b_st.eta, b_prob
 
@@ -226,7 +241,7 @@ def batched_perturbation_phase(batch: BatchedRegions, best_sigma, best_delta,
         active = tidx < n_rounds
         flip = jnp.full((B,), (tidx % 2) == 1)
         return jax.vmap(one_round)(
-            ct_full.p, ct_full.lerr, ct_full.l1m, ct_full.exists,
+            ct_full.p, ct_full.lerr, ct_full.l1m, ct_full.exists, fts,
             batch.read_base, batch.site_mask, batch.conserved, sg, dl, et,
             pr, active, round_keys, flip)
 

@@ -142,27 +142,43 @@ def _cross_optimize_fast_loop(ct: CellTables, st: PhaseState, read_base,
     return st, prob
 
 
+def _fast_tables_for(ct, read_base, sigma, site_mask):
+    """FastTables(32) for an ascent whose entry state is (σ=sigma): the
+    active-read set rm0 = read_base & (σ≠0) is INVARIANT under the ascent
+    and the perturbation schedule (σ only ever flips sign, never zeroes),
+    so callers that run many ascents over the same region may build the
+    tables ONCE and pass them to every call — per-call rebuilds were ~45%
+    of the schedule's HBM traffic."""
+    from . import kernels_fast as KF
+
+    ct = as_tables(ct)
+    rm0 = read_base & (sigma != 0)
+    make = KF.make_fast_tables32 if _f32_mode() else KF.make_fast_tables
+    return make(ct, rm0, site_mask)
+
+
 def _cross_optimize_fast_loop_it(ct: CellTables, st: PhaseState, read_base,
                                  site_mask, conserved, with_genotype: bool,
-                                 keep_conserved: bool):
+                                 keep_conserved: bool, ft=None):
     """Matvec-form ascent (see kernels_fast.py): same argmax/tie rules as the
     reference-form loop, 2 matvecs per iteration instead of ~8 full-matrix
     passes. Opt-in (summation order differs at the ulp level).
     Returns (state, prob, iterations) — the count feeds the bench's
-    bytes/flops accounting (perturbation_phase_stats)."""
+    bytes/flops accounting (perturbation_phase_stats).
+    ``ft``: optional prebuilt tables from _fast_tables_for (callers running
+    many ascents over one region amortise the build; the active-read mask
+    baked into them must equal read_base & (st.sigma != 0))."""
     from . import kernels_fast as KF
 
-    ct = as_tables(ct)
-
     rm0 = read_base & (st.sigma != 0)
+    if ft is None:
+        ft = _fast_tables_for(ct, read_base, st.sigma, site_mask)
     if _f32_mode():
         # hi/lo f32-split Dp: the matvecs run on the MXU (see kernels_fast)
-        ft = KF.make_fast_tables32(ct, rm0, site_mask)
         fast_read_logliks = KF.fast_read_logliks32
         fast_snp_sums = KF.fast_snp_sums32
         fast_overall_probability = KF.fast_overall_probability32
     else:
-        ft = KF.make_fast_tables(ct, rm0, site_mask)
         fast_read_logliks = KF.fast_read_logliks
         fast_snp_sums = KF.fast_snp_sums
         fast_overall_probability = KF.fast_overall_probability
@@ -364,6 +380,17 @@ def perturbation_phase(ct: CellTables, st: PhaseState, best_st: PhaseState,
     ct = as_tables(ct)
     K = st.sigma.shape[0]
     I = st.delta.shape[0]
+    # the active-read set is schedule-invariant (sigma only flips sign):
+    # build the ascent tables ONCE for all 2*n_rounds calls
+    if USE_FAST_KERNELS:
+        ft = _fast_tables_for(ct, read_base, st.sigma, site_mask)
+        ascend = lambda st0: _cross_optimize_fast_loop_it(
+            ct, st0, read_base, site_mask, conserved,
+            with_genotype=False, keep_conserved=False, ft=ft)[:2]
+    else:
+        ascend = lambda st0: _cross_optimize_loop(
+            ct, st0, read_base, site_mask, conserved,
+            with_genotype=False, keep_conserved=False)
 
     def keep_best(carry_best, st_new, prob_new):
         b_st, b_p = carry_best
@@ -384,15 +411,11 @@ def perturbation_phase(ct: CellTables, st: PhaseState, best_st: PhaseState,
         rg = jax.random.uniform(k1, (I,))
         delta = jnp.where(rg < 0.1, lowv,
                           jnp.where(rg >= 0.9, highv, b_st.delta))
-        st1, prob1 = selected_loop()(
-            ct, b_st._replace(delta=delta), read_base, site_mask, conserved,
-            with_genotype=False, keep_conserved=False)
+        st1, prob1 = ascend(b_st._replace(delta=delta))
         b_st, b_p = keep_best((b_st, b_p), st1, prob1)
         fl = (jax.random.uniform(k2, (K,)) < 0.1) & read_base & (b_st.sigma != 0)
         sigma = jnp.where(fl, -b_st.sigma, b_st.sigma)
-        st2, prob2 = selected_loop()(
-            ct, b_st._replace(sigma=sigma), read_base, site_mask, conserved,
-            with_genotype=False, keep_conserved=False)
+        st2, prob2 = ascend(b_st._replace(sigma=sigma))
         b_st, b_p = keep_best((b_st, b_p), st2, prob2)
         return (b_st, b_p)
 
@@ -413,6 +436,7 @@ def perturbation_phase_stats(ct: CellTables, st: PhaseState,
     ct = as_tables(ct)
     K = st.sigma.shape[0]
     I = st.delta.shape[0]
+    ft = _fast_tables_for(ct, read_base, st.sigma, site_mask)
 
     def keep_best(carry_best, st_new, prob_new):
         b_st, b_p = carry_best
@@ -435,13 +459,13 @@ def perturbation_phase_stats(ct: CellTables, st: PhaseState,
                           jnp.where(rg >= 0.9, highv, b_st.delta))
         st1, prob1, it1 = _cross_optimize_fast_loop_it(
             ct, b_st._replace(delta=delta), read_base, site_mask, conserved,
-            with_genotype=False, keep_conserved=False)
+            with_genotype=False, keep_conserved=False, ft=ft)
         b_st, b_p = keep_best((b_st, b_p), st1, prob1)
         fl = (jax.random.uniform(k2, (K,)) < 0.1) & read_base & (b_st.sigma != 0)
         sigma = jnp.where(fl, -b_st.sigma, b_st.sigma)
         st2, prob2, it2 = _cross_optimize_fast_loop_it(
             ct, b_st._replace(sigma=sigma), read_base, site_mask, conserved,
-            with_genotype=False, keep_conserved=False)
+            with_genotype=False, keep_conserved=False, ft=ft)
         b_st, b_p = keep_best((b_st, b_p), st2, prob2)
         return (b_st, b_p, iters + it1 + it2)
 
