@@ -1107,14 +1107,24 @@ def scalar_output_vcf(snps, chrom, min_phase_score):
 # The per-region closure (thread.rs:77-222)
 # ---------------------------------------------------------------------------
 
-def scalar_process_region(bam, region, ref_seq, cfg):
+def scalar_process_region(bam, region, ref_seq, cfg,
+                          input_candidates=None, exon_mask=None):
     """Returns (vcf_lines, read_assignments, phase_sets) for one region,
-    exactly as the fast pipeline's RegionResult carries them."""
+    exactly as the fast pipeline's RegionResult carries them. Covers the
+    -v wiring (input_candidates: chr → pos0 → GenotypeAndQuality — skips
+    discovery AND the dense filters) and the --exon-only wiring
+    (exon_mask: per-column bool over the region)."""
     qual_lists = {}
     pileup = scalar_pileup(bam, region, ref_seq, cfg, qual_lists)
-    out, idx = scalar_candidates(pileup, qual_lists, cfg)
-    apply_dense_filters(out, idx["het"], idx["hom"],
-                        cfg.dense_win_size, cfg.min_dense_cnt)
+    if input_candidates is not None:
+        chr_cands = input_candidates.get(region.chr, {})
+        out = scalar_import_candidates(pileup, ref_seq, chr_cands)
+        idx = dict(het=[], hom=[], edit=[], somatic=[])
+    else:
+        out, idx = scalar_candidates(pileup, qual_lists, cfg,
+                                     exon_mask=exon_mask)
+        apply_dense_filters(out, idx["het"], idx["hom"],
+                            cfg.dense_win_size, cfg.min_dense_cnt)
     snps = [OSNP(d) for d in out]
     edit_snps = idx["edit"]
     somatic_snps = idx["somatic"]
@@ -1144,3 +1154,48 @@ def scalar_process_region(bam, region, ref_seq, cfg):
 
     vcf_lines = scalar_output_vcf(snps, region.chr, cfg.min_phase_score)
     return vcf_lines, read_assignments, phase_sets
+
+
+# ---------------------------------------------------------------------------
+# External -v candidates (candidate.rs:530-613) and the full closure with
+# input_candidates / exon_mask wiring
+# ---------------------------------------------------------------------------
+
+def scalar_import_candidates(pileup, ref_seq, chr_cands,
+                             min_variant_qual=0.0):
+    """Literal per-column transcription of the -v import: candidate
+    sites/genotypes come from the input VCF instead of discovery; 0/0 and
+    'other' records are dropped, 1/2 becomes a triallelic het entry."""
+    region = pileup.region
+    start0 = region.start - 1
+    out = []
+    for col in range(pileup.length):
+        pos = start0 + col
+        gq = chr_cands.get(pos)
+        if gq is None or gq.genotype in (0, 4):
+            continue
+        if gq.quality < min_variant_qual:
+            continue
+        cnt4 = pileup.cnt[col]
+        cov = int(cnt4.sum())
+        ref_ch = chr(ref_seq[pos])
+        x = sorted(zip("ACGT", cnt4.tolist()), key=lambda t: -t[1])
+        a1, c1, a2, c2 = x[0][0], x[0][1], x[1][0], x[1][1]
+        if a1 != ref_ch and a2 != ref_ch:        # ref-promotion on count tie
+            if x[2][1] == c2 and x[2][0] == ref_ch:
+                a2, c2 = x[2][0], x[2][1]
+            elif x[3][1] == c2 and x[3][0] == ref_ch:
+                a2, c2 = x[3][0], x[3][1]
+        f1 = float(np.float32(c1) / np.float32(cov)) if cov else 0.0
+        f2 = float(np.float32(c2) / np.float32(cov)) if cov else 0.0
+        g = gq.genotype
+        out.append(dict(pos=pos, alleles=(a1, a2), allele_freqs=(f1, f2),
+                        reference=ref_ch, depth=cov,
+                        variant_quality=gq.quality,
+                        genotype_quality=gq.quality,
+                        variant_type={1: 1, 2: 2, 3: 3}[g],
+                        genotype={1: 0, 2: -1, 3: -1}[g],
+                        rna_editing=False, cand_somatic=False, dense=False,
+                        hom_var=g == 2, het_var=g in (1, 3),
+                        for_phasing=True))
+    return out

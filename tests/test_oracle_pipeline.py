@@ -104,3 +104,61 @@ def test_oracle_pipeline_demo_region(demo_bam_path):
     assert fast.read_assignments == o_assign
     assert fast.phase_sets == o_ps
     assert len(o_lines) > 0
+
+
+def test_oracle_pipeline_input_vcf(tmp_path, rng):
+    """-v wiring: candidates imported from an input VCF (discovery and the
+    dense filters skipped) through phasing/assignment/emission — oracle ==
+    fast, byte-exact. The input VCF is a prior discovery run's output, so
+    it carries 0/1, 1/1 and phased records."""
+    from longcallr_tpu.io.vcf import load_input_candidates
+    from longcallr_tpu.pipeline.caller import run
+
+    cfg = preset("hifi-masseq").replace(min_read_length=100)
+    ref = make_reference(rng, 7000)
+    truth = plant_snps(rng, ref, n_het=12, n_hom=2, min_gap=400)
+    bam_path = str(tmp_path / "v.bam")
+    simulate_bam(bam_path, rng, ref, truth, n_reads=70, read_len=3000,
+                 err_rate=0.01)
+    first = run(bam_path, bam_path.replace(".bam", ".fa"),
+                str(tmp_path / "first"), cfg)
+    cands = load_input_candidates(first.vcf_path)
+    assert sum(len(v) for v in cands.values()) > 5
+
+    bam = BamFile(bam_path)
+    region = Region(chr="chrS", start=1, end=len(ref) + 1)
+    fast = process_region(bam, region, ref, cfg, input_candidates=cands)
+    o_lines, o_assign, o_ps = scalar_process_region(
+        bam, region, ref, cfg, input_candidates=cands)
+    assert fast.vcf_lines == o_lines
+    assert fast.read_assignments == o_assign
+    assert fast.phase_sets == o_ps
+    assert len(o_lines) > 0 and len(o_assign) > 0
+
+
+def test_oracle_pipeline_exon_mask(tmp_path, rng):
+    """--exon-only wiring: a per-column exon mask restricts discovery;
+    oracle == fast byte-exact, and masked-out planted SNPs are absent."""
+    cfg = preset("hifi-masseq").replace(min_read_length=100)
+    ref = make_reference(rng, 7000)
+    truth = plant_snps(rng, ref, n_het=10, n_hom=1, min_gap=450)
+    bam_path = str(tmp_path / "ex.bam")
+    simulate_bam(bam_path, rng, ref, truth, n_reads=60, read_len=3000,
+                 err_rate=0.01)
+    bam = BamFile(bam_path)
+    region = Region(chr="chrS", start=1, end=len(ref) + 1)
+    L = region.end - region.start
+    exon_mask = np.zeros(L, bool)
+    exon_mask[1500:5500] = True        # middle "exon" only
+
+    fast = process_region(bam, region, ref, cfg, exon_mask=exon_mask)
+    o_lines, o_assign, o_ps = scalar_process_region(
+        bam, region, ref, cfg, exon_mask=exon_mask)
+    assert fast.vcf_lines == o_lines
+    assert fast.read_assignments == o_assign
+    assert fast.phase_sets == o_ps
+    assert len(o_lines) > 0
+    # every record position lies inside the exon window
+    for line in o_lines:
+        pos1 = int(line.split("\t")[1])
+        assert 1500 < pos1 <= 5501
