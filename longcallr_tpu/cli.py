@@ -5,10 +5,13 @@ from __future__ import annotations
 
 import argparse
 import logging
+import os
 import sys
 from typing import List, Optional
 
 from .config import PRESET_NAMES, preset
+
+log = logging.getLogger(__name__)
 
 
 def build_parser() -> argparse.ArgumentParser:
@@ -62,9 +65,15 @@ def build_parser() -> argparse.ArgumentParser:
                         "candidate kernel + bucketed phasing; the TPU "
                         "scaling path). Default: on for multi-region runs. "
                         "--no-batched forces the per-region loop")
-    p.add_argument("--stream", action="store_true",
+    p.add_argument("--stream", dest="stream", action="store_true",
+                   default=None,
                    help="Whole-genome mode: one contig resident at a time "
-                        "(needs a .bai next to the BAM)")
+                        "(needs a .bai next to the BAM). Default AUTO: "
+                        "engaged for indexed BAMs larger than "
+                        "LONGCALLR_STREAM_AUTO_MB (1024) when no -r is "
+                        "given; --no-stream forces the resident pipeline")
+    p.add_argument("--no-stream", dest="stream", action="store_false",
+                   help=argparse.SUPPRESS)
     p.add_argument("--somatic", action="store_true",
                    help="Enable somatic-by-het detection (off in the reference)")
     p.add_argument("--somatic-purity", type=float, default=None,
@@ -141,6 +150,17 @@ def main(argv: Optional[List[str]] = None) -> int:
               file=sys.stderr)
         return 2
 
+    if args.stream is None and not args.region:
+        # AUTO: a big indexed BAM should not be whole-resident by default —
+        # the reference streams htslib windows per task and never holds the
+        # decompressed BAM (thread.rs:77-101); stream == resident outputs
+        # are byte-identical (tests/test_stream_genome.py)
+        auto_mb = float(os.environ.get("LONGCALLR_STREAM_AUTO_MB", "1024"))
+        if (os.path.exists(args.bam_path + ".bai")
+                and os.path.getsize(args.bam_path) > auto_mb * 1e6):
+            log.info("BAM > %.0f MB with a .bai: using --stream "
+                     "(--no-stream forces the resident pipeline)", auto_mb)
+            args.stream = True
     if args.stream:
         from .pipeline.caller import run_streaming
         if args.region:

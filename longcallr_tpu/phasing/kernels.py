@@ -98,7 +98,9 @@ class CompactCells(NamedTuple):
 def expand_cells(cc: CompactCells) -> CellTables:
     """Traceable CompactCells → CellTables (see make_cell_tables_np)."""
     exists = cc.p != 0
-    qi = cc.q.astype(jnp.int32)
+    # explicit clamp: device gathers clip out-of-bounds indices silently;
+    # baseq is capped at MAX_BASE_QUALITY upstream (fragment.rs:127-131)
+    qi = jnp.minimum(cc.q.astype(jnp.int32), MAX_BASE_QUALITY)
     lerr = jnp.where(exists, jnp.asarray(_LOG10_ERR_NP)[qi], 0.0)
     l1m = jnp.where(exists, jnp.asarray(_LOG10_1MERR_NP)[qi], 0.0)
     return CellTables(p=cc.p.astype(f64), lerr=lerr, l1m=l1m, exists=exists)

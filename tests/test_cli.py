@@ -87,3 +87,37 @@ def test_cli_profile_dir_and_index_output(tmp_path, rng):
     from longcallr_tpu.io.bai import BaiIndex
     idx = BaiIndex.load(str(tmp_path / "o.phased.bam.bai"))
     assert len(idx.bins) >= 1
+
+
+def test_cli_auto_stream(tmp_path, rng, monkeypatch, caplog):
+    """AUTO stream: an indexed BAM above LONGCALLR_STREAM_AUTO_MB runs the
+    streaming pipeline by default; --no-stream forces resident. Outputs are
+    byte-identical either way (tests/test_stream_genome.py)."""
+    from longcallr_tpu.io.bai import build_bai
+
+    ref = make_reference(rng, 6000)
+    truth = plant_snps(rng, ref, n_het=6, n_hom=1, min_gap=700)
+    bam_path = str(tmp_path / "auto.bam")
+    simulate_bam(bam_path, rng, ref, truth, n_reads=50, read_len=2500,
+                 err_rate=0.01)
+    build_bai(bam_path)
+    fa = bam_path.replace(".bam", ".fa")
+    monkeypatch.setenv("LONGCALLR_STREAM_AUTO_MB", "0.001")
+    import logging
+    with caplog.at_level(logging.INFO):
+        rc = main(["-b", bam_path, "-f", fa, "-o", str(tmp_path / "s"),
+                   "-p", "hifi-masseq", "--min-read-length", "100"])
+    assert rc == 0
+    assert any("using --stream" in r.message for r in caplog.records)
+    rc = main(["-b", bam_path, "-f", fa, "-o", str(tmp_path / "r"),
+               "-p", "hifi-masseq", "--min-read-length", "100",
+               "--no-stream"])
+    assert rc == 0
+    with open(str(tmp_path / "s.vcf")) as f1, open(str(tmp_path / "r.vcf")) as f2:
+        assert f1.read() == f2.read()
+    # without a .bai the auto heuristic stays resident
+    import os as _os
+    _os.remove(bam_path + ".bai")
+    rc = main(["-b", bam_path, "-f", fa, "-o", str(tmp_path / "r2"),
+               "-p", "hifi-masseq", "--min-read-length", "100"])
+    assert rc == 0

@@ -432,3 +432,36 @@ def test_prebuilt_fast_tables_bit_identical(rng):
     assert float(a_p) == float(b_p) and int(a_it) == int(b_it)
     for x, y in zip(a_st, b_st):
         np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
+def test_perturbation_stats_matches_schedule(rng):
+    """perturbation_phase_stats (the bench's instrumented variant) must be
+    bit-identical to perturbation_phase — it only adds iteration counting."""
+    from longcallr_tpu.phasing.kernels import make_cell_tables
+    from longcallr_tpu.phasing.optimize import (PhaseState,
+                                                perturbation_phase,
+                                                perturbation_phase_stats,
+                                                selected_loop)
+    import jax
+
+    K, I = 96, 24
+    p = rng.choice([-1, 0, 1], size=(K, I), p=[0.3, 0.4, 0.3]).astype(np.int8)
+    q = rng.integers(10, 31, size=(K, I)).astype(np.uint8)
+    ct = make_cell_tables(p, q)
+    rb = jnp.asarray(rng.random(K) < 0.9)
+    st0 = PhaseState(
+        jnp.asarray(np.where(np.asarray(rb), rng.choice([-1.0, 1.0], K), 0.0)),
+        jnp.asarray(rng.choice([-1.0, 1.0], I)), jnp.zeros(I))
+    sm = jnp.ones(I, bool)
+    cons = jnp.zeros(I, bool)
+    st1, prob = selected_loop()(ct, st0, rb, sm, cons, False, False)
+    key = jax.random.PRNGKey(5)
+    n_rounds = jnp.int32(I // 4 + 1)
+    a_st, a_p = perturbation_phase(ct, st1, st1, prob, rb, sm, cons,
+                                   n_rounds, key)
+    b_st, b_p, iters = perturbation_phase_stats(ct, st1, st1, prob, rb, sm,
+                                                cons, n_rounds, key)
+    assert float(a_p) == float(b_p)
+    assert int(iters) > 0
+    for x, y in zip(a_st, b_st):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
