@@ -297,11 +297,19 @@ def serialize_outputs(bam, fasta, regions: Sequence[Region],
 
 
 def run_multihost(bam_path: str, ref_path: str, output_prefix: str,
-                  cfg: CallerConfig, **run_kwargs):
+                  cfg: CallerConfig, stream: Optional[bool] = None,
+                  **run_kwargs):
     """Pod-slice caller: shard regions across processes, gather, and let
     process 0 write the outputs. Returns CallerOutputs on a single process,
     the serialisation summary on process 0 of a pod, and a shard summary on
-    other processes."""
+    other processes.
+
+    ``stream``: per-contig BAI-windowed shard processing — each process
+    keeps one contig of ITS shard resident instead of the whole BAM (the
+    pod analog of --stream; outputs identical). Default AUTO: engaged for
+    indexed BAMs over LONGCALLR_STREAM_AUTO_MB when no -r is given."""
+    import os
+
     from ..io.bam import BamFile
     from ..io.fasta import FastaFile
     from ..pipeline.caller import build_regions, run
@@ -310,6 +318,15 @@ def run_multihost(bam_path: str, ref_path: str, output_prefix: str,
     n_proc = jax.process_count()
     if n_proc == 1:
         return run(bam_path, ref_path, output_prefix, cfg, **run_kwargs)
+
+    if stream is None:
+        auto_mb = float(os.environ.get("LONGCALLR_STREAM_AUTO_MB", "1024"))
+        stream = (os.path.exists(bam_path + ".bai")
+                  and os.path.getsize(bam_path) > auto_mb * 1e6
+                  and not run_kwargs.get("input_region"))
+    if stream:
+        return _run_multihost_streaming(bam_path, ref_path, output_prefix,
+                                        cfg, pid, n_proc, run_kwargs)
 
     bam = BamFile(bam_path, threads=max(1, cfg.threads))
     fasta = FastaFile(ref_path)
@@ -343,3 +360,179 @@ def run_multihost(bam_path: str, ref_path: str, output_prefix: str,
     return serialize_outputs(bam, fasta, regions, merged, cfg, output_prefix,
                              input_candidates=input_candidates,
                              exon_regions=exon_regions)
+
+
+def _run_multihost_streaming(bam_path: str, ref_path: str,
+                             output_prefix: str, cfg: CallerConfig,
+                             pid: int, n_proc: int, run_kwargs: dict):
+    """Pod + whole-genome: every process discovers the SAME region list
+    deterministically one contig window at a time (never holding the whole
+    BAM), processes only ITS shard's contigs through BAI windows, gathers,
+    and process 0 serialises per contig. Peak memory per process is one
+    contig's window (pipeline/caller.run_streaming semantics per shard)."""
+    from ..io.bam import BamFile
+    from ..io.fasta import FastaFile
+    from ..pipeline.annotation import intersect_gene_regions, parse_annotation
+    from ..tiles.regions import extract_isolated_regions_parallel
+
+    fasta = FastaFile(ref_path)
+    contigs_filter = run_kwargs.get("contigs")
+    gene_regions, exon_regions = {}, {}
+    anno_path = run_kwargs.get("anno_path")
+    if anno_path:
+        gene_regions, exon_regions = parse_annotation(anno_path)
+    if cfg.exon_only and not anno_path:
+        raise ValueError("exon_only is set, but annotation file is not provided")
+    input_vcf = run_kwargs.get("input_vcf")
+    input_candidates = None
+    if input_vcf is not None:
+        from ..io.vcf import load_input_candidates
+        input_candidates = load_input_candidates(input_vcf)
+
+    # pass 1: deterministic global discovery, one contig resident at a time
+    regions: List[Region] = []
+    threads = max(1, cfg.threads)
+    for chrom, clen in fasta.contig_lengths:
+        if contigs_filter and chrom not in contigs_filter:
+            continue
+        win = BamFile(bam_path, threads=threads, region=(chrom, 0, clen))
+        if win.n_records == 0:
+            continue
+        rs = extract_isolated_regions_parallel(win, [(chrom, clen)], cfg,
+                                               contigs=[chrom])
+        if cfg.exon_only:
+            rs = intersect_gene_regions(rs, gene_regions, merge=True)
+        regions.extend(rs)
+        del win
+        fasta.evict(chrom)
+
+    mine = shard_regions(regions, n_proc, pid)
+    ckpt = None
+    if run_kwargs.get("resume"):
+        from ..pipeline.resume import RegionCheckpoint, config_key
+        ckpt = RegionCheckpoint(
+            f"{output_prefix}.regions.p{pid}.ckpt",
+            key=config_key(cfg, input_vcf, anno_path))
+
+    # pass 2: my shard, contig by contig through BAI windows
+    local: Dict[int, dict] = {}
+    failed: List[int] = []
+    by_contig: Dict[str, List[int]] = {}
+    for i in mine:
+        by_contig.setdefault(regions[i].chr, []).append(i)
+    for chrom in by_contig:
+        clen = dict(fasta.contig_lengths)[chrom]
+        win = BamFile(bam_path, threads=threads, region=(chrom, 0, clen))
+        l, f = run_local_shard(win, fasta, regions, by_contig[chrom], cfg,
+                               input_candidates=input_candidates,
+                               exon_regions=exon_regions, ckpt=ckpt)
+        local.update(l)
+        failed.extend(f)
+        del win
+        fasta.evict(chrom)
+
+    merged = gather_results(local)
+    if ckpt is not None:
+        ckpt.close()
+    if pid != 0:
+        return {"process": pid, "n_regions_local": len(mine),
+                "n_failed_local": len(failed)}
+    return _serialize_outputs_streaming(bam_path, fasta, regions, merged,
+                                        cfg, output_prefix,
+                                        input_candidates=input_candidates,
+                                        exon_regions=exon_regions)
+
+
+def _serialize_outputs_streaming(bam_path: str, fasta, regions, merged,
+                                 cfg: CallerConfig, output_prefix: str,
+                                 input_candidates=None, exon_regions=None):
+    """Process-0 output stage of the streaming pod: retries and the phased
+    BAM pass-through run against per-contig BAI windows (contig order),
+    never the whole BAM."""
+    from ..io.bam import (FLAG_SECONDARY, FLAG_SUPPLEMENTARY, FLAG_UNMAPPED,
+                          BamFile, BamWriter, write_tagged_records)
+    from ..io.vcf import write_vcf_header
+    from ..pipeline.caller import _exon_mask_for
+    from ..pipeline.engine import process_region
+
+    threads = max(1, cfg.threads)
+    order = {c: i for i, (c, _) in enumerate(fasta.contig_lengths)}
+    lens = dict(fasta.contig_lengths)
+    idx_sorted = sorted(range(len(regions)),
+                        key=lambda i: (order.get(regions[i].chr, 1 << 30),
+                                       regions[i].start))
+    by_contig: Dict[str, List[int]] = {}
+    for i in idx_sorted:
+        by_contig.setdefault(regions[i].chr, []).append(i)
+
+    n_retried = 0
+    vcf_path = output_prefix + ".vcf"
+    phased_bam_path = (None if cfg.no_bam_output
+                       else output_prefix + ".phased.bam")
+    writer = None
+    bad = FLAG_UNMAPPED | FLAG_SECONDARY | FLAG_SUPPLEMENTARY
+    try:
+        with open(vcf_path, "w") as vf:
+            write_vcf_header(vf, fasta.contig_lengths)
+            for chrom in by_contig:
+                win = BamFile(bam_path, threads=threads,
+                              region=(chrom, 0, lens[chrom]))
+                if writer is None and phased_bam_path:
+                    writer = BamWriter(phased_bam_path, win.references,
+                                       win.lengths,
+                                       header_text=win.header_text,
+                                       level=cfg.bam_compression_level,
+                                       threads=threads)
+                for i in by_contig[chrom]:
+                    if i in merged:
+                        continue
+                    n_retried += 1
+                    try:
+                        reg = regions[i]
+                        exon_mask = None
+                        if cfg.exon_only and reg.gene_id is not None:
+                            exon_mask = _exon_mask_for(reg, exon_regions or {})
+                            if exon_mask is None:
+                                merged[i] = dict(vcf_lines=[],
+                                                 read_assignments={},
+                                                 phase_sets={},
+                                                 n_fragments=0,
+                                                 n_candidates=0)
+                                continue
+                        res = process_region(win, reg, fasta.fetch(reg.chr),
+                                             cfg,
+                                             input_candidates=input_candidates,
+                                             exon_mask=exon_mask)
+                        merged[i] = _payload(res)
+                    except Exception:
+                        continue      # poisoned region: skip, keep the run
+                for i in by_contig[chrom]:
+                    for line in merged.get(i, {}).get("vcf_lines", []):
+                        vf.write(line + "\n")
+                if writer is not None:
+                    read_assignments: Dict[str, int] = {}
+                    read_phasesets: Dict[str, int] = {}
+                    for i in by_contig[chrom]:
+                        res = merged.get(i, {})
+                        for k, v in res.get("read_assignments", {}).items():
+                            read_assignments.setdefault(k, v)
+                        for k, v in res.get("phase_sets", {}).items():
+                            read_phasesets.setdefault(k, v)
+                    for i in by_contig[chrom]:
+                        reg = regions[i]
+                        lo, hi, omask = win.overlap_range(reg.chr, reg.start,
+                                                          reg.end)
+                        keep = (omask & ((win.flag[lo:hi] & bad) == 0)
+                                & (win.pos[lo:hi] + 1 >= reg.start)
+                                & (win.ref_end[lo:hi] + 1 <= reg.end))
+                        ridxs = (lo + np.nonzero(keep)[0]).tolist()
+                        write_tagged_records(win, ridxs, read_assignments,
+                                             read_phasesets, writer)
+                del win
+                fasta.evict(chrom)
+    finally:
+        if writer is not None:
+            writer.close()
+    return {"process": 0, "vcf_path": vcf_path,
+            "phased_bam_path": phased_bam_path, "n_regions": len(regions),
+            "n_retried": n_retried, "stream": True}

@@ -593,3 +593,81 @@ def test_run_multihost_survives_sigkilled_peer(tmp_path, rng):
     with open(single.vcf_path) as f:
         single_vcf = f.read()
     assert pod_vcf == single_vcf
+
+
+_POD_WORKER_STREAM = r"""
+import sys
+port, pid, bam, fa, out = sys.argv[1:6]
+import jax
+jax.config.update("jax_platforms", "cpu")     # BEFORE distributed init
+jax.config.update("jax_enable_x64", True)
+jax.distributed.initialize(f"localhost:{port}", 2, int(pid))
+from longcallr_tpu.config import preset
+from longcallr_tpu.parallel.multihost import run_multihost
+cfg = preset("hifi-masseq").replace(min_read_length=100, threads=1)
+res = run_multihost(bam, fa, out, cfg, stream=True)
+print("DONE", jax.process_index(), res.get("stream"), flush=True)
+"""
+
+
+def test_run_multihost_streaming_pod(tmp_path):
+    """Pod + whole-genome: a REAL 2-process pod in streaming mode (each
+    process holds one contig window of its shard at a time, never the whole
+    BAM); process 0's outputs equal a single-process resident run."""
+    import os
+    import socket
+    import subprocess
+    import sys
+
+    from longcallr_tpu.config import preset
+    from longcallr_tpu.pipeline.caller import run
+    from longcallr_tpu.utils.bench_workload import make_genome_workload
+
+    bam_path = str(tmp_path / "podg.bam")
+    fa = str(tmp_path / "podg.fa")
+    make_genome_workload(bam_path, fa, contigs=[
+        ("chrA", [(15_000, 40, 200)]),
+        ("chrB", [(12_000, 60, 200), (8_000, 40, 160)]),
+        ("chrC", [(10_000, 50, 180)]),
+    ])
+    cfg = preset("hifi-masseq").replace(min_read_length=100)
+
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        port = s.getsockname()[1]
+    worker = str(tmp_path / "worker_stream.py")
+    with open(worker, "w") as f:
+        f.write(_POD_WORKER_STREAM)
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ, JAX_ENABLE_X64="1")
+    env["PYTHONPATH"] = repo_root + os.pathsep + env.get("PYTHONPATH", "")
+    procs = [subprocess.Popen(
+        [sys.executable, worker, str(port), str(pid), bam_path, fa,
+         str(tmp_path / "podg")],
+        cwd=repo_root, env=env,
+        stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True)
+        for pid in (0, 1)]
+    outs = [p.communicate(timeout=300) for p in procs]
+    for p, (so, se) in zip(procs, outs):
+        assert p.returncode == 0, se[-2000:]
+        assert "DONE" in so
+    assert "DONE 0 True" in outs[0][0]
+
+    single = run(bam_path, fa, str(tmp_path / "singleg"), cfg)
+    with open(str(tmp_path / "podg.vcf")) as f:
+        pod_vcf = f.read()
+    with open(single.vcf_path) as f:
+        single_vcf = f.read()
+    assert pod_vcf == single_vcf
+    # phased BAM tags match the single-process run
+    from longcallr_tpu.io.bam import BamFile
+    pb = BamFile(str(tmp_path / "podg.phased.bam"))
+    sb = BamFile(single.phased_bam_path)
+    assert pb.n_records == sb.n_records
+    t_p = {pb.read(i).qname: (pb.read(i).get_tag("HP"),
+                              pb.read(i).get_tag("PS"))
+           for i in range(pb.n_records)}
+    t_s = {sb.read(i).qname: (sb.read(i).get_tag("HP"),
+                              sb.read(i).get_tag("PS"))
+           for i in range(sb.n_records)}
+    assert t_p == t_s
