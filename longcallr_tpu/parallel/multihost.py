@@ -325,6 +325,9 @@ def run_multihost(bam_path: str, ref_path: str, output_prefix: str,
                   and os.path.getsize(bam_path) > auto_mb * 1e6
                   and not run_kwargs.get("input_region"))
     if stream:
+        if run_kwargs.get("input_region"):
+            raise ValueError("streaming multihost does not take an input "
+                             "region (use the resident path for -r runs)")
         return _run_multihost_streaming(bam_path, ref_path, output_prefix,
                                         cfg, pid, n_proc, run_kwargs)
 
