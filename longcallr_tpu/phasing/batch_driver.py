@@ -26,7 +26,7 @@ from ..config import CallerConfig
 from ..ops.candidates import CandidateSet
 from ..utils.device import phase_problem_device
 from .fragments import FragmentMatrix
-from .kernels import CellTables, f64, make_cell_tables_np
+from .kernels import f64, make_cell_tables_np
 from .optimize import (PhaseState, _bucket, block_flip_pass, compute_ld_blocks,
                        init_genotype, init_haplotypes_ld, phase_region)
 

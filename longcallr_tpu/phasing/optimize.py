@@ -39,8 +39,7 @@ from ..ops.candidates import CandidateSet
 from ..utils.device import phase_problem_device
 from .fragments import FragmentMatrix
 from .kernels import (CellTables, CompactCells, as_tables, f64,
-                      make_cell_tables, make_cell_tables_np,
-                      overall_probability, prior_het_log, read_logliks,
+                      make_cell_tables_np, overall_probability, read_logliks,
                       sigma_q, snp_q_for, snp_qs, snp_sums)
 
 
