@@ -108,9 +108,10 @@ def phase_region_sharded(frags: FragmentMatrix, cands: CandidateSet,
     sigma0 = np.where(rng.random(K) < 0.5, -1.0, 1.0)
     sigma0 = np.where(read_base_np, sigma0, 0.0)
 
-    # device-resident operands (sharded by the shard_map in_specs on entry)
-    p_d, lerr_d, l1m_d = (jnp.asarray(ct_np.p), jnp.asarray(ct_np.lerr),
-                          jnp.asarray(ct_np.l1m))
+    # device-resident operands (sharded by the shard_map in_specs on entry;
+    # compact 2-byte/cell form — each shard expands its own rows)
+    p8_d = jnp.asarray(padKI(frags.p))
+    q8_d = jnp.asarray(padKI(frags.baseq).astype(np.uint8))
     rb_d = jnp.asarray(read_base_np)
     sm_d = jnp.asarray(site_mask_np)
     cons_d = jnp.asarray(conserved_np)
@@ -120,7 +121,7 @@ def phase_region_sharded(frags: FragmentMatrix, cands: CandidateSet,
                                      keep_conserved=False)
 
     def ascend(fn, sigma, delta, eta) -> Tuple[PhaseState, float]:
-        sg, dl, et, prob = fn(p_d, lerr_d, l1m_d, jnp.asarray(sigma, f64),
+        sg, dl, et, prob = fn(p8_d, q8_d, jnp.asarray(sigma, f64),
                               jnp.asarray(delta, f64), jnp.asarray(eta, f64),
                               rb_d, sm_d, cons_d)
         return PhaseState(sg, dl, et), float(prob)

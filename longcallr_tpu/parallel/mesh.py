@@ -313,18 +313,22 @@ def sharded_cross_optimize(mesh: Mesh, with_genotype: bool = False,
     the σ half-step is row-local, the (δ, η) half-step's column sums and
     the convergence/objective scalars reduce with psum over ICI.
 
-    Returns a jitted fn(p, lerr, l1m, sigma0, delta0, eta0, read_base,
+    Returns a jitted fn(p8, q8, sigma0, delta0, eta0, read_base,
     site_mask, conserved) → (sigma, delta, eta, prob) with sigma sharded
-    like the inputs and δ/η/prob replicated.
+    like the inputs and δ/η/prob replicated. Cell data arrives in compact
+    form (int8 allele + uint8 baseq, 2 bytes/cell — 12× less ICI/DCN
+    traffic than shipping the f64 tables); each shard expands only its own
+    rows (kernels.expand_cells).
     """
     from ..phasing.kernels import prior_het_log, snp_q_for, snp_qs, sigma_q
     from ..phasing.optimize import PhaseState
 
     ax = "reads"
 
-    def local(p, lerr, l1m, sigma0, delta0, eta0, read_base, site_mask,
+    def local(p8, q8, sigma0, delta0, eta0, read_base, site_mask,
               conserved):
-        exists = p != 0
+        ct = expand_cells(CompactCells(p8, q8))
+        p, lerr, l1m, exists = ct.p, ct.lerr, ct.l1m, ct.exists
         m = site_mask[None, :] & exists
         diff = jnp.where(m, l1m - lerr, 0.0)
         lerr_m = jnp.where(m, lerr, 0.0)
@@ -413,7 +417,7 @@ def sharded_cross_optimize(mesh: Mesh, with_genotype: bool = False,
     spec_i = P(None)
     fn = shard_map(
         local, mesh=mesh,
-        in_specs=(spec_ki, spec_ki, spec_ki, spec_k, spec_i, spec_i,
+        in_specs=(spec_ki, spec_ki, spec_k, spec_i, spec_i,
                   spec_k, spec_i, spec_i),
         out_specs=(spec_k, spec_i, spec_i, P()),
         check_vma=False,

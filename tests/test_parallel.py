@@ -107,7 +107,8 @@ def test_sharded_cross_optimize_matches_unsharded(rng):
     sm = jnp.ones(I, bool)
     cons = jnp.zeros(I, bool)
     fn = sharded_cross_optimize(mesh, with_genotype=True)
-    sg_s, dl_s, et_s, prob_s = fn(ct.p, ct.lerr, ct.l1m, sigma0, delta0,
+    sg_s, dl_s, et_s, prob_s = fn(jnp.asarray(p.astype(np.int8)),
+                                  jnp.asarray(q), sigma0, delta0,
                                   eta0, rb, sm, cons)
     st_u, prob_u = _cross_optimize_fast_loop(
         ct, PhaseState(sigma0, delta0, eta0), rb, sm, cons, True, False)
