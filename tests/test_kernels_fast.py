@@ -465,3 +465,24 @@ def test_perturbation_stats_matches_schedule(rng):
     assert int(iters) > 0
     for x, y in zip(a_st, b_st):
         np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
+def test_phase_work_routing(monkeypatch):
+    """Work-based phase routing: below LONGCALLR_TPU_MIN_PHASE_WORK the
+    phase runs on the host backend; above it on the default device. On the
+    CPU-only test backend both resolve to None (default device) — the
+    threshold logic is tested against a fake accelerator default."""
+    from longcallr_tpu.utils import device as D
+
+    # CPU default → always None (no cross-device hop)
+    assert D.phase_problem_device(1) is None
+    assert D.phase_problem_device(1 << 40) is None
+
+    class _Fake:
+        platform = "tpu"
+
+    cpu = jax.devices("cpu")[0]
+    monkeypatch.setattr(jax, "devices",
+                        lambda *a: [cpu] if a == ("cpu",) else [_Fake()])
+    assert D.phase_problem_device(D.MIN_ACCEL_PHASE_WORK - 1) is cpu
+    assert D.phase_problem_device(D.MIN_ACCEL_PHASE_WORK) is None
