@@ -162,3 +162,14 @@ def test_oracle_pipeline_exon_mask(tmp_path, rng):
     for line in o_lines:
         pos1 = int(line.split("\t")[1])
         assert 1500 < pos1 <= 5501
+
+
+def test_oracle_pipeline_spliced_reads(tmp_path, rng):
+    """Spliced long reads (N cigar ops) + soft clips: the fragment CIGAR
+    walk, pileup and downstream wiring gate byte-exactly on the domain's
+    defining read shape."""
+    cfg = preset("hifi-masseq").replace(min_read_length=100)
+    _compare(tmp_path, rng, cfg, 9000,
+             dict(plant=dict(n_het=12, n_hom=2, min_gap=420),
+                  n_reads=90, read_len=4000, err_rate=0.01,
+                  with_introns=True, softclip=6))
