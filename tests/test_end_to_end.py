@@ -445,3 +445,28 @@ def test_batched_resume_wave_granularity(tmp_path, rng, monkeypatch):
     assert out.n_regions == fresh.n_regions == 2
     assert open(out.vcf_path).read().replace("o1", "oX") \
         == open(fresh.vcf_path).read().replace("o2", "oX")
+
+
+def test_demo_golden_records(demo_bam_path, tmp_path):
+    """Golden regression gate on the REAL demo reads: the full pipeline's
+    records must be byte-identical to tests/golden/demo_chr20_records.vcf
+    (frozen from a verified run; identical across the CPU and TPU
+    placements — checked every bench). Any silent drift in any stage's
+    numerics, wiring or seeding trips this."""
+    import os
+
+    from longcallr_tpu.utils.demo import make_consensus_reference
+
+    data_dir = os.path.join(os.path.dirname(__file__), "..", "data")
+    os.makedirs(data_dir, exist_ok=True)
+    ref_fa = os.path.join(data_dir, "demo_chr20_consensus.fa")
+    make_consensus_reference(demo_bam_path, ref_fa)
+    cfg = preset("hifi-masseq").replace(threads=2)
+    out = run(demo_bam_path, ref_fa, str(tmp_path / "demo"), cfg)
+    with open(out.vcf_path) as f:
+        got = [l for l in f if not l.startswith("#")]
+    golden = os.path.join(os.path.dirname(__file__), "golden",
+                          "demo_chr20_records.vcf")
+    with open(golden) as f:
+        want = f.readlines()
+    assert got == want
