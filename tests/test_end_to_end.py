@@ -470,3 +470,19 @@ def test_demo_golden_records(demo_bam_path, tmp_path):
     with open(golden) as f:
         want = f.readlines()
     assert got == want
+
+    # haplotagging golden: every read's HP/PS assignment, byte-frozen
+    from longcallr_tpu.io.bam import BamFile
+    pb = BamFile(out.phased_bam_path)
+    rows = []
+    for i in range(pb.n_records):
+        r = pb.read(i)
+        hp = r.get_tag("HP")
+        if hp is not None:
+            rows.append(f"{r.qname}\t{hp}\t{r.get_tag('PS')}")
+    rows.sort()
+    tags_golden = os.path.join(os.path.dirname(__file__), "golden",
+                               "demo_chr20_tags.tsv")
+    with open(tags_golden) as f:
+        want_tags = f.read().splitlines()
+    assert rows == want_tags
