@@ -47,11 +47,18 @@ def test_oracle_pipeline_enumeration_path(tmp_path, rng):
     assert 0 < fast.n_candidates <= cfg.max_enum_snps
 
 
-def test_oracle_pipeline_iterative_path(tmp_path, rng):
+import pytest
+
+
+@pytest.mark.parametrize("salt", [0, 1, 2])
+def test_oracle_pipeline_iterative_path(tmp_path, rng, salt):
     """Many candidates → LD init + ascent + perturbation schedule
-    (phase.rs:1123-1294), incl. phase sets across the whole region."""
+    (phase.rs:1123-1294), incl. phase sets across the whole region.
+    Parametrized over simulation seeds: each salt is a fresh random
+    workload through the same byte-exact wiring gate."""
     cfg = preset("hifi-masseq").replace(min_read_length=100)
-    fast = _compare(tmp_path, rng, cfg, 9000,
+    rng2 = np.random.default_rng([rng.integers(1 << 30), salt])
+    fast = _compare(tmp_path, rng2, cfg, 9000,
                     dict(plant=dict(n_het=14, n_hom=3, min_gap=420),
                          n_reads=90, read_len=4000, err_rate=0.01))
     assert fast.n_candidates > cfg.max_enum_snps
