@@ -338,7 +338,11 @@ def load_bcf_candidates(data: bytes) -> Dict[str, Dict[int, GenotypeAndQuality]]
         s = o + 8
         rid, pos0 = struct.unpack_from("<ii", data, s)
         (qual_bits,) = struct.unpack_from("<I", data, s + 12)
-        qual = (0.0 if qual_bits == _BCF_MISSING_QUAL
+        # missing QUAL propagates as NaN, like rust-htslib's record.qual():
+        # the import gate `quality < min_variant_qual` (candidate.rs:550) is
+        # then false → record KEPT, and emission casts NaN `as i32` → 0
+        # (_as_i32), matching the reference byte-for-byte.
+        qual = (float("nan") if qual_bits == _BCF_MISSING_QUAL
                 else struct.unpack_from("<f", data, s + 12)[0])
         n_allele_info, n_fmt_sample = struct.unpack_from("<II", data, s + 16)
         n_info = n_allele_info & 0xFFFF
@@ -362,14 +366,21 @@ def load_bcf_candidates(data: bytes) -> Dict[str, Dict[int, GenotypeAndQuality]]
             tv, lv, p = _bcf_typed_head(data, p)
             width = _BCF_TYPE_SIZE.get(tv, 0) * lv
             if key in gt_keys and n_sample >= 1 and tv in (1, 2, 3):
-                # first sample's genotype vector (vcf.rs takes sample 0)
-                vals = [_bcf_int(data, p + j * _BCF_TYPE_SIZE[tv], tv)
-                        for j in range(lv)]
-                # drop END_OF_VECTOR padding (0x80+1 for int8 etc.)
+                # ALL samples, last-valid-wins insert; `phased` is sticky
+                # across the record's samples and derives from the second
+                # allele's phase bit only (vcf.rs:414-455 loops
+                # 0..sample_count with a record-scoped `phased`)
+                phased = False
                 eov = {1: -127, 2: -32767, 3: -2147483647}[tv]
-                vals = [v for v in vals if v != eov]
-                if len(vals) == 2:
-                    phased = bool(vals[1] & 1)
+                for sj in range(n_sample):
+                    base = p + sj * width
+                    vals = [_bcf_int(data, base + j * _BCF_TYPE_SIZE[tv], tv)
+                            for j in range(lv)]
+                    # drop END_OF_VECTOR padding (0x80+1 for int8 etc.)
+                    vals = [v for v in vals if v != eov]
+                    if len(vals) != 2:
+                        continue
+                    phased = phased or bool(vals[1] & 1)
                     al = [((v >> 1) - 1) if v > 0 else 3 for v in vals]
                     code = _gt_pair_code(al[0], al[1])
                     chrom = contigs.get(rid, str(rid))
@@ -406,7 +417,10 @@ def load_input_candidates(vcf_path: str) -> Dict[str, Dict[int, GenotypeAndQuali
         chrom = parts[0]
         pos0 = int(parts[1]) - 1
         try:
-            qual = float(parts[5])
+            # '.' (missing) → NaN, as htslib's text parser yields the
+            # missing-float for rust-htslib's record.qual(); keeps the
+            # import gate and the NaN-as-i32 emission identical to BCF
+            qual = float("nan") if parts[5] == "." else float(parts[5])
         except ValueError:
             qual = 0.0
         fmt = parts[8].split(":")
@@ -414,17 +428,22 @@ def load_input_candidates(vcf_path: str) -> Dict[str, Dict[int, GenotypeAndQuali
             gt_idx = fmt.index("GT")
         except ValueError:
             continue
-        gt = parts[9].split(":")[gt_idx]
-        phased = "|" in gt
-        sep = "|" if phased else "/"
-        al = gt.replace("|", "/").split("/")
-        if len(al) != 2:
-            continue
-        try:
-            g0 = 3 if al[0] == "." else int(al[0])
-            g1 = 3 if al[1] == "." else int(al[1])
-        except ValueError:
-            continue
-        code = _gt_pair_code(g0, g1)
-        out.setdefault(chrom, {})[pos0] = GenotypeAndQuality(code, qual, phased)
+        # ALL sample columns, last-valid-wins insert, record-sticky `phased`
+        # (vcf.rs:414-455; the separator before the second allele is the
+        # per-sample phase flag)
+        phased = False
+        for col in parts[9:]:
+            gt = col.split(":")[gt_idx]
+            al = gt.replace("|", "/").split("/")
+            if len(al) != 2:
+                continue
+            try:
+                g0 = 3 if al[0] == "." else int(al[0])
+                g1 = 3 if al[1] == "." else int(al[1])
+            except ValueError:
+                continue
+            phased = phased or "|" in gt
+            code = _gt_pair_code(g0, g1)
+            out.setdefault(chrom, {})[pos0] = GenotypeAndQuality(
+                code, qual, phased)
     return out

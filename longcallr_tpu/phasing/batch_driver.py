@@ -128,11 +128,13 @@ def _phase_enum_bucket(group: List[_Prepared], cfg: CallerConfig, K: int,
     chunk = min(C, 1 << (chunk.bit_length() - 1))
     best_prob = np.full(B, -np.inf)
     best = [None] * B
+    all_pr: List[np.ndarray] = []
     for c0 in range(0, C, chunk):
         sg, dl, et, pr = batched_enum_cross_optimize(
             batch, dp(sig0[:, c0:c0 + chunk]),
             dp(configs[c0:c0 + chunk]), dp(eta0), mesh=mesh)
         pr = np.asarray(pr)                      # [B, chunk]
+        all_pr.append(pr)
         sg, dl, et = (np.asarray(a) for a in (sg, dl, et))
         for b in range(B):
             j = int(np.argmax(pr[b]))
@@ -145,6 +147,37 @@ def _phase_enum_bucket(group: List[_Prepared], cfg: CallerConfig, K: int,
         # numpy out: the consumer (finalize_region) is a host stage — a
         # jnp.asarray here would bounce the vectors through the accelerator
         out[it.index] = PhaseState(sgb[:K0], dlb[:I0], etb[:I0])
+
+    # f32 safety net, enumeration leg (same contract as the per-region enum
+    # path, optimize.py): recompute a region on the host f64 path when the
+    # winning state's f64 decision margins are inside the f32 error bound,
+    # or when another config sits STRICTLY below the winner's prob but
+    # within the bound (exact ties resolve by enumeration order identically
+    # under f32 and f64 — see optimize.py for the flip-twin argument).
+    from .optimize import (F32_SAFETY_TOL, USE_FAST_KERNELS, _f32_mode,
+                           f64_decision_margin_batched)
+    if USE_FAST_KERNELS and _f32_mode() and F32_SAFETY_TOL > 0:
+        from ..pipeline.engine import STAGE_TOTALS
+        pr_all = np.concatenate(all_pr, axis=1)          # [B, C]
+        sgf = np.stack([best[b][0] for b in range(B)])
+        dlf = np.stack([best[b][1] for b in range(B)])
+        etf = np.stack([best[b][2] for b in range(B)])
+        cpu = jax.devices("cpu")[0]
+        with jax.default_device(cpu):
+            if _f32_mode():        # forced-f32 env: no exact rerun exists
+                return
+            margins = np.asarray(f64_decision_margin_batched(
+                jnp.asarray(p), jnp.asarray(bq), jnp.asarray(sgf),
+                jnp.asarray(dlf), jnp.asarray(etf), jnp.asarray(read_base),
+                jnp.asarray(site_mask)))
+            for b, it in enumerate(group):
+                below = pr_all[b][pr_all[b] < best_prob[b]]
+                cfg_gap = (best_prob[b] - float(below.max())
+                           if below.size else np.inf)
+                if min(float(margins[b]), cfg_gap) < F32_SAFETY_TOL:
+                    STAGE_TOTALS["phase_safety_recompute"] += 1
+                    out[it.index] = phase_region(it.frags, it.cands, cfg,
+                                                 it.seed, it.apply_ds)
 
 
 def _phase_bucket(group: List[_Prepared], cfg: CallerConfig, K: int,

@@ -809,16 +809,49 @@ def _phase_region_padded_impl(frags, cands, cfg, seed, apply_downsampling,
         chunk = min(C, 1 << (chunk.bit_length() - 1))
         best_prob = -np.inf
         best_st = None
+        all_probs: List[np.ndarray] = []
         for c0 in range(0, C, chunk):
             sts, probs = _enum_vmap(
                 ct, jnp.asarray(sig0[c0:c0 + chunk]),
                 jnp.asarray(configs[c0:c0 + chunk]),
                 jnp.asarray(eta0.astype(np.float64)), read_base, site_mask, cons)
             probs = np.asarray(probs)
+            all_probs.append(probs)
             j = int(np.argmax(probs))
             if probs[j] > best_prob:
                 best_prob = float(probs[j])
                 best_st = jax.tree_util.tree_map(lambda a: a[j], sts)
+        if USE_FAST_KERNELS and _f32_mode() and F32_SAFETY_TOL > 0:
+            # f32 safety net, enumeration leg (round-2 advisor): both the
+            # per-config ascents AND the cross-config best-prob comparison
+            # ran in f32 on the accelerator. Recompute on the host backend
+            # (auto → f64 there) when the winning state's f64 decision
+            # margins are inside the f32 error bound, or when another
+            # config's prob is STRICTLY below the winner's but within the
+            # bound (it could overtake under f64). Exact-tie probs are
+            # excluded on purpose: equal final states (and global-flip
+            # twins, whose ascent is flip-covariant cell for cell) produce
+            # bit-equal probs in every precision, and the first-in-
+            # enumeration-order tie-break (strict > + first argmax) then
+            # resolves identically under f32 and f64.
+            pv = np.concatenate(all_probs)
+            below = pv[pv < best_prob]
+            cfg_gap = (best_prob - float(below.max())
+                       if below.size else np.inf)
+            cpu = jax.devices("cpu")[0]
+            with jax.default_device(cpu):
+                if _f32_mode():   # forced-f32 env: no exact rerun exists
+                    return best_st
+                st_h = PhaseState(*(jnp.asarray(np.asarray(a))
+                                    for a in best_st))
+                margin = float(f64_decision_margin_fast(
+                    jnp.asarray(p_pad), jnp.asarray(q_pad), st_h.sigma,
+                    st_h.delta, st_h.eta, jnp.asarray(read_base_np),
+                    jnp.asarray(site_mask_np)))
+                if min(margin, cfg_gap) < F32_SAFETY_TOL:
+                    return _phase_region_padded_impl(
+                        frags, cands, cfg, seed, apply_downsampling,
+                        K0, I0, K, I_pad)
         return best_st
 
     # iterative path (phase.rs:1123-1294)

@@ -41,6 +41,10 @@ class CallerOutputs:
     n_assigned_reads: int = 0
     n_fragments: int = 0
     n_candidates: int = 0
+    # accelerator-scale phase problems that landed on the host CPU backend
+    # because no accelerator exists (utils/device.py warns once; nonzero here
+    # means the run's deep path was silently ~100x degraded)
+    n_degraded_placements: int = 0
 
 
 def build_regions(bam: BamFile, fasta: FastaFile, cfg: CallerConfig,
@@ -80,6 +84,8 @@ def run(bam_path: str, ref_path: str, output_prefix: str, cfg: CallerConfig,
     then) and the per-region loop otherwise."""
     t0 = time.monotonic()
     stage: Dict[str, float] = {}
+    from ..utils import device as _device
+    degraded0 = _device.DEGRADED_PLACEMENTS
     # -r chr:start-end + a .bai beside the BAM → BAI-windowed load: only the
     # BGZF blocks covering the window are read (io/bam.py::_load_window)
     window = None
@@ -207,7 +213,9 @@ def run(bam_path: str, ref_path: str, output_prefix: str, cfg: CallerConfig,
                          n_reads_tagged=n_tagged, stage_seconds=stage,
                          n_phased_sites=n_phased, n_assigned_reads=n_assigned,
                          n_fragments=sum(r.n_fragments for _, r in results_sorted),
-                         n_candidates=sum(r.n_candidates for _, r in results_sorted))
+                         n_candidates=sum(r.n_candidates for _, r in results_sorted),
+                         n_degraded_placements=(_device.DEGRADED_PLACEMENTS
+                                                - degraded0))
 
 
 def run_streaming(bam_path: str, ref_path: str, output_prefix: str,
@@ -230,6 +238,8 @@ def run_streaming(bam_path: str, ref_path: str, output_prefix: str,
 
     t0 = time.monotonic()
     stage: Dict[str, float] = {}
+    from ..utils import device as _device
+    degraded0 = _device.DEGRADED_PLACEMENTS
     if not os.path.exists(bam_path + ".bai"):
         raise ValueError(
             f"streaming mode needs a BAM index: {bam_path}.bai not found "
@@ -355,7 +365,9 @@ def run_streaming(bam_path: str, ref_path: str, output_prefix: str,
                          n_regions=n_regions_total, n_records=n_records,
                          n_reads_tagged=n_tagged, stage_seconds=stage,
                          n_phased_sites=n_phased, n_assigned_reads=n_assigned,
-                         n_fragments=n_frag_total, n_candidates=n_cand_total)
+                         n_fragments=n_frag_total, n_candidates=n_cand_total,
+                         n_degraded_placements=(_device.DEGRADED_PLACEMENTS
+                                                - degraded0))
 
 
 def _exon_mask_for(reg: Region, exon_regions: Dict[str, List[Tuple[int, int]]]):

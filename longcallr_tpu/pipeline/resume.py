@@ -55,7 +55,10 @@ class RegionCheckpoint:
         self._lock = threading.Lock()
         fresh = True
         if path and os.path.exists(path):
-            fresh = False
+            # a zero-parsed-line file (crash between create and header write)
+            # must stay "fresh", else it would be reopened in append mode
+            # with no __config__ header and every result appended in that
+            # run discarded as headerless on the next resume
             first = True
             with open(path) as f:
                 for line in f:
@@ -63,6 +66,7 @@ class RegionCheckpoint:
                         d = json.loads(line)
                     except json.JSONDecodeError:
                         continue  # torn tail write from a crash
+                    fresh = False
                     if "__config__" in d:
                         first = False
                         if key is not None and d["__config__"] != key:

@@ -11,11 +11,38 @@ Threshold in cells (reads × SNPs), override with LONGCALLR_TPU_MIN_CELLS.
 
 from __future__ import annotations
 
+import logging
 import os
+import threading
 from typing import Optional
 
 from .. import _jaxcfg  # noqa: F401  (x64 before any trace)
 import jax
+
+log = logging.getLogger("longcallr_tpu")
+
+# Degraded-placement observability (round-2 review): when WORK-based routing
+# wants the accelerator but the default backend is CPU (device wedge, missing
+# plugin, forced-CPU env), the deep path silently runs ~100x slower with only
+# this heuristic deciding. Count every such landing and warn once per process
+# so the regression is visible (caller.py copies the count into
+# CallerOutputs.n_degraded_placements).
+DEGRADED_PLACEMENTS = 0
+_degraded_lock = threading.Lock()
+_warned_degraded = False
+
+
+def _note_degraded_placement(work: int) -> None:
+    global DEGRADED_PLACEMENTS, _warned_degraded
+    with _degraded_lock:
+        DEGRADED_PLACEMENTS += 1
+        if not _warned_degraded:
+            _warned_degraded = True
+            log.warning(
+                "accelerator-scale phase problem (work=%d >= %d) is running "
+                "on the host CPU backend because no accelerator device is "
+                "available — expect ~100x slower deep phasing", work,
+                MIN_ACCEL_PHASE_WORK)
 
 MIN_ACCEL_CELLS = int(os.environ.get("LONGCALLR_TPU_MIN_CELLS", str(1 << 24)))
 
@@ -54,6 +81,13 @@ def phase_problem_device(work: int) -> Optional[jax.Device]:
     """CPU device for sub-threshold PHASE problems (work = cells × rounds,
     see MIN_ACCEL_PHASE_WORK), else None (default device)."""
     if work >= MIN_ACCEL_PHASE_WORK:
+        # wants the accelerator; if the default backend is CPU the problem
+        # lands there anyway — surface the silent ~100x degradation
+        try:
+            if jax.devices()[0].platform == "cpu":
+                _note_degraded_placement(work)
+        except RuntimeError:
+            pass
         return None
     return _cpu_or_none()
 

@@ -175,6 +175,37 @@ def test_resume_discards_stale_config(tmp_path, rng):
     assert os.path.getsize(ckpt) == size
 
 
+def test_resume_empty_checkpoint_file(tmp_path):
+    """A checkpoint file that exists but holds no parseable line (crash
+    between create and header write) is treated as fresh: the __config__
+    header is written before any result, so the next resume keeps the
+    results instead of discarding them as headerless (round-2 advisor)."""
+    from longcallr_tpu.pipeline.engine import RegionResult
+    from longcallr_tpu.pipeline.resume import RegionCheckpoint
+    from longcallr_tpu.tiles.regions import Region
+
+    path = str(tmp_path / "e.ckpt")
+    open(path, "w").close()                 # 0-byte survivor of a crash
+    ck = RegionCheckpoint(path, key="k1")
+    reg = Region(chr="chr1", start=1, end=100)
+    ck.put(RegionResult(reg, ["chr1\t5\t.\tA\tC"], {}, {}, 3, 1))
+    ck.close()
+    ck2 = RegionCheckpoint(path, key="k1")
+    assert ck2.n_done == 1
+    assert ck2.get(reg) is not None
+    ck2.close()
+    # a file holding only a torn (unparseable) tail is also fresh
+    with open(path, "w") as f:
+        f.write('{"chr": "chr1", "sta')
+    ck3 = RegionCheckpoint(path, key="k1")
+    assert ck3.n_done == 0
+    ck3.put(RegionResult(reg, [], {}, {}, 0, 0))
+    ck3.close()
+    ck4 = RegionCheckpoint(path, key="k1")
+    assert ck4.n_done == 1
+    ck4.close()
+
+
 def test_batched_pipeline_quality(tmp_path, rng):
     """The batched multi-region pipeline recovers truth like the per-region
     path (RNG streams differ, so compare against truth not bytes)."""

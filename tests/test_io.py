@@ -138,7 +138,9 @@ def _bcf_typed_str(s: bytes) -> bytes:
 
 def _encode_bcf(records, contig="chrS", with_idx=False):
     """Minimal BCF2.2 encoder for round-trip tests: records are
-    (pos0, qual, gt_text) with gt_text like '0/1', '1|1', './1'."""
+    (pos0, qual, gt) with gt like '0/1', '1|1', './1', or a tuple of such
+    strings for multi-sample records (all samples ploidy 2). ``qual=None``
+    encodes the missing-QUAL bit pattern (0x7F800001)."""
     import struct
     idx = lambda i: f",IDX={i}" if with_idx else ""
     header = "\n".join([
@@ -152,20 +154,26 @@ def _encode_bcf(records, contig="chrS", with_idx=False):
     gt_key = 2
     body = b""
     for pos0, qual, gt in records:
-        phased = "|" in gt
-        al = gt.replace("|", "/").split("/")
-        enc = []
-        for j, a in enumerate(al):
-            v = 0 if a == "." else ((int(a) + 1) << 1)
-            enc.append(v | (1 if (phased and j > 0 and v) else 0))
-        shared = struct.pack("<iiifII", 0, pos0, 1,
-                             qual, (2 << 16) | 0, (1 << 24) | 1)
+        gts = [gt] if isinstance(gt, str) else list(gt)
+        enc_all = b""
+        for g in gts:
+            phased = "|" in g
+            al = g.replace("|", "/").split("/")
+            enc = []
+            for j, a in enumerate(al):
+                v = 0 if a == "." else ((int(a) + 1) << 1)
+                enc.append(v | (1 if (phased and j > 0 and v) else 0))
+            enc_all += bytes(enc)
+        qbits = (struct.pack("<I", 0x7F800001) if qual is None
+                 else struct.pack("<f", qual))
+        shared = struct.pack("<iii", 0, pos0, 1) + qbits + struct.pack(
+            "<II", (2 << 16) | 0, (1 << 24) | len(gts))
         shared += b"\x07"                 # ID: empty string
         shared += _bcf_typed_str(b"A")    # REF
         shared += _bcf_typed_str(b"C")    # ALT
         shared += b"\x11\x00"             # FILTER: one int8 = 0 (PASS)
         indiv = bytes([0x11, gt_key])     # fmt key: typed int8
-        indiv += bytes([(len(enc) << 4) | 1]) + bytes(enc)  # int8 vector
+        indiv += bytes([(2 << 4) | 1]) + enc_all   # int8 vector ×samples
         body += struct.pack("<II", len(shared), len(indiv)) + shared + indiv
     raw = b"BCF\x02\x02" + struct.pack("<I", len(header)) + header.encode()
     return raw + body
@@ -230,3 +238,74 @@ def test_vcf_gz_roundtrip_input(tmp_path):
     assert a.keys() == b.keys()
     assert {p: (g.genotype, g.quality, g.phased) for p, g in a["chrS"].items()} \
         == {p: (g.genotype, g.quality, g.phased) for p, g in b["chrS"].items()}
+
+
+def test_input_candidates_multisample_last_wins(tmp_path):
+    """vcf.rs:414-455 loops ALL samples with last-valid-wins insert and a
+    record-sticky `phased` flag (set by any earlier sample's second-allele
+    phase bit, never reset) — both text and BCF paths replicate it."""
+    from longcallr_tpu.io.bgzf import compress_block
+    from longcallr_tpu.io.vcf import load_input_candidates
+
+    # (pos0, qual, per-sample GTs, expected (genotype, phased))
+    cases = [
+        (99, 60.0, ("0/1", "1/1"), (2, False)),    # last sample wins
+        (199, 31.5, ("1|1", "0/1"), (1, True)),    # phased sticky across
+        (299, 10.0, ("0/1/1", "0/0"), (0, False)),  # non-diploid skipped
+        (399, 55.0, ("1/2", "0|0"), (0, True)),
+        (499, 20.0, ("./1",), (4, False)),
+    ]
+    text = ["##fileformat=VCFv4.2",
+            "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\tS1\tS2"]
+    for pos0, qual, gts, _ in cases:
+        cols = "\t".join(gts + (".",) * (2 - len(gts)))
+        text.append(f"chrS\t{pos0+1}\t.\tA\tC\t{qual}\tPASS\t.\tGT\t{cols}")
+    vcf_path = str(tmp_path / "ms.vcf")
+    with open(vcf_path, "w") as f:
+        f.write("\n".join(text) + "\n")
+    got_text = load_input_candidates(vcf_path)["chrS"]
+    for pos0, qual, gts, (code, phased) in cases:
+        g = got_text[pos0]
+        assert (g.genotype, g.phased) == (code, phased), pos0
+
+    # BCF path (diploid-encodable cases only) agrees
+    bcf_cases = [(p, q, g) for p, q, g, _ in cases
+                 if all(len(x.replace("|", "/").split("/")) == 2 for x in g)]
+    raw = _encode_bcf(bcf_cases)
+    bcf_path = str(tmp_path / "ms.bcf")
+    with open(bcf_path, "wb") as f:
+        f.write(compress_block(raw))
+        f.write(compress_block(b""))
+    got_bcf = load_input_candidates(bcf_path)["chrS"]
+    for pos0, _, _, (code, phased) in cases:
+        if pos0 == 299:
+            continue   # the triploid-sample case is text-only
+        assert (got_bcf[pos0].genotype, got_bcf[pos0].phased) == (code, phased)
+
+
+def test_input_candidates_missing_qual_is_nan(tmp_path):
+    """Missing QUAL propagates as NaN like rust-htslib's record.qual(): the
+    import gate `quality < min_variant_qual` (candidate.rs:550) is then
+    false → record kept, and _as_i32(NaN) → 0 on emission."""
+    import math
+
+    from longcallr_tpu.io.bgzf import compress_block
+    from longcallr_tpu.io.vcf import _as_i32, load_input_candidates
+
+    vcf_path = str(tmp_path / "mq.vcf")
+    with open(vcf_path, "w") as f:
+        f.write("##fileformat=VCFv4.2\n"
+                "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\tS1\n"
+                "chrS\t100\t.\tA\tC\t.\tPASS\t.\tGT\t0|1\n")
+    g = load_input_candidates(vcf_path)["chrS"][99]
+    assert math.isnan(g.quality)
+    assert not (g.quality < 2.0)       # import gate keeps the record
+    assert _as_i32(g.quality) == 0     # Rust `NaN as i32` == 0
+
+    raw = _encode_bcf([(99, None, "0|1")])
+    bcf_path = str(tmp_path / "mq.bcf")
+    with open(bcf_path, "wb") as f:
+        f.write(compress_block(raw))
+        f.write(compress_block(b""))
+    gb = load_input_candidates(bcf_path)["chrS"][99]
+    assert math.isnan(gb.quality)

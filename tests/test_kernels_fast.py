@@ -335,6 +335,41 @@ def test_f32_safety_net_recomputes_near_ties(tmp_path, rng, monkeypatch):
         jax.clear_caches()  # drop the f32-traced programs again
 
 
+def test_f32_safety_net_enum_path(tmp_path, rng, monkeypatch):
+    """Round-2 advisor: the ENUMERATION path (≤ max_enum_snps candidates)
+    also re-checks in f64 under f32 mode — winning-config margins AND the
+    strictly-below config gap — and recomputes on the host when triggered,
+    in both the per-region and the batched-bucket drivers."""
+    from longcallr_tpu.phasing import optimize as opt
+    from longcallr_tpu.phasing.batch_driver import phase_regions_batched
+    from longcallr_tpu.phasing.optimize import phase_region
+
+    cfg, cands, frags = _mk_region(tmp_path, rng, n_het=4)
+    assert 0 < cands.n <= cfg.max_enum_snps, "need the enumeration path"
+
+    want = phase_region(frags, cands, cfg, seed=3)  # pure f64 (CPU auto)
+
+    def fake_f32():
+        dev = jax.config.jax_default_device
+        return not (dev is not None and dev.platform == "cpu")
+
+    jax.clear_caches()
+    monkeypatch.setattr(opt, "_f32_mode", fake_f32)
+    try:
+        monkeypatch.setattr(opt, "F32_SAFETY_TOL", np.inf)  # always trigger
+        got = phase_region(frags, cands, cfg, seed=3)
+        for a, b in zip(got, want):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        # batched enum bucket (two same-shape regions share the bucket)
+        got_b = phase_regions_batched(
+            [(frags, cands, 3, False), (frags, cands, 3, False)], cfg)
+        for stb in got_b:
+            for a, b in zip(stb, want):
+                np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    finally:
+        jax.clear_caches()
+
+
 def test_pallas_probe_never_runs_inside_trace(monkeypatch):
     """Auto-mode probing inside an active trace is forbidden: a jit-wrapped
     probe call under an outer trace inlines into the outer jaxpr instead of
@@ -486,3 +521,27 @@ def test_phase_work_routing(monkeypatch):
                         lambda *a: [cpu] if a == ("cpu",) else [_Fake()])
     assert D.phase_problem_device(D.MIN_ACCEL_PHASE_WORK - 1) is cpu
     assert D.phase_problem_device(D.MIN_ACCEL_PHASE_WORK) is None
+
+
+def test_degraded_placement_surfaced(caplog):
+    """Round-2 review: when work-based routing wants the accelerator but the
+    default backend is CPU (wedge/fallback), a warning fires and the landing
+    is counted — a silent ~100x phase regression must be visible."""
+    import logging
+
+    from longcallr_tpu.utils import device as D
+
+    before = D.DEGRADED_PLACEMENTS
+    D._warned_degraded = False
+    with caplog.at_level(logging.WARNING, logger="longcallr_tpu"):
+        # the test backend is CPU-only: an accelerator-scale problem lands
+        # on the host → degraded
+        assert D.phase_problem_device(D.MIN_ACCEL_PHASE_WORK) is None
+        assert D.phase_problem_device(D.MIN_ACCEL_PHASE_WORK * 2) is None
+    assert D.DEGRADED_PLACEMENTS == before + 2
+    assert sum("expect ~100x slower deep phasing" in r.getMessage()
+               for r in caplog.records) == 1   # warned once per process
+    # sub-threshold problems are CPU-by-design, never counted
+    mid = D.DEGRADED_PLACEMENTS
+    assert D.phase_problem_device(1) is None
+    assert D.DEGRADED_PLACEMENTS == mid
