@@ -37,7 +37,9 @@ from ..io import bam as bamio
 from ..io.fasta import write_fasta
 
 _BASES = np.frombuffer(b"ACGT", dtype=np.uint8)
-_GEN_VERSION = 1
+# v2: sidecars carry the planted truth set (per-contig [pos0, ref, alt]
+# triples; hap1 carries ALT at every site) for the bench's accuracy leg
+_GEN_VERSION = 2
 
 # alt choices per ref base avoiding the A→G / T→C editing transitions
 _ALTS = {ord("A"): b"CT", ord("C"): b"AGT", ord("G"): b"ACT", ord("T"): b"AG"}
@@ -73,7 +75,7 @@ def make_deep_workload(out_bam: str, out_fasta: str, n_regions: int = 4,
     # plant het SNPs; hap1 carries ALT everywhere (fixed phase convention)
     hap1 = ref.copy()
     region_spans = []
-    n_snps = 0
+    truth = []      # [pos0, ref_base, alt_base] per planted site
     for r in range(n_regions):
         rstart = margin + r * (region_len + gap)
         rend = rstart + region_len
@@ -83,8 +85,9 @@ def make_deep_workload(out_bam: str, out_fasta: str, n_regions: int = 4,
             p = int(pos + rng.integers(0, snp_spacing // 4))
             alts = _ALTS[int(ref[p])]
             hap1[p] = alts[int(rng.integers(0, len(alts)))]
-            n_snps += 1
+            truth.append([p, chr(ref[p]), chr(hap1[p])])
             pos += snp_spacing
+    n_snps = len(truth)
     haps = {1: hap1, 2: ref}
 
     reads = []
@@ -114,7 +117,8 @@ def make_deep_workload(out_bam: str, out_fasta: str, n_regions: int = 4,
     os.replace(tmp_bam, out_bam)
     write_fasta(out_fasta, {contig: bytes(ref)})
 
-    params.update(n_reads=len(reads), n_snps=n_snps, contig_len=L)
+    params.update(n_reads=len(reads), n_snps=n_snps, contig_len=L,
+                  truth={contig: truth})
     with open(side, "w") as f:
         json.dump(params, f)
     return params
@@ -161,12 +165,14 @@ def make_genome_workload(out_bam: str, out_fasta: str,
     n_snps = 0
     names, lens = [], []
     all_reads = []   # (tid, pos, qname, seq, qual)
+    truth: Dict[str, list] = {}
     for tid, (name, loci) in enumerate(contigs):
         L = margin + sum(rl + gap for rl, _, _ in loci)
         ref = _BASES[rng.integers(0, 4, size=L)]
         hap1 = ref.copy()
         spans = []
         cur = margin
+        ctruth = []
         for rl, cov, spacing in loci:
             rstart, rend = cur, cur + rl
             spans.append((rstart, rend, cov))
@@ -175,9 +181,11 @@ def make_genome_workload(out_bam: str, out_fasta: str,
                 p = int(pos + rng.integers(0, max(1, spacing // 4)))
                 alts = _ALTS[int(ref[p])]
                 hap1[p] = alts[int(rng.integers(0, len(alts)))]
-                n_snps += 1
+                ctruth.append([p, chr(ref[p]), chr(hap1[p])])
                 pos += spacing
             cur = rend + gap
+        truth[name] = ctruth
+        n_snps += len(ctruth)
         haps = {1: hap1, 2: ref}
         cnt = 0
         for rstart, rend, cov in spans:
@@ -213,7 +221,7 @@ def make_genome_workload(out_bam: str, out_fasta: str,
     build_bai(out_bam)
 
     params.update(n_reads=len(all_reads), n_snps=n_snps,
-                  per_contig_reads=per_contig_reads)
+                  per_contig_reads=per_contig_reads, truth=truth)
     with open(side, "w") as f:
         json.dump(params, f)
     return params

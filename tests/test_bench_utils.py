@@ -1,0 +1,71 @@
+"""Bench-side utilities: the standing accuracy leg's metric math and the
+truth sidecars written by the workload generators."""
+
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def test_accuracy_metrics_counts(tmp_path):
+    """TP/FP/FN, precision/recall/F1 and switch-error counting: orientation
+    flips between consecutive truth hets inside one PS are switches; global
+    per-PS flips are not; wrong-allele or off-truth hets are FPs."""
+    from bench import accuracy_metrics
+
+    truth = {"chrA": [[99, "A", "C"], [199, "G", "T"], [299, "C", "A"],
+                      [399, "T", "G"]],
+             "chrB": [[49, "A", "T"], [149, "C", "G"]]}
+    lines = [
+        "##x", "#CHROM\tPOS\t...",
+        # chrA PS=100: 0|1, 1|0 (switch), 1|0 (no switch)
+        "chrA\t100\t.\tA\tC\t60\tPASS\tRDS=select\tGT:GQ:PS:DP:AF:PQ\t"
+        "0|1:20:100:30:0.5:30",
+        "chrA\t200\t.\tG\tT\t60\tPASS\tRDS=select\tGT:GQ:PS:DP:AF:PQ\t"
+        "1|0:20:100:30:0.5:30",
+        "chrA\t300\t.\tC\tA\t60\tPASS\tRDS=select\tGT:GQ:PS:DP:AF:PQ\t"
+        "1|0:20:100:30:0.5:30",
+        # chrA 400: truth site but WRONG alt -> FP (and the truth site is FN)
+        "chrA\t400\t.\tT\tC\t60\tPASS\tRDS=select\tGT:GQ:DP:AF\t0/1:20:30:0.5",
+        # chrB PS=50: globally flipped orientation (1|0 then 1|0) -> no switch
+        "chrB\t50\t.\tA\tT\t60\tPASS\tRDS=select\tGT:GQ:PS:DP:AF:PQ\t"
+        "1|0:20:50:30:0.5:30",
+        "chrB\t150\t.\tC\tG\t60\tPASS\tRDS=select\tGT:GQ:PS:DP:AF:PQ\t"
+        "1|0:20:50:30:0.5:30",
+        # off-truth het -> FP; hom and non-het records ignored
+        "chrB\t500\t.\tG\tA\t60\tPASS\tRDS=select\tGT:GQ:DP:AF\t0/1:20:30:0.5",
+        "chrB\t600\t.\tG\tA\t60\tPASS\tRDS=noselect\tGT:GQ:DP:AF\t1/1:20:30:0.9",
+    ]
+    vcf = str(tmp_path / "acc.vcf")
+    with open(vcf, "w") as f:
+        f.write("\n".join(lines) + "\n")
+    m = accuracy_metrics(vcf, truth)
+    assert m["acc_truth_sites"] == 6
+    assert m["acc_tp"] == 5 and m["acc_fp"] == 2 and m["acc_fn"] == 1
+    assert m["acc_phased_tp"] == 5
+    assert m["acc_switch_pairs"] == 3 and m["acc_switch_errors"] == 1
+    assert abs(m["acc_precision"] - 5 / 7) < 1e-4   # rounded to 5 decimals
+    assert abs(m["acc_recall"] - 5 / 6) < 1e-4
+
+
+def test_workload_truth_sidecar(tmp_path):
+    """The generators persist the planted truth (pos0/ref/alt per contig);
+    the planted alt differs from ref and avoids A→G / T→C editing pairs."""
+    from longcallr_tpu.utils.bench_workload import make_genome_workload
+
+    bam = str(tmp_path / "g.bam")
+    fa = str(tmp_path / "g.fa")
+    spec = [("chrA", [(6_000, 25, 300)]), ("chrB", [(5_000, 25, 400)])]
+    params = make_genome_workload(bam, fa, contigs=spec)
+    assert set(params["truth"]) == {"chrA", "chrB"}
+    n = sum(len(v) for v in params["truth"].values())
+    assert n == params["n_snps"] > 10
+    for tri in params["truth"]["chrA"]:
+        p, r, a = tri
+        assert r != a and (r, a) not in (("A", "G"), ("T", "C"))
+    # cached reuse returns the same truth
+    with open(bam + ".params.json") as f:
+        side = json.load(f)
+    again = make_genome_workload(bam, fa, contigs=spec)
+    assert again["truth"] == side["truth"] == params["truth"]
