@@ -80,6 +80,21 @@ def build_parser() -> argparse.ArgumentParser:
                    help="Tumor purity channel weight for --somatic (default 0.3)")
     p.add_argument("--profile-dir", default=None,
                    help="Write a jax.profiler trace of the run to this dir")
+    # pod-slice launch (parallel/multihost.py): mirrors how the reference
+    # exposes every mode through one binary (main.rs:228-491). All three
+    # flags go together; each pod process runs this same command with its
+    # own --process-id. See docs/usage.md for a 2-process localhost recipe.
+    p.add_argument("--coordinator", default=None, metavar="HOST:PORT",
+                   help="jax.distributed coordinator address (process 0's "
+                        "host:port); enables multi-process pod mode")
+    p.add_argument("--num-processes", type=int, default=None,
+                   help="Total process count of the pod")
+    p.add_argument("--process-id", type=int, default=None,
+                   help="This process's index in [0, num-processes)")
+    p.add_argument("--platform", default=None,
+                   help="Force the JAX platform (e.g. cpu, tpu) before any "
+                        "backend/distributed init — overrides environment "
+                        "presets that env vars cannot")
     p.add_argument("--log-level", default="INFO")
     return p
 
@@ -121,6 +136,20 @@ def main(argv: Optional[List[str]] = None) -> int:
     args = build_parser().parse_args(argv)
     logging.basicConfig(level=args.log_level,
                         format="%(asctime)s %(levelname)s %(message)s")
+    pod_flags = (args.coordinator, args.num_processes, args.process_id)
+    pod = any(f is not None for f in pod_flags)
+    if pod and any(f is None for f in pod_flags):
+        print("error: --coordinator, --num-processes and --process-id must "
+              "be given together", file=sys.stderr)
+        return 2
+    if args.platform:
+        import jax
+        jax.config.update("jax_platforms", args.platform)
+    if pod:
+        # BEFORE any backend initialisation (jax.distributed contract)
+        from .parallel.multihost import initialize_distributed
+        initialize_distributed(args.coordinator, args.num_processes,
+                               args.process_id)
     from .utils import malloc_tune
     malloc_tune.tune()
     from .utils.device import setup_compile_cache
@@ -149,6 +178,32 @@ def main(argv: Optional[List[str]] = None) -> int:
         print("error: exon_only is set, but annotation file is not provided",
               file=sys.stderr)
         return 2
+
+    if pod:
+        # multi-process pod: shard regions across processes, gather, and
+        # let process 0 serialise (parallel/multihost.py). Has its own
+        # --stream AUTO (per-contig BAI-windowed shard processing).
+        from .parallel.multihost import run_multihost
+        go = lambda: run_multihost(args.bam_path, args.ref_path, args.output,
+                                   cfg, stream=args.stream,
+                                   input_vcf=args.input_vcf,
+                                   input_region=args.region,
+                                   contigs=args.contigs,
+                                   anno_path=args.annotation,
+                                   resume=args.resume)
+        if args.profile_dir:
+            import jax
+            with jax.profiler.trace(args.profile_dir):
+                res = go()
+        else:
+            res = go()
+        if isinstance(res, dict):   # pod summary (process 0 or shard)
+            import json
+            print(json.dumps(res))
+            return 0
+        out = res                   # 1-process degenerate: CallerOutputs
+        print(f"wrote {out.n_records} records to {out.vcf_path}")
+        return 0
 
     if args.stream is None and not args.region:
         # AUTO: a big indexed BAM should not be whole-resident by default —

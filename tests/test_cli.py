@@ -121,3 +121,65 @@ def test_cli_auto_stream(tmp_path, rng, monkeypatch, caplog):
     rc = main(["-b", bam_path, "-f", fa, "-o", str(tmp_path / "r2"),
                "-p", "hifi-masseq", "--min-read-length", "100"])
     assert rc == 0
+
+
+def test_cli_pod_flag_validation(capsys):
+    """--coordinator/--num-processes/--process-id must be given together."""
+    rc = main(["-b", "x.bam", "-f", "x.fa", "-o", "o", "-p", "hifi-masseq",
+               "--coordinator", "localhost:1234"])
+    assert rc == 2
+    assert "must be given together" in capsys.readouterr().err
+
+
+def test_cli_two_process_pod(tmp_path, rng):
+    """A REAL 2-process pod launched purely through the console entry point
+    (python -m longcallr_tpu.cli --coordinator ... --num-processes 2
+    --process-id N): process 0's serialized outputs equal a single-process
+    run byte-for-byte."""
+    import json
+    import os
+    import socket
+    import subprocess
+    import sys
+
+    from longcallr_tpu.config import preset
+    from longcallr_tpu.pipeline.caller import run
+
+    cfg = preset("hifi-masseq").replace(min_read_length=100)
+    ref = make_reference(rng, 9000)
+    truth = plant_snps(rng, ref, n_het=8, n_hom=1, min_gap=500)
+    bam_path = str(tmp_path / "clip.bam")
+    simulate_bam(bam_path, rng, ref, truth, n_reads=60, read_len=2500,
+                 err_rate=0.01)
+    fa = bam_path.replace(".bam", ".fa")
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        port = s.getsockname()[1]
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ, JAX_ENABLE_X64="1")
+    env["PYTHONPATH"] = repo_root + os.pathsep + env.get("PYTHONPATH", "")
+    # --platform cpu: this host presets JAX_PLATFORMS=axon via sitecustomize
+    # (env vars cannot override it; the flag uses jax.config.update, which
+    # must precede jax.distributed.initialize)
+    procs = [subprocess.Popen(
+        [sys.executable, "-m", "longcallr_tpu.cli",
+         "-b", bam_path, "-f", fa, "-o", str(tmp_path / "podcli"),
+         "-p", "hifi-masseq", "--min-read-length", "100",
+         "--platform", "cpu",
+         "--coordinator", f"localhost:{port}",
+         "--num-processes", "2", "--process-id", str(pid)],
+        cwd=repo_root, env=env,
+        stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True)
+        for pid in (0, 1)]
+    outs = [p.communicate(timeout=300) for p in procs]
+    for p, (so, se) in zip(procs, outs):
+        assert p.returncode == 0, se[-2000:]
+    summary0 = json.loads(outs[0][0].splitlines()[-1])
+    summary1 = json.loads(outs[1][0].splitlines()[-1])
+    assert summary0["process"] == 0 and summary0["vcf_path"]
+    assert summary1["process"] == 1
+    single = run(bam_path, fa, str(tmp_path / "single"), cfg)
+    with open(str(tmp_path / "podcli.vcf")) as f:
+        pod_vcf = f.read()
+    with open(single.vcf_path) as f:
+        assert pod_vcf == f.read()
