@@ -64,8 +64,17 @@ def simulate_bam(path: str, rng: np.random.Generator, ref: np.ndarray,
                  truth: Truth, n_reads: int = 60, read_len: int = 3000,
                  err_rate: float = 0.002, contig: str = "chrS",
                  with_introns: bool = False, baseq: int = 30,
-                 softclip: int = 0, ts_tags: bool = True) -> None:
-    """Simulate reads and write a coordinate-sorted BAM (+ FASTA alongside)."""
+                 softclip: int = 0, ts_tags: bool = True,
+                 biased_sites: Optional[Dict[int, int]] = None) -> None:
+    """Simulate reads and write a coordinate-sorted BAM (+ FASTA alongside).
+
+    ``biased_sites``: pos0 → alt base code; the alt is written on
+    PLUS-strand reads only (both haplotypes), creating the single-strand
+    alt support the strand-bias filter rejects (candidate.rs:199-234).
+    Only supported on plain-M reads (no introns/softclips)."""
+    if biased_sites:
+        assert not with_introns and not softclip, \
+            "biased_sites assumes plain M-cigar reads"
     L = len(ref)
     haps = {1: haplotype_seq(truth, ref, 1), 2: haplotype_seq(truth, ref, 2)}
     reads = []
@@ -78,6 +87,10 @@ def simulate_bam(path: str, rng: np.random.Generator, ref: np.ndarray,
         errs = rng.random(span) < err_rate
         if errs.any():
             hseq[errs] = BASES[rng.integers(0, 4, size=int(errs.sum()))]
+        if biased_sites and i % 2 == 0:   # plus-strand reads (see below)
+            for bp, alt in biased_sites.items():
+                if pos <= bp < pos + span:
+                    hseq[bp - pos] = alt
         quals = np.full(span, baseq, dtype=np.uint8)
         cigar_items: List[Tuple[int, str]] = []
         if with_introns and span > 900 and rng.random() < 0.5:
