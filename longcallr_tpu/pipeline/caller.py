@@ -9,6 +9,7 @@ Mutex-queue merges replaced by deterministic (contig, start)-ordered merges.
 from __future__ import annotations
 
 import logging
+import os
 import time
 from concurrent.futures import ThreadPoolExecutor
 from dataclasses import dataclass, field
@@ -419,14 +420,20 @@ def _run_batched(bam, fasta, regions, cfg, input_candidates, exon_regions,
                 continue
         todo_prep.append((i, exon_mask))
 
-    # Waves bounded by the candidate kernel's column budget. Each wave runs
-    # end to end — pooled pileup → one batched candidate dispatch → pooled
-    # fragments → bucketed phasing → finalize + checkpoint — so at most a
-    # wave's pileup/fragment tensors stay resident (the --stream memory
-    # contract) and --resume loses at most one wave on a crash.
+    # Waves bounded by the candidate kernel's column budget AND a host-work
+    # budget (estimated pileup cells = columns × discovered coverage): deep
+    # loci split into multiple waves so the double-buffered prepare below has
+    # something to overlap. Each wave runs end to end — pooled pileup → one
+    # batched candidate dispatch → pooled fragments → bucketed phasing →
+    # finalize + checkpoint — so at most TWO waves' pileup/fragment tensors
+    # stay resident (one phasing + one preparing; the --stream memory
+    # contract) and --resume loses at most one wave on a crash. Wave
+    # composition cannot change results: bucketing is composition-independent
+    # (per-region seed streams, phasing/batch_driver.py).
     from ..ops.candidates import CAND_BATCH_COLS, select_candidates_batched
     from .engine import (STAGE_TOTALS, import_external_candidates,
                          prepare_region_fragments, prepare_region_pileup)
+    wave_cells = int(os.environ.get("LONGCALLR_WAVE_CELLS", str(32 * 1024 * 1024)))
 
     def _pileup_one(item):
         i, _ = item
@@ -451,15 +458,28 @@ def _run_batched(bam, fasta, regions, cfg, input_candidates, exon_regions,
                 return list(ex.map(fn, items))
         return [fn(it) for it in items]
 
+    def _cells(idx: int) -> int:
+        reg = regions[idx]
+        return reg.length * max(1, getattr(reg, "max_coverage", 0) or 0)
+
+    wave_spans: List[List[Tuple[int, Optional[np.ndarray]]]] = []
     w0 = 0
     while w0 < len(todo_prep):
         w1 = w0 + 1
         tot = regions[todo_prep[w0][0]].length
+        cells = _cells(todo_prep[w0][0])
         while (w1 < len(todo_prep)
-               and tot + regions[todo_prep[w1][0]].length <= CAND_BATCH_COLS):
+               and tot + regions[todo_prep[w1][0]].length <= CAND_BATCH_COLS
+               and cells + _cells(todo_prep[w1][0]) <= wave_cells):
             tot += regions[todo_prep[w1][0]].length
+            cells += _cells(todo_prep[w1][0])
             w1 += 1
-        wave = todo_prep[w0:w1]
+        wave_spans.append(todo_prep[w0:w1])
+        w0 = w1
+
+    def _prepare_wave(wave):
+        """Host stages of one wave (pileup → candidates → fragments); fills
+        prepared[] and returns (todo, phase_items, phase_index)."""
         pileups = _pmap(_pileup_one, wave)
         _t = time.monotonic()
         if input_candidates is not None:
@@ -470,8 +490,6 @@ def _run_batched(bam, fasta, regions, cfg, input_candidates, exon_regions,
         STAGE_TOTALS["candidates"] += time.monotonic() - _t
         del pileups
         _pmap(_frags_one, [(i, c) for (i, _), c in zip(wave, cands_list)])
-
-        # phase + finalize this wave, then drop its tensors
         todo = [i for (i, _) in wave if prepared[i] is not None]
         phase_items = []
         phase_index = []
@@ -480,17 +498,38 @@ def _run_batched(bam, fasta, regions, cfg, input_candidates, exon_regions,
             if cands.n > 0 and frags.n_frags > 0:
                 phase_items.append((frags, cands, regions[i].start, apply_ds))
                 phase_index.append(i)
-        states = phase_regions_batched(phase_items, cfg, mesh=mesh)
-        st_by_region = {phase_index[j]: states[j]
-                        for j in range(len(phase_index))}
-        # finalize is GEMM/numpy-bound (GIL-held dispatch dominates at this
-        # size), so a thread pool only adds contention — run it serially
-        for i in todo:
-            cands, frags, apply_ds = prepared[i]
-            res = finalize_region(regions[i], cands, frags,
-                                  st_by_region.get(i), cfg, apply_ds)
-            ckpt.put(res)
-            results[i] = res
-            prepared[i] = None
-        w0 = w1
+        return todo, phase_items, phase_index
+
+    # Double-buffered waves: wave N+1's host prepare runs on a background
+    # thread while wave N's bucketed phasing occupies the device and its
+    # finalize the main thread (the device leg releases the GIL while it
+    # blocks on results, and the native decoders release it during parse).
+    overlap = (os.environ.get("LONGCALLR_WAVE_OVERLAP", "1") != "0"
+               and len(wave_spans) > 1)
+    ahead = ThreadPoolExecutor(max_workers=1) if overlap else None
+    try:
+        next_fut = ahead.submit(_prepare_wave, wave_spans[0]) if ahead else None
+        for w, wave in enumerate(wave_spans):
+            if ahead is not None:
+                todo, phase_items, phase_index = next_fut.result()
+                if w + 1 < len(wave_spans):
+                    next_fut = ahead.submit(_prepare_wave, wave_spans[w + 1])
+            else:
+                todo, phase_items, phase_index = _prepare_wave(wave)
+            states = phase_regions_batched(phase_items, cfg, mesh=mesh)
+            st_by_region = {phase_index[j]: states[j]
+                            for j in range(len(phase_index))}
+            # finalize is GEMM/numpy-bound (GIL-held dispatch dominates at
+            # this size), so a thread pool only adds contention — run it
+            # serially; checkpoint puts stay in wave order
+            for i in todo:
+                cands, frags, apply_ds = prepared[i]
+                res = finalize_region(regions[i], cands, frags,
+                                      st_by_region.get(i), cfg, apply_ds)
+                ckpt.put(res)
+                results[i] = res
+                prepared[i] = None
+    finally:
+        if ahead is not None:
+            ahead.shutdown(wait=True, cancel_futures=True)
     return results

@@ -517,3 +517,47 @@ def test_demo_golden_records(demo_bam_path, tmp_path):
     with open(tags_golden) as f:
         want_tags = f.read().splitlines()
     assert rows == want_tags
+
+
+def test_wave_split_and_overlap_byte_identical(tmp_path, monkeypatch):
+    """The work-aware wave split (LONGCALLR_WAVE_CELLS) and the
+    double-buffered prepare (LONGCALLR_WAVE_OVERLAP) must not change a byte:
+    wave/bucket composition only regroups regions, and every region's phasing
+    consumes its own seed stream (phasing/batch_driver.py)."""
+    from longcallr_tpu.phasing import batch_driver as bd
+    from longcallr_tpu.utils.bench_workload import make_deep_workload
+
+    cfg = preset("hifi-masseq").replace(min_read_length=100, threads=2)
+    bam_p = str(tmp_path / "wv.bam")
+    fa_p = str(tmp_path / "wv.fa")
+    make_deep_workload(bam_p, fa_p, n_regions=3, region_len=2400,
+                       snp_spacing=120, coverage=30, read_len=600,
+                       err_rate=0.0, gap=3000, seed=7, contig="chrW")
+
+    calls = []
+    orig = bd.phase_regions_batched
+
+    def spy(items, *a, **kw):
+        calls.append(len(items))
+        return orig(items, *a, **kw)
+
+    monkeypatch.setattr(bd, "phase_regions_batched", spy)
+
+    def _run(tag):
+        out = run(bam_p, fa_p, str(tmp_path / tag), cfg, batched=True)
+        with open(out.vcf_path) as f:
+            recs = [ln for ln in f if not ln.startswith("#")]
+        pb = BamFile(out.phased_bam_path)
+        tags = sorted((r.qname, r.get_tag("HP"), r.get_tag("PS")) for r in pb)
+        return recs, tags
+
+    base = _run("one_wave")             # default budget → one 3-region wave
+    assert calls and max(calls) == 3
+    calls.clear()
+    monkeypatch.setenv("LONGCALLR_WAVE_CELLS", "1")
+    split = _run("split")               # one region per wave, prepare ahead
+    assert len(calls) == 3 and max(calls) == 1
+    monkeypatch.setenv("LONGCALLR_WAVE_OVERLAP", "0")
+    serial = _run("serial")             # same waves, serial prepare
+    assert split == base
+    assert serial == base
