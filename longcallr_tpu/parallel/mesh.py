@@ -152,9 +152,13 @@ def batched_cross_optimize(batch: BatchedRegions, sigma, delta, eta,
 
     def one(p, q, rb, sm, cons, sg, dl, et):
         from ..phasing.optimize import PhaseState
-        ct = expand_cells(CompactCells(p, q))
-        st, prob = selected_loop()(ct, PhaseState(sg, dl, et), rb, sm,
-                                   cons, with_genotype, keep_conserved)
+        # compact cells straight through: the ascent's table builder expands
+        # (f64 path) or takes the fused f32 builder (f32 mode) — never
+        # materialising f64 [K,I] tables on the f32 path (emulated-f64
+        # elementwise dominated these programs on TPU)
+        st, prob = selected_loop()(CompactCells(p, q), PhaseState(sg, dl, et),
+                                   rb, sm, cons, with_genotype,
+                                   keep_conserved)
         return st.sigma, st.delta, st.eta, prob
 
     args = (batch.p, batch.q, batch.read_base,
@@ -165,6 +169,113 @@ def batched_cross_optimize(batch: BatchedRegions, sigma, delta, eta,
                 a, NamedSharding(mesh, P("regions", *([None] * (a.ndim - 1)))))
             for a in args)
     return jax.vmap(one)(*args)
+
+
+def _batched_perturbation_impl(batch: BatchedRegions, best_sigma, best_delta,
+                               best_eta, best_prob, n_rounds, keys,
+                               mesh: Optional[Mesh], with_iters: bool):
+    """Shared body of batched_perturbation_phase and its _stats variant —
+    identical programs except for the iteration counter carry."""
+    from ..phasing.optimize import PhaseState
+
+    from ..phasing.optimize import (USE_FAST_KERNELS,
+                                    _cross_optimize_fast_loop_it,
+                                    _fast_tables_for)
+    assert not with_iters or USE_FAST_KERNELS, \
+        "iteration accounting needs the fast-kernel ascent"
+
+    B, K = best_sigma.shape
+    I = best_delta.shape[1]
+    max_rounds = jnp.max(n_rounds)
+    # Build the ascent tables ONCE, outside the round loop: building inside
+    # the fori body is not hoisted by XLA through vmap and re-gathers them
+    # every round (measured 0.3 s → 35 s at deep-workload scale). The
+    # active-read set is schedule-invariant (σ only flips sign), so the
+    # tables are valid for every ascent call of every round. On the fast
+    # path the build goes straight from CompactCells (fused f32 builder in
+    # f32 mode — no [B,K,I] f64 intermediates; emulated-f64 elementwise was
+    # 278 ms of a 314 ms deep-bucket program); the spec path expands the
+    # f64 cell tables as before.
+    if USE_FAST_KERNELS:
+        fts = jax.vmap(_fast_tables_for)(
+            CompactCells(batch.p, batch.q), batch.read_base, best_sigma,
+            batch.site_mask)
+        ct_full = None
+    else:
+        fts = None
+        ct_full = expand_cells(CompactCells(batch.p, batch.q))
+
+    # Pre-draw EVERY round's perturbation randoms outside the loop in one
+    # batched threefry pass: per-round fold_in/split/uniform inside the fori
+    # body is ~6 small kernels/round, and on this part a small kernel costs
+    # ~45-50 µs regardless of size (measured) — at 125 rounds that dwarfed
+    # the matvec traffic. The (t, b) keys are identical to the in-loop form
+    # (fold_in(keys[b], t) → split), so every draw is bit-identical; the
+    # static bound R_max = I//4+1 ≥ max(n_rounds) keeps shapes static.
+    R_max = I // 4 + 1
+
+    def _draws(kb):
+        def per_round(t):
+            kr = jax.random.fold_in(kb, t)
+            k1, k2 = jax.random.split(kr)
+            return (jax.random.uniform(k1, (I,)),
+                    jax.random.uniform(k2, (K,)))
+        return jax.vmap(per_round)(jnp.arange(R_max))
+
+    rg_all, fl_all = jax.vmap(_draws)(keys)     # [B,R_max,I], [B,R_max,K]
+
+    def one_round(ct_or_ft, rb, sm, cons, b_sigma,
+                  b_delta, b_eta, b_prob, active, rg, flraw, flip):
+        if USE_FAST_KERNELS:
+            ascend = lambda st0: _cross_optimize_fast_loop_it(
+                None, st0, rb, sm, cons, with_genotype=False,
+                keep_conserved=False, ft=ct_or_ft)
+        else:
+            ascend = lambda st0: selected_loop()(ct_or_ft, st0, rb, sm, cons,
+                                                 False, False) + (jnp.int32(0),)
+        b_st = PhaseState(b_sigma, b_delta, b_eta)
+
+        def keep(b_st, b_p, st_new, prob_new):
+            better = active & (prob_new > b_p)
+            sel = lambda a, b: jnp.where(better, a, b)
+            return (PhaseState(sel(st_new.sigma, b_st.sigma),
+                               sel(st_new.delta, b_st.delta),
+                               sel(st_new.eta, b_st.eta)),
+                    jnp.where(better, prob_new, b_p))
+
+        lowv = jnp.where(flip, 1.0, -1.0)
+        delta = jnp.where(rg < 0.1, lowv,
+                          jnp.where(rg >= 0.9, -lowv, b_st.delta))
+        st1, prob1, it1 = ascend(b_st._replace(delta=delta))
+        b_st, b_prob = keep(b_st, b_prob, st1, prob1)
+        fl = (flraw < 0.1) & rb & (b_st.sigma != 0)
+        sigma = jnp.where(fl, -b_st.sigma, b_st.sigma)
+        st2, prob2, it2 = ascend(b_st._replace(sigma=sigma))
+        b_st, b_prob = keep(b_st, b_prob, st2, prob2)
+        return b_st.sigma, b_st.delta, b_st.eta, b_prob, it1, it2
+
+    def body(tidx, carry):
+        sg, dl, et, pr = carry[:4]
+        active = tidx < n_rounds
+        flip = jnp.full((B,), (tidx % 2) == 1)
+        sg, dl, et, pr, it1, it2 = jax.vmap(one_round)(
+            fts if USE_FAST_KERNELS else ct_full,
+            batch.read_base, batch.site_mask, batch.conserved, sg, dl, et,
+            pr, active, rg_all[:, tidx], fl_all[:, tidx], flip)
+        if not with_iters:
+            return sg, dl, et, pr
+        # the batched (vmapped) while_loop executes max-over-lanes
+        # iterations per ascent call, every one moving all B lanes' bytes —
+        # that max is the unit the MFU accounting needs
+        return sg, dl, et, pr, carry[4] + jnp.max(it1) + jnp.max(it2)
+
+    init = (best_sigma, best_delta, best_eta, best_prob)
+    if mesh is not None:
+        spec = lambda a: NamedSharding(mesh, P("regions", *([None] * (a.ndim - 1))))
+        init = tuple(jax.lax.with_sharding_constraint(a, spec(a)) for a in init)
+    if with_iters:
+        init = init + (jnp.int32(0),)
+    return jax.lax.fori_loop(0, max_rounds, body, init)
 
 
 @partial(jax.jit, static_argnames=("mesh",))
@@ -180,88 +291,47 @@ def batched_perturbation_phase(batch: BatchedRegions, best_sigma, best_delta,
     --resume byte-identical to an uninterrupted run (phase.rs:1198-1233 uses
     an independent thread_rng per region task).
     Returns (sigma, delta, eta, prob[B]) of the per-region best states."""
-    from ..phasing.optimize import PhaseState
+    return _batched_perturbation_impl(batch, best_sigma, best_delta, best_eta,
+                                      best_prob, n_rounds, keys, mesh,
+                                      with_iters=False)
 
-    from ..phasing.optimize import (USE_FAST_KERNELS,
-                                    _cross_optimize_fast_loop_it,
-                                    _fast_tables_for)
 
-    B, K = best_sigma.shape
-    I = best_delta.shape[1]
-    max_rounds = jnp.max(n_rounds)
-    # expand ONCE, outside the round loop: expanding inside the fori body
-    # is not hoisted by XLA through vmap and re-gathers the f64 tables
-    # every round (measured 0.3 s → 35 s at deep-workload scale). With the
-    # fast kernels the per-region ascent tables are likewise built once —
-    # the active-read set is schedule-invariant (σ only flips sign) — and
-    # threaded into every ascent call of every round.
-    ct_full = expand_cells(CompactCells(batch.p, batch.q))
-    fts = (jax.vmap(_fast_tables_for)(ct_full, batch.read_base, best_sigma,
-                                      batch.site_mask)
-           if USE_FAST_KERNELS else None)
-
-    def one_round(cp, clerr, cl1m, cexists, ft, rb, sm, cons, b_sigma,
-                  b_delta, b_eta, b_prob, active, kr, flip):
-        ct = CellTables(cp, clerr, cl1m, cexists)
-        if USE_FAST_KERNELS:
-            ascend = lambda st0: _cross_optimize_fast_loop_it(
-                ct, st0, rb, sm, cons, with_genotype=False,
-                keep_conserved=False, ft=ft)[:2]
-        else:
-            ascend = lambda st0: selected_loop()(ct, st0, rb, sm, cons,
-                                                 False, False)
-        b_st = PhaseState(b_sigma, b_delta, b_eta)
-
-        def keep(b_st, b_p, st_new, prob_new):
-            better = active & (prob_new > b_p)
-            sel = lambda a, b: jnp.where(better, a, b)
-            return (PhaseState(sel(st_new.sigma, b_st.sigma),
-                               sel(st_new.delta, b_st.delta),
-                               sel(st_new.eta, b_st.eta)),
-                    jnp.where(better, prob_new, b_p))
-
-        k1, k2 = jax.random.split(kr)
-        lowv = jnp.where(flip, 1.0, -1.0)
-        rg = jax.random.uniform(k1, (b_delta.shape[0],))
-        delta = jnp.where(rg < 0.1, lowv,
-                          jnp.where(rg >= 0.9, -lowv, b_st.delta))
-        st1, prob1 = ascend(b_st._replace(delta=delta))
-        b_st, b_prob = keep(b_st, b_prob, st1, prob1)
-        fl = (jax.random.uniform(k2, (b_sigma.shape[0],)) < 0.1) & rb & (b_st.sigma != 0)
-        sigma = jnp.where(fl, -b_st.sigma, b_st.sigma)
-        st2, prob2 = ascend(b_st._replace(sigma=sigma))
-        b_st, b_prob = keep(b_st, b_prob, st2, prob2)
-        return b_st.sigma, b_st.delta, b_st.eta, b_prob
-
-    def body(tidx, carry):
-        sg, dl, et, pr = carry
-        # fold the round index into each region's OWN key — identical to the
-        # per-region perturbation_phase draw sequence (optimize.py)
-        round_keys = jax.vmap(lambda kb: jax.random.fold_in(kb, tidx))(keys)
-        active = tidx < n_rounds
-        flip = jnp.full((B,), (tidx % 2) == 1)
-        return jax.vmap(one_round)(
-            ct_full.p, ct_full.lerr, ct_full.l1m, ct_full.exists, fts,
-            batch.read_base, batch.site_mask, batch.conserved, sg, dl, et,
-            pr, active, round_keys, flip)
-
-    init = (best_sigma, best_delta, best_eta, best_prob)
-    if mesh is not None:
-        spec = lambda a: NamedSharding(mesh, P("regions", *([None] * (a.ndim - 1))))
-        init = tuple(jax.lax.with_sharding_constraint(a, spec(a)) for a in init)
-    sg, dl, et, pr = jax.lax.fori_loop(0, max_rounds, body, init)
-    return sg, dl, et, pr
+@partial(jax.jit, static_argnames=("mesh",))
+def batched_perturbation_phase_stats(batch: BatchedRegions, best_sigma,
+                                     best_delta, best_eta, best_prob,
+                                     n_rounds, keys,
+                                     mesh: Optional[Mesh] = None):
+    """batched_perturbation_phase + batch-ascent-iteration accounting for the
+    bench's MFU probe: returns (sigma, delta, eta, prob[B], iters) where
+    ``iters`` = Σ over ascent calls of the max-over-regions while-loop trip
+    count — each such trip streams every region's split Dp twice (rows +
+    cols matvecs, kernels_fast.py). States/probs are bit-identical to
+    batched_perturbation_phase. Fast-kernel path only."""
+    return _batched_perturbation_impl(batch, best_sigma, best_delta, best_eta,
+                                      best_prob, n_rounds, keys, mesh,
+                                      with_iters=True)
 
 
 @partial(jax.jit, static_argnames=("mesh",))
 def batched_overall_probability(batch: BatchedRegions, sigma, delta, eta,
                                 mesh: Optional[Mesh] = None):
-    """cal_overall_probability per region of a bucket → prob[B]."""
+    """cal_overall_probability per region of a bucket → prob[B].
+
+    In f32 mode this evaluates via the fused-from-compact split tables
+    (matching the scale of the f32 ascent objectives it is compared
+    against in the block-flip accept, batch_driver.py); the f64 placements
+    keep the exact spec kernel."""
     from ..phasing.kernels import overall_probability
+    from ..phasing.optimize import (USE_FAST_KERNELS, _f32_mode,
+                                    _fast_tables_for)
 
     def one(p, q, rb, sm, sg, dl, et):
-        ct = expand_cells(CompactCells(p, q))
         rm = rb & (sg != 0)
+        if USE_FAST_KERNELS and _f32_mode():
+            from ..phasing.kernels_fast import fast_overall_probability32
+            ft = _fast_tables_for(CompactCells(p, q), rb, sg, sm)
+            return fast_overall_probability32(ft, sg, dl, et)
+        ct = expand_cells(CompactCells(p, q))
         return overall_probability(ct, sg, dl, et, rm, sm[None, :])
 
     args = (batch.p, batch.q, batch.read_base,

@@ -135,10 +135,12 @@ f32 = jnp.float32
 class FastTables32(NamedTuple):
     """FastTables with Dp in hi/lo f32-split form (vectors stay f64 — they
     are built once per ascent call; the per-iteration matvecs are the hot
-    path)."""
+    path). The two halves are stored STACKED ([2,K,I], dp2[0]=hi,
+    dp2[1]=lo) so each matvec direction is ONE einsum kernel over both
+    halves instead of two back-to-back kernels — same HBM bytes, half the
+    kernel launches per ascent iteration."""
 
-    dp_hi: jnp.ndarray    # [K,I] f32
-    dp_lo: jnp.ndarray    # [K,I] f32 residual (dp == hi + lo in f64)
+    dp2: jnp.ndarray      # [2,K,I] f32; dp == dp2[0] + dp2[1] in f64
     row_b: jnp.ndarray
     row_dif: jnp.ndarray
     col_b: jnp.ndarray
@@ -158,8 +160,106 @@ def split_f32(a: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
 def make_fast_tables32(ct: CellTables, read_mask, site_mask) -> FastTables32:
     ft = make_fast_tables(ct, read_mask, site_mask)
     hi, lo = split_f32(ft.dp)
-    return FastTables32(hi, lo, ft.row_b, ft.row_dif, ft.col_b, ft.col_dif,
-                        ft.col_dp, ft.row_cells, ft.cov, ft.read_mask)
+    return FastTables32(jnp.stack([hi, lo]), ft.row_b, ft.row_dif, ft.col_b,
+                        ft.col_dif, ft.col_dp, ft.row_cells, ft.cov,
+                        ft.read_mask)
+
+
+# f32-split emission tables (numpy at module level — a jnp constant would
+# initialise the device backend at import, see kernels.py). diff = l1m−lerr;
+# each f64 table value is an exact two-term f32 sum hi+lo.
+import numpy as _np
+from .kernels import LOG10_1MERR_T, LOG10_ERR_T
+from ..config import MAX_BASE_QUALITY as _MAXQ
+
+_DIFF_NP = LOG10_1MERR_T - LOG10_ERR_T
+_DIFF_HI_NP = _DIFF_NP.astype(_np.float32)
+with _np.errstate(invalid="ignore"):
+    _DIFF_LO_NP = (_DIFF_NP - _DIFF_HI_NP.astype(_np.float64)).astype(_np.float32)
+
+
+def _tiny_table_lookup(q8, table_np):
+    """Gather-free lookup from a ≤31-entry f32 table: a TPU gather over
+    [B,K,I] indices lowers to a ~66 ms fusion at deep-bucket scale (measured
+    — gathers are effectively scalar on the VPU), while a compare+select
+    chain over the table entries is ordinary vector work inside one fusion.
+    q8 values above the table range resolve to the LAST entry (same clamp
+    semantics as expand_cells' jnp.minimum + clipped gather)."""
+    out = jnp.full(q8.shape, jnp.float32(table_np[len(table_np) - 1]), f32)
+    for v in range(len(table_np) - 1):
+        out = jnp.where(q8 == v, jnp.float32(table_np[v]), out)
+    return out
+
+
+def _ones_sum_rows(a32):
+    """Σ over the minor axis of [K,I] f32 via a ones-contraction on the MXU,
+    F32_CHUNK-chunked f32 partials combined in f64 (same accumulation
+    contract as the split matvecs)."""
+    K, I = a32.shape
+    c = _chunks(I)
+    parts = jnp.einsum("kjc,c->kj", a32.reshape(K, I // c, c),
+                       jnp.ones(c, f32), preferred_element_type=f32)
+    return parts.astype(f64).sum(axis=1)
+
+
+def _ones_sum_cols(a32):
+    """Σ over the major axis of [K,I] f32 (see _ones_sum_rows)."""
+    K, I = a32.shape
+    c = _chunks(K)
+    parts = jnp.einsum("jci,c->ji", a32.reshape(K // c, c, I),
+                       jnp.ones(c, f32), preferred_element_type=f32)
+    return parts.astype(f64).sum(axis=0)
+
+
+def fast_tables32_from_compact(cc, read_mask, site_mask) -> FastTables32:
+    """FastTables32 built DIRECTLY from CompactCells: f32 table gathers and
+    MXU ones-contractions, no [K,I] f64 intermediate anywhere. f64
+    elementwise is software-emulated on the TPU — the expand-then-split
+    build (expand_cells + make_fast_tables32) measured 278 ms of a 314 ms
+    deep-bucket program; this form is ~an order of magnitude cheaper.
+
+    Exactness vs the expand-then-split build:
+      * dp2 is BIT-IDENTICAL: f32(diff·p) == f32(diff)·p for p ∈ {±1}.
+      * row_b/col_b are exact sums in one final rounding (lerr = −q/10
+        exactly, so the masked sums are integer q-sums — f32-exact up to
+        2²⁴ — scaled by −0.1 in f64); differs from the f64 term-sum by
+        ≤1 ulp.
+      * row_dif/col_dif/col_dp use f32-chunked partials with f64 chunk
+        combine (~1e-4 absolute) — the same accumulation contract as the
+        split matvecs, inside the mode's documented error bound and the
+        F32_SAFETY_TOL margin recheck.
+    Only reachable in f32 mode (optimize._fast_tables_for), where these
+    tolerances are already the operating contract."""
+    p8, q8 = cc.p, cc.q
+    K, I = p8.shape
+    exists = p8 != 0
+    m = site_mask[None, :] & exists
+    ms = m & read_mask[:, None]
+    qi = jnp.minimum(q8.astype(jnp.int32), _MAXQ)
+    dif_hi = _tiny_table_lookup(qi, _DIFF_HI_NP)
+    dif_lo = _tiny_table_lookup(qi, _DIFF_LO_NP)
+    p32 = p8.astype(f32)
+    dp_hi = jnp.where(m, dif_hi * p32, 0.0).astype(f32)
+    dp_lo = jnp.where(m, dif_lo * p32, 0.0).astype(f32)
+    qf = qi.astype(f32)
+    zero = jnp.asarray(0.0, f32)
+    qm = jnp.where(m, qf, zero)
+    qms = jnp.where(ms, qf, zero)
+    dif_hi_m = jnp.where(m, dif_hi, zero)
+    dif_lo_m = jnp.where(m, dif_lo, zero)
+    dif_hi_ms = jnp.where(ms, dif_hi, zero)
+    dif_lo_ms = jnp.where(ms, dif_lo, zero)
+    dp_hi_ms = jnp.where(read_mask[:, None], dp_hi, zero)
+    dp_lo_ms = jnp.where(read_mask[:, None], dp_lo, zero)
+    row_b = -0.1 * _ones_sum_rows(qm)
+    row_dif = _ones_sum_rows(dif_hi_m) + _ones_sum_rows(dif_lo_m)
+    col_b = -0.1 * _ones_sum_cols(qms)
+    col_dif = _ones_sum_cols(dif_hi_ms) + _ones_sum_cols(dif_lo_ms)
+    col_dp = _ones_sum_cols(dp_hi_ms) + _ones_sum_cols(dp_lo_ms)
+    row_cells = _ones_sum_rows(m.astype(f32)).astype(jnp.int32)
+    cov = _ones_sum_cols(ms.astype(f32)).astype(jnp.int32)
+    return FastTables32(jnp.stack([dp_hi, dp_lo]), row_b, row_dif, col_b,
+                        col_dif, col_dp, row_cells, cov, read_mask)
 
 
 def _chunks(n: int) -> int:
@@ -189,58 +289,56 @@ def _use_pallas(K: int, I: int, operand=None) -> bool:
     return PK._pallas_available()
 
 
-def _matvec_rows(dp_hi, dp_lo, x) -> jnp.ndarray:
+def _matvec_rows(dp2, x) -> jnp.ndarray:
     """dp @ x with I-axis-chunked f32 contractions, f64 chunk accumulation.
-    ``x`` may be [I] or [I,X] (stacked operands — one pass over dp).
-    Large aligned shapes route to the Pallas kernel (pallas_kernels.py):
-    one VMEM-resident pass over both split halves with in-kernel
-    double-f32 accumulation."""
-    K, I = dp_hi.shape
+    ``dp2`` is the stacked [2,K,I] hi/lo split; both halves contract in ONE
+    einsum (the split axis rides along as a batch dim — identical partials
+    to two separate kernels, one launch). ``x`` may be [I] or [I,X]
+    (stacked operands — one pass over dp). Large aligned shapes route to
+    the Pallas kernel (pallas_kernels.py): one VMEM-resident pass over both
+    split halves with in-kernel double-f32 accumulation."""
+    _, K, I = dp2.shape
     vec = x.ndim == 1
     if vec:
         x = x[:, None]
     X = x.shape[1]
-    if X == 2 and _use_pallas(K, I, dp_hi):
+    if X == 2 and _use_pallas(K, I, dp2):
         from . import pallas_kernels as PK
-        return PK.dual_matvec_rows(dp_hi, dp_lo, x,
+        return PK.dual_matvec_rows(dp2[0], dp2[1], x,
                                    interpret=PK.INTERPRET)
     c = _chunks(I)
     x32 = x.astype(f32).reshape(I // c, c, X)
-    h = dp_hi.reshape(K, I // c, c)
-    l = dp_lo.reshape(K, I // c, c)
-    ph = jnp.einsum("kjc,jcx->kjx", h, x32, preferred_element_type=f32)
-    pl = jnp.einsum("kjc,jcx->kjx", l, x32, preferred_element_type=f32)
-    out = (ph.astype(f64) + pl.astype(f64)).sum(axis=1)
+    d = dp2.reshape(2, K, I // c, c)
+    parts = jnp.einsum("skjc,jcx->skjx", d, x32, preferred_element_type=f32)
+    out = (parts[0].astype(f64) + parts[1].astype(f64)).sum(axis=1)
     return out[:, 0] if vec else out
 
 
-def _matvec_cols(dp_hi, dp_lo, s) -> jnp.ndarray:
-    """dp.T @ s with K-axis-chunked f32 contractions, f64 accumulation."""
-    K, I = dp_hi.shape
-    if _use_pallas(K, I, dp_hi):
+def _matvec_cols(dp2, s) -> jnp.ndarray:
+    """dp.T @ s with K-axis-chunked f32 contractions, f64 accumulation;
+    both split halves in one einsum (see _matvec_rows)."""
+    _, K, I = dp2.shape
+    if _use_pallas(K, I, dp2):
         from . import pallas_kernels as PK
-        return PK.matvec_cols(dp_hi, dp_lo, s, interpret=PK.INTERPRET)
+        return PK.matvec_cols(dp2[0], dp2[1], s, interpret=PK.INTERPRET)
     c = _chunks(K)
     s32 = s.astype(f32).reshape(K // c, c)
-    h = dp_hi.reshape(K // c, c, I)
-    l = dp_lo.reshape(K // c, c, I)
-    ph = jnp.einsum("jci,jc->ji", h, s32, preferred_element_type=f32)
-    pl = jnp.einsum("jci,jc->ji", l, s32, preferred_element_type=f32)
-    return (ph.astype(f64) + pl.astype(f64)).sum(axis=0)
+    d = dp2.reshape(2, K // c, c, I)
+    parts = jnp.einsum("sjci,jc->sji", d, s32, preferred_element_type=f32)
+    return (parts[0].astype(f64) + parts[1].astype(f64)).sum(axis=0)
 
 
 def fast_read_logliks32(ft: FastTables32, delta, eta):
     u = jnp.where(eta == 0, delta, 0.0)
     v = jnp.where(eta == 0, 0.0, eta)
-    duv = _matvec_rows(ft.dp_hi, ft.dp_lo, jnp.stack([u, v], axis=-1))
+    duv = _matvec_rows(ft.dp2, jnp.stack([u, v], axis=-1))
     du, dv = duv[:, 0], duv[:, 1]
     base = ft.row_b + 0.5 * ft.row_dif + 0.5 * dv
     return base + 0.5 * du, base - 0.5 * du, ft.row_cells
 
 
 def fast_snp_sums32(ft: FastTables32, sigma, delta):
-    dts = _matvec_cols(ft.dp_hi, ft.dp_lo,
-                       jnp.where(ft.read_mask, sigma, 0.0))
+    dts = _matvec_cols(ft.dp2, jnp.where(ft.read_mask, sigma, 0.0))
     base = ft.col_b + 0.5 * ft.col_dif
     half = 0.5 * delta * dts
     return (base + half, base - half, base + 0.5 * ft.col_dp,
@@ -250,7 +348,7 @@ def fast_snp_sums32(ft: FastTables32, sigma, delta):
 def fast_overall_probability32(ft: FastTables32, sigma, delta, eta):
     u = jnp.where(eta == 0, delta, 0.0)
     v = jnp.where(eta == 0, 0.0, eta)
-    duv = _matvec_rows(ft.dp_hi, ft.dp_lo, jnp.stack([u, v], axis=-1))
+    duv = _matvec_rows(ft.dp2, jnp.stack([u, v], axis=-1))
     du, dv = duv[:, 0], duv[:, 1]
     per_read = ft.row_b + 0.5 * ft.row_dif + 0.5 * (sigma * du + dv)
     return jnp.where(ft.read_mask, per_read, 0.0).sum()

@@ -147,13 +147,21 @@ def _fast_tables_for(ct, read_base, sigma, site_mask):
     and the perturbation schedule (σ only ever flips sign, never zeroes),
     so callers that run many ascents over the same region may build the
     tables ONCE and pass them to every call — per-call rebuilds were ~45%
-    of the schedule's HBM traffic."""
-    from . import kernels_fast as KF
+    of the schedule's HBM traffic.
 
-    ct = as_tables(ct)
+    In f32 mode a CompactCells input takes the FUSED builder (f32 gathers +
+    MXU ones-contractions, kernels_fast.fast_tables32_from_compact): the
+    expand-to-f64-then-split build is emulated-f64 elementwise and measured
+    278 ms of a 314 ms deep-bucket program on the TPU."""
+    from . import kernels_fast as KF
+    from .kernels import CompactCells
+
     rm0 = read_base & (sigma != 0)
-    make = KF.make_fast_tables32 if _f32_mode() else KF.make_fast_tables
-    return make(ct, rm0, site_mask)
+    if _f32_mode():
+        if isinstance(ct, CompactCells):
+            return KF.fast_tables32_from_compact(ct, rm0, site_mask)
+        return KF.make_fast_tables32(as_tables(ct), rm0, site_mask)
+    return KF.make_fast_tables(as_tables(ct), rm0, site_mask)
 
 
 def _cross_optimize_fast_loop_it(ct: CellTables, st: PhaseState, read_base,

@@ -85,11 +85,11 @@ def test_f32_split_matvecs_accurate(rng):
         np.asarray(ft.dp), rtol=0, atol=3e-13)
     u = jnp.where(eta == 0, delta, 0.0)
     want_r = np.asarray(ft.dp @ u)
-    got_r = np.asarray(_matvec_rows(hi, lo, u))
+    got_r = np.asarray(_matvec_rows(jnp.stack([hi, lo]), u))
     np.testing.assert_allclose(got_r, want_r, atol=2e-4)
     s = jnp.where(rm, sigma, 0.0)
     want_c = np.asarray(ft.dp.T @ s)
-    got_c = np.asarray(_matvec_cols(hi, lo, s))
+    got_c = np.asarray(_matvec_cols(jnp.stack([hi, lo]), s))
     np.testing.assert_allclose(got_c, want_c, atol=2e-4)
     ft32 = make_fast_tables32(ct, rm, site)
     np.testing.assert_array_equal(np.asarray(ft32.row_b),
@@ -169,8 +169,8 @@ def test_pallas_matvecs_match_f64(rng, monkeypatch):
     x2 = rng.integers(-1, 2, size=(I, 2)).astype(np.float64)
     want = dp @ x2
     scale = np.abs(want).max()
-    ein = np.asarray(KF._matvec_rows(jnp.asarray(hi), jnp.asarray(lo),
-                                     jnp.asarray(x2)))
+    ein = np.asarray(KF._matvec_rows(
+        jnp.stack([jnp.asarray(hi), jnp.asarray(lo)]), jnp.asarray(x2)))
     pal = np.asarray(PK.dual_matvec_rows(jnp.asarray(hi), jnp.asarray(lo),
                                          jnp.asarray(x2), interpret=True))
     assert np.abs(pal - want).max() / scale <= \
@@ -178,8 +178,8 @@ def test_pallas_matvecs_match_f64(rng, monkeypatch):
     s = rng.integers(-1, 2, size=K).astype(np.float64)
     wantc = dp.T @ s
     sc = np.abs(wantc).max() + 1e-30
-    einc = np.asarray(KF._matvec_cols(jnp.asarray(hi), jnp.asarray(lo),
-                                      jnp.asarray(s)))
+    einc = np.asarray(KF._matvec_cols(
+        jnp.stack([jnp.asarray(hi), jnp.asarray(lo)]), jnp.asarray(s)))
     palc = np.asarray(PK.matvec_cols(jnp.asarray(hi), jnp.asarray(lo),
                                      jnp.asarray(s), interpret=True))
     assert np.abs(palc - wantc).max() / sc <= \
@@ -545,3 +545,66 @@ def test_degraded_placement_surfaced(caplog):
     mid = D.DEGRADED_PLACEMENTS
     assert D.phase_problem_device(1) is None
     assert D.DEGRADED_PLACEMENTS == mid
+
+
+def test_batched_perturbation_stats_matches_schedule(rng):
+    """batched_perturbation_phase_stats (the bench MFU probe's production
+    kernel) must be bit-identical to batched_perturbation_phase — it only
+    adds the batch-ascent-iteration counter."""
+    import jax
+    from longcallr_tpu.parallel.mesh import (
+        BatchedRegions, batched_cross_optimize, batched_perturbation_phase,
+        batched_perturbation_phase_stats)
+
+    B, K, I = 3, 96, 24
+    p = rng.choice([-1, 0, 1], size=(B, K, I), p=[0.3, 0.4, 0.3]).astype(np.int8)
+    q = rng.integers(10, 31, size=(B, K, I)).astype(np.uint8)
+    rb = rng.random((B, K)) < 0.9
+    batch = BatchedRegions(p=jnp.asarray(p), q=jnp.asarray(q),
+                           read_base=jnp.asarray(rb),
+                           site_mask=jnp.ones((B, I), bool),
+                           conserved=jnp.zeros((B, I), bool))
+    sigma0 = jnp.asarray(np.where(rb, rng.choice([-1.0, 1.0], (B, K)), 0.0))
+    delta0 = jnp.asarray(rng.choice([-1.0, 1.0], (B, I)))
+    sg1, dl1, et1, pr1 = batched_cross_optimize(
+        batch, sigma0, delta0, jnp.zeros((B, I)),
+        keep_conserved=False, with_genotype=False)
+    n_rounds = jnp.asarray(np.array([I // 4 + 1, 3, 5], np.int32))
+    keys = jnp.stack([jax.random.PRNGKey(5 + b) for b in range(B)])
+    a = batched_perturbation_phase(batch, sg1, dl1, et1, pr1, n_rounds, keys)
+    b = batched_perturbation_phase_stats(batch, sg1, dl1, et1, pr1, n_rounds,
+                                         keys)
+    assert int(b[4]) > 0
+    for x, y in zip(a, b[:4]):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
+def test_fused_compact_tables_match_split_build(rng):
+    """fast_tables32_from_compact vs expand-then-split (make_fast_tables32):
+    dp2 bit-identical; row_b/col_b within an ulp (one final rounding of the
+    exact integer-q sum); diff sums within the mode's f32-chunk bound;
+    counts exact."""
+    from longcallr_tpu.phasing.kernels import CompactCells, make_cell_tables
+    from longcallr_tpu.phasing.kernels_fast import (
+        fast_tables32_from_compact, make_fast_tables32)
+
+    K, I = 600, 96
+    p = rng.choice([-1, 0, 1], size=(K, I), p=[0.3, 0.4, 0.3]).astype(np.int8)
+    q = rng.integers(5, 31, size=(K, I)).astype(np.uint8)
+    rm = jnp.asarray(rng.random(K) < 0.9)
+    sm = jnp.asarray(rng.random(I) < 0.95)
+    ct = make_cell_tables(p, q)
+    ref = make_fast_tables32(ct, rm, sm)
+    got = fast_tables32_from_compact(
+        CompactCells(jnp.asarray(p), jnp.asarray(q)), rm, sm)
+    np.testing.assert_array_equal(np.asarray(got.dp2), np.asarray(ref.dp2))
+    np.testing.assert_allclose(np.asarray(got.row_b), np.asarray(ref.row_b),
+                               rtol=1e-14, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(got.col_b), np.asarray(ref.col_b),
+                               rtol=1e-14, atol=1e-12)
+    for name in ("row_dif", "col_dif", "col_dp"):
+        np.testing.assert_allclose(np.asarray(getattr(got, name)),
+                                   np.asarray(getattr(ref, name)), atol=2e-4)
+    np.testing.assert_array_equal(np.asarray(got.row_cells),
+                                  np.asarray(ref.row_cells))
+    np.testing.assert_array_equal(np.asarray(got.cov), np.asarray(ref.cov))
