@@ -343,7 +343,17 @@ def f64_decision_margin_batched(p8, q8, sigma, delta, eta, read_base,
 
 @jax.jit
 def _overall_probability_jit(ct, sigma, delta, eta, read_base, site_mask):
-    """cal_overall_probability as one dispatch (accepts CompactCells)."""
+    """cal_overall_probability as one dispatch (accepts CompactCells).
+    In f32 mode a CompactCells input evaluates via the fused split tables
+    (no f64 expansion/gather on device — see kernels_fast); matches the
+    scale of the f32 ascent objectives it is compared against."""
+    from .kernels import CompactCells
+
+    if (USE_FAST_KERNELS and _f32_mode()
+            and isinstance(ct, CompactCells)):
+        from .kernels_fast import fast_overall_probability32
+        ft = _fast_tables_for(ct, read_base, sigma, site_mask)
+        return fast_overall_probability32(ft, sigma, delta, eta)
     ct = as_tables(ct)
     rm = read_base & (sigma != 0)
     return overall_probability(ct, sigma, delta, eta, rm, site_mask[None, :])
@@ -376,6 +386,25 @@ def f64_decision_margin(ct: CellTables, st: PhaseState, read_base,
     return jnp.minimum(sig_gap, snp_gap)
 
 
+def _predraw_rounds(key, K: int, I: int):
+    """Pre-draw every perturbation round's randoms outside the fori body in
+    one batched threefry pass (bit-identical to the in-loop
+    fold_in(key, t) → split → uniform form). Per-round in-body draws are ~6
+    small kernels/round and a small kernel costs ~45-50 µs FIXED on this
+    part; at I//4+1 rounds that dwarfed the matvec traffic. The static
+    bound R_max = I//4+1 covers every caller (the schedule length is
+    n_rounds = I//4+1, phase.rs:1198)."""
+    R_max = I // 4 + 1
+
+    def per_round(t):
+        kr = jax.random.fold_in(key, t)
+        k1, k2 = jax.random.split(kr)
+        return (jax.random.uniform(k1, (I,)),
+                jax.random.uniform(k2, (K,)))
+
+    return jax.vmap(per_round)(jnp.arange(R_max))   # [R_max,I], [R_max,K]
+
+
 @jax.jit
 def perturbation_phase(ct: CellTables, st: PhaseState, best_st: PhaseState,
                        best_prob, read_base, site_mask, conserved,
@@ -384,17 +413,20 @@ def perturbation_phase(ct: CellTables, st: PhaseState, best_st: PhaseState,
     program: n_rounds iterations of {10%% SNP resets → cross_optimize →
     keep-best → 10%% read flips → cross_optimize → keep-best}, with
     device-side jax.random. Returns (best state, best prob)."""
-    ct = as_tables(ct)
     K = st.sigma.shape[0]
     I = st.delta.shape[0]
     # the active-read set is schedule-invariant (sigma only flips sign):
-    # build the ascent tables ONCE for all 2*n_rounds calls
+    # build the ascent tables ONCE for all 2*n_rounds calls. A CompactCells
+    # input in f32 mode goes STRAIGHT to the fused builder — never expand
+    # to f64 tables on device first (emulated-f64 elementwise + 8.4M-index
+    # gathers were 80% of the deep program; see _fast_tables_for).
     if USE_FAST_KERNELS:
         ft = _fast_tables_for(ct, read_base, st.sigma, site_mask)
         ascend = lambda st0: _cross_optimize_fast_loop_it(
-            ct, st0, read_base, site_mask, conserved,
+            None, st0, read_base, site_mask, conserved,
             with_genotype=False, keep_conserved=False, ft=ft)[:2]
     else:
+        ct = as_tables(ct)
         ascend = lambda st0: _cross_optimize_loop(
             ct, st0, read_base, site_mask, conserved,
             with_genotype=False, keep_conserved=False)
@@ -408,19 +440,19 @@ def perturbation_phase(ct: CellTables, st: PhaseState, best_st: PhaseState,
                            sel(st_new.eta, b_st.eta)),
                 jnp.where(better, prob_new, b_p))
 
+    rg_all, fl_all = _predraw_rounds(key, K, I)
+
     def body(tidx, carry):
         (b_st, b_p) = carry
-        kr = jax.random.fold_in(key, tidx)
-        k1, k2 = jax.random.split(kr)
         flip = (tidx % 2) == 1
         lowv = jnp.where(flip, 1.0, -1.0)
         highv = -lowv
-        rg = jax.random.uniform(k1, (I,))
+        rg = rg_all[tidx]
         delta = jnp.where(rg < 0.1, lowv,
                           jnp.where(rg >= 0.9, highv, b_st.delta))
         st1, prob1 = ascend(b_st._replace(delta=delta))
         b_st, b_p = keep_best((b_st, b_p), st1, prob1)
-        fl = (jax.random.uniform(k2, (K,)) < 0.1) & read_base & (b_st.sigma != 0)
+        fl = (fl_all[tidx] < 0.1) & read_base & (b_st.sigma != 0)
         sigma = jnp.where(fl, -b_st.sigma, b_st.sigma)
         st2, prob2 = ascend(b_st._replace(sigma=sigma))
         b_st, b_p = keep_best((b_st, b_p), st2, prob2)
@@ -440,7 +472,6 @@ def perturbation_phase_stats(ct: CellTables, st: PhaseState,
     cross_optimize calls). Each iteration is two passes over the split Dp
     matrix (kernels_fast.py) — the count converts measured wall time into
     bytes-moved / flops for the bench's MFU line. Fast-kernel path only."""
-    ct = as_tables(ct)
     K = st.sigma.shape[0]
     I = st.delta.shape[0]
     ft = _fast_tables_for(ct, read_base, st.sigma, site_mask)
@@ -454,24 +485,24 @@ def perturbation_phase_stats(ct: CellTables, st: PhaseState,
                            sel(st_new.eta, b_st.eta)),
                 jnp.where(better, prob_new, b_p))
 
+    rg_all, fl_all = _predraw_rounds(key, K, I)
+
     def body(tidx, carry):
         (b_st, b_p, iters) = carry
-        kr = jax.random.fold_in(key, tidx)
-        k1, k2 = jax.random.split(kr)
         flip = (tidx % 2) == 1
         lowv = jnp.where(flip, 1.0, -1.0)
         highv = -lowv
-        rg = jax.random.uniform(k1, (I,))
+        rg = rg_all[tidx]
         delta = jnp.where(rg < 0.1, lowv,
                           jnp.where(rg >= 0.9, highv, b_st.delta))
         st1, prob1, it1 = _cross_optimize_fast_loop_it(
-            ct, b_st._replace(delta=delta), read_base, site_mask, conserved,
+            None, b_st._replace(delta=delta), read_base, site_mask, conserved,
             with_genotype=False, keep_conserved=False, ft=ft)
         b_st, b_p = keep_best((b_st, b_p), st1, prob1)
-        fl = (jax.random.uniform(k2, (K,)) < 0.1) & read_base & (b_st.sigma != 0)
+        fl = (fl_all[tidx] < 0.1) & read_base & (b_st.sigma != 0)
         sigma = jnp.where(fl, -b_st.sigma, b_st.sigma)
         st2, prob2, it2 = _cross_optimize_fast_loop_it(
-            ct, b_st._replace(sigma=sigma), read_base, site_mask, conserved,
+            None, b_st._replace(sigma=sigma), read_base, site_mask, conserved,
             with_genotype=False, keep_conserved=False, ft=ft)
         b_st, b_p = keep_best((b_st, b_p), st2, prob2)
         return (b_st, b_p, iters + it1 + it2)
