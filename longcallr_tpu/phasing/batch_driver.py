@@ -247,17 +247,28 @@ def _phase_bucket(group: List[_Prepared], cfg: CallerConfig, K: int,
     STAGE_TOTALS["phase_ascent1"] += time.monotonic() - _t
     _t = time.monotonic()
 
-    # 2) host block-flip per region against the best-so-far (== ascent) state
+    # 2) host block-flip per region against the best-so-far (== ascent) state.
+    # Regions are independent and the pass is large-array ufunc work (numpy
+    # releases the GIL), so the bucket fans out over a thread pool —
+    # per-region results are bit-identical to the serial loop.
     sg2 = sg_np.copy()
     dl2 = dl_np.copy()
-    for b, it in enumerate(group):
-        K0, I0 = it.frags.p.shape
+
+    def _flip_one(b: int):
         ct_b = make_cell_tables_np(p[b], bq[b])   # host pass: per-region
         st_b = PhaseState(sg_np[b], dl_np[b], et_np[b])
         st2 = block_flip_pass(ct_b, st_b, read_base[b], site_mask[b],
                               np.asarray(ct_b.exists), lds[b])
         sg2[b] = np.asarray(st2.sigma)
         dl2[b] = np.asarray(st2.delta)
+
+    if cfg.threads > 1 and B > 1:
+        from concurrent.futures import ThreadPoolExecutor
+        with ThreadPoolExecutor(max_workers=min(cfg.threads, B)) as ex:
+            list(ex.map(_flip_one, range(B)))
+    else:
+        for b in range(B):
+            _flip_one(b)
 
     # evaluate flipped states (reference scores the flip without
     # re-optimizing, phase.rs:1139-1144) and keep per-region best
