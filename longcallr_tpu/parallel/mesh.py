@@ -345,6 +345,35 @@ def batched_overall_probability(batch: BatchedRegions, sigma, delta, eta,
 
 
 @partial(jax.jit, static_argnames=("mesh",))
+def batched_block_flip(batch: BatchedRegions, sigma, delta, eta, block_id,
+                       mesh: Optional[Mesh] = None):
+    """Device block-flip pass (phase.rs:1298-1394) over a region bucket.
+
+    f32 fast-kernel mode ONLY (the split tables are the operands): callers
+    gate on optimize._f32_mode() and run optimize.block_flip_pass on the
+    host otherwise. ``block_id`` is [B,I] int32 (−1 = unblocked/padded
+    column). Returns (new_sigma, new_delta, margin[B]); a region with
+    margin < 0 had a near-tie block decision and must be recomputed with
+    the exact host pass (kernels_fast.fast_block_flip32 docstring)."""
+    from ..phasing.kernels_fast import fast_block_flip32
+    from ..phasing.optimize import _f32_mode, _fast_tables_for
+    assert _f32_mode(), "device block flip requires the f32 split tables"
+
+    def one(p, q, rb, sm, sg, dl, et, bid):
+        ft = _fast_tables_for(CompactCells(p, q), rb, sg, sm)
+        return fast_block_flip32(ft, p, sg, dl, et, sm, bid)
+
+    args = (batch.p, batch.q, batch.read_base, batch.site_mask,
+            sigma, delta, eta, block_id)
+    if mesh is not None:
+        args = tuple(
+            jax.lax.with_sharding_constraint(
+                a, NamedSharding(mesh, P("regions", *([None] * (a.ndim - 1)))))
+            for a in args)
+    return jax.vmap(one)(*args)
+
+
+@partial(jax.jit, static_argnames=("mesh",))
 def batched_enum_cross_optimize(batch: BatchedRegions, sigma0, configs, eta0,
                                 mesh: Optional[Mesh] = None):
     """Enumeration path over a bucket: regions axis × configs axis.

@@ -247,10 +247,16 @@ def _phase_bucket(group: List[_Prepared], cfg: CallerConfig, K: int,
     STAGE_TOTALS["phase_ascent1"] += time.monotonic() - _t
     _t = time.monotonic()
 
-    # 2) host block-flip per region against the best-so-far (== ascent) state.
-    # Regions are independent and the pass is large-array ufunc work (numpy
-    # releases the GIL), so the bucket fans out over a thread pool —
-    # per-region results are bit-identical to the serial loop.
+    # 2) block-flip pass per region against the best-so-far (== ascent)
+    # state. In f32 fast-kernel mode the whole bucket runs as ONE device
+    # program over the already-resident split tables (mesh.py::
+    # batched_block_flip — block decisions have no sequential dependence);
+    # regions whose smallest per-block decision margin sits inside the f32
+    # error envelope are recomputed with the exact host pass, so decisions
+    # — and therefore outputs — match the host-f64 path (the same fail-safe
+    # shape as the F32_SAFETY_TOL net). On f64 placements the host pass
+    # fans out over a thread pool (numpy releases the GIL; per-region
+    # results are bit-identical to the serial loop).
     sg2 = sg_np.copy()
     dl2 = dl_np.copy()
 
@@ -262,7 +268,25 @@ def _phase_bucket(group: List[_Prepared], cfg: CallerConfig, K: int,
         sg2[b] = np.asarray(st2.sigma)
         dl2[b] = np.asarray(st2.delta)
 
-    if cfg.threads > 1 and B > 1:
+    from .optimize import USE_FAST_KERNELS as _FK
+    from .optimize import _f32_mode as _f32m
+    if _FK and _f32m():
+        from ..parallel.mesh import batched_block_flip
+        bid_np = np.full((B, I_pad), -1, np.int32)
+        for b, it in enumerate(group):
+            blk = lds[b].block_id
+            bid_np[b, :blk.shape[0]] = blk
+        from .kernels_fast import F32_BF_TOL
+        sg2_d, dl2_d, margins = batched_block_flip(
+            batch, sg, dl, et, dp(bid_np), mesh=mesh)
+        # np.array (copy): the host fallback writes rows in place, and
+        # np.asarray of a device array is a read-only view
+        sg2 = np.array(sg2_d)
+        dl2 = np.array(dl2_d)
+        for b in np.flatnonzero(np.asarray(margins) < F32_BF_TOL):
+            STAGE_TOTALS["phase_blockflip_exact"] += 1
+            _flip_one(int(b))
+    elif cfg.threads > 1 and B > 1:
         from concurrent.futures import ThreadPoolExecutor
         with ThreadPoolExecutor(max_workers=min(cfg.threads, B)) as ex:
             list(ex.map(_flip_one, range(B)))

@@ -352,3 +352,119 @@ def fast_overall_probability32(ft: FastTables32, sigma, delta, eta):
     du, dv = duv[:, 0], duv[:, 1]
     per_read = ft.row_b + 0.5 * ft.row_dif + 0.5 * (sigma * du + dv)
     return jnp.where(ft.read_mask, per_read, 0.0).sum()
+
+
+# ---------------------------------------------------------------------------
+# Device block-flip pass (cross_optimize_by_block, phase.rs:1298-1394)
+# ---------------------------------------------------------------------------
+#
+# optimize.block_flip_pass computes every block's decision against the SAME
+# current state (no sequential dependence between blocks), so the whole pass
+# is column reductions + elementwise work — expressible over the split
+# tables with ONE extra contraction. Per-block decision margin with a
+# block-size-scaled tolerance flags near-tie regions for an exact host
+# recompute (the same fail-safe shape as optimize.F32_SAFETY_TOL).
+# LONGCALLR_BF_SAFETY overrides the per-site tolerance (default 1e-3; the
+# split-sum error propagated through the q surrogate is ≲2e-5 per site).
+
+import math as _math
+import os as _os
+
+_BF_ENV = _os.environ.get("LONGCALLR_BF_SAFETY", "")
+F32_BF_TOL: float = (float(_BF_ENV) if _BF_ENV else 1e-3)
+
+_LOG_P_HET = _math.log10(0.001)
+_LOG10_2 = _math.log10(2.0)
+_LOG_P_HOMREF = _math.log10(1.0 - 1.5 * 0.001)
+_LOG_P_HOMVAR = _math.log10(0.5 * 0.001)
+
+
+def fast_block_flip32(ft: FastTables32, p8, sigma, delta, eta, site_mask,
+                      block_id):
+    """block_flip_pass (phase.rs:1298-1394) over the split tables.
+
+    ``block_id`` is [I] int32 (−1 = unblocked column, same encoding as
+    LDInfo.block_id padded to the bucket width). Returns
+    (new_sigma, new_delta, margin) with ``margin`` = min over blocks of
+    |Σ_block Δq| / block_size — the per-site-normalised decision margin.
+    Callers compare it against F32_BF_TOL OUTSIDE the trace (so the
+    tolerance never invalidates compile caches): margin < F32_BF_TOL means
+    some block decision sat inside the f32 error envelope and the region's
+    flip pass must be recomputed exactly on the host.
+
+    Identities (same decomposition as the module header, x_new = σ·ff·(−δ)
+    with ff = −1 exactly on cells of a read's own fully-containing block):
+        S'_match = S_flip + δ·H      S'_flip = S_match − δ·H
+        H[i] = Σ_k (m∘diff∘p)[k,i] · σ_k · F[k,i]
+    and full containment reduces to min==max of block_id over a read's
+    exist cells (blocks are disjoint column components), so the pass needs
+    no gathers and no [K,I] f64 intermediates."""
+    K, I = p8.shape
+    exists = p8 != 0
+    s_match, s_flip, s_refe, s_alte, cov = fast_snp_sums32(ft, sigma, delta)
+
+    bid = block_id.astype(jnp.int32)
+    bmin = jnp.where(exists, bid[None, :], jnp.int32(I + 1)).min(axis=1)
+    bmax = jnp.where(exists, bid[None, :], jnp.int32(-2)).max(axis=1)
+    full_in = jnp.where((bmin == bmax) & (bmax >= 0), bmax, jnp.int32(-1))
+    F = (full_in[:, None] == bid[None, :]) & (bid[None, :] >= 0)
+
+    # the one new contraction — chunked f32 partials, f64 chunk combine
+    # (identical accumulation contract to _matvec_cols)
+    c = _chunks(K)
+    sf = (jnp.where(ft.read_mask, sigma, 0.0).astype(f32)[:, None]
+          * F.astype(f32))
+    d = ft.dp2.reshape(2, K // c, c, I)
+    parts = jnp.einsum("sjci,jci->sji", d, sf.reshape(K // c, c, I),
+                       preferred_element_type=f32)
+    H = (parts[0].astype(f64) + parts[1].astype(f64)).sum(axis=0)
+
+    s_match_new = s_flip + delta * H
+    s_flip_new = s_match - delta * H
+
+    ph = jnp.where(cov == 0, _LOG_P_HET,
+                   _LOG_P_HET - cov.astype(f64) * _LOG10_2)
+
+    def q_of(sm, sfl, e):
+        n1 = jnp.where(e == 0, sm + ph,
+                       jnp.where(e == 1, s_refe + _LOG_P_HOMREF,
+                                 s_alte + _LOG_P_HOMVAR))
+        dd = ((s_alte + _LOG_P_HOMVAR) + (sm + ph)
+              + (s_refe + _LOG_P_HOMREF) + (sfl + ph))
+        return 1.0 - n1 / dd
+
+    dq = q_of(s_match_new, s_flip_new, eta) - q_of(s_match, s_flip, eta)
+
+    # per-block Δ sums over a static NB == I one-hot (block count ≤ site
+    # count, so one compiled program per bucket shape)
+    onehot = ((bid[:, None] == jnp.arange(I, dtype=jnp.int32)[None, :])
+              & (bid[:, None] >= 0))                        # [I cols, NB]
+    dsum = jnp.where(onehot, dq[:, None], 0.0).sum(axis=0)  # [NB]
+    ncols = onehot.sum(axis=0)
+    has = ncols > 0
+
+    # exact global-flip symmetry: when NO active masked cell at a block's
+    # columns belongs to a partially-overlapping read (full_in ≠ block),
+    # x_new == x per cell, the host's Σ Δq is EXACTLY 0.0 (bit-identical
+    # sums) and it never flips (strict <). The common case — a region whose
+    # reads all sit inside one dominant block — would otherwise report a
+    # pure-noise margin and force a host recompute every time. The
+    # predicate is integer work, so the device decision is exact too.
+    m0 = exists & site_mask[None, :] & ft.read_mask[:, None]
+    part = m0 & (bid[None, :] >= 0) & (full_in[:, None] != bid[None, :])
+    cnt_col = part.sum(axis=0)                               # [I] int
+    npart = jnp.where(onehot, cnt_col[:, None], 0).sum(axis=0)
+    sym = has & (npart == 0)
+
+    flipb = has & ~sym & (dsum > 0.0)          # q_cur.sum() < q_new.sum()
+    margin = jnp.where(has & ~sym,
+                       jnp.abs(dsum) / jnp.maximum(ncols.astype(f64), 1.0),
+                       jnp.inf).min()
+
+    fb_col = (onehot & flipb[None, :]).any(axis=1)
+    new_delta = jnp.where(fb_col, -delta, delta)
+    covers = (exists & site_mask[None, :] & F).any(axis=1)
+    oneh_k = full_in[:, None] == jnp.arange(I, dtype=jnp.int32)[None, :]
+    flip_read = (oneh_k & flipb[None, :]).any(axis=1) & covers & ft.read_mask
+    new_sigma = jnp.where(flip_read, -sigma, sigma)
+    return new_sigma, new_delta, margin

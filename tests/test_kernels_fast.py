@@ -608,3 +608,185 @@ def test_fused_compact_tables_match_split_build(rng):
     np.testing.assert_array_equal(np.asarray(got.row_cells),
                                   np.asarray(ref.row_cells))
     np.testing.assert_array_equal(np.asarray(got.cov), np.asarray(ref.cov))
+
+
+# ---------------------------------------------------------------------------
+# Device block-flip pass (kernels_fast.fast_block_flip32)
+# ---------------------------------------------------------------------------
+
+def _synth_blocks(rng, I, n_blocks=5, max_size=4):
+    """Random disjoint column blocks → (LDInfo-compatible blocks, block_id)."""
+    from longcallr_tpu.phasing.optimize import LDInfo
+    cols = rng.permutation(I)
+    blocks, block_id = [], np.full(I, -1, np.int32)
+    pos = 0
+    for bid in range(n_blocks):
+        size = int(rng.integers(2, max_size + 1))
+        if pos + size > I:
+            break
+        comp = np.sort(cols[pos:pos + size]).astype(np.int64)
+        blocks.append(comp)
+        block_id[comp] = bid
+        pos += size
+    return LDInfo(pair_ld=None, blocks=blocks, block_id=block_id, adj=None), \
+        block_id
+
+
+def test_device_block_flip_matches_host(rng):
+    """fast_block_flip32 reproduces block_flip_pass's per-block decisions
+    (and therefore the flipped states exactly — the apply is sign flips of
+    identical inputs) whenever the normalised margin clears the envelope;
+    fuzzed over seeds and shapes."""
+    from longcallr_tpu.phasing.kernels import make_cell_tables_np
+    from longcallr_tpu.phasing.kernels_fast import (F32_BF_TOL,
+                                                    fast_block_flip32,
+                                                    make_fast_tables32)
+    from longcallr_tpu.phasing.optimize import PhaseState, block_flip_pass
+
+    checked = 0
+    for seed in range(6):
+        r = np.random.default_rng(seed)
+        K, I = int(r.integers(40, 90)), int(r.integers(16, 40))
+        # planted diploid structure so block decisions have real margins:
+        # p = h_k · δ*_i with sequencing errors; the current state carries
+        # whole-block δ errors that the flip pass should correct
+        hap = r.choice([-1, 1], size=K)
+        true_delta = r.choice([-1.0, 1.0], size=I)
+        exists = r.random((K, I)) < 0.6
+        p = (hap[:, None] * true_delta[None, :]).astype(np.int8)
+        flips = r.random((K, I)) < 0.05
+        p = np.where(flips, -p, p)
+        p = np.where(exists, p, 0).astype(np.int8)
+        q = r.integers(3, 31, size=(K, I)).astype(np.uint8)
+        rbase = r.random(K) < 0.95
+        sigma = np.where(rbase, hap.astype(np.float64), 0.0)
+        ld, block_id = _synth_blocks(r, I)
+        # flip some whole blocks' delta so the pass has work to do
+        delta = true_delta.copy()
+        for comp in ld.blocks[::2]:
+            delta[comp] = -delta[comp]
+        eta = np.zeros(I)
+        site = r.random(I) < 0.9
+
+        ct_np = make_cell_tables_np(p, q)
+        st2 = block_flip_pass(ct_np, PhaseState(sigma, delta, eta), rbase,
+                              site, np.asarray(ct_np.exists), ld)
+
+        rm = jnp.asarray(rbase & (sigma != 0))
+        ft = make_fast_tables32(KK.make_cell_tables(p, q), rm,
+                                jnp.asarray(site))
+        sg_d, dl_d, margin = fast_block_flip32(
+            ft, jnp.asarray(p), jnp.asarray(sigma), jnp.asarray(delta),
+            jnp.asarray(eta), jnp.asarray(site), jnp.asarray(block_id))
+        if float(margin) < F32_BF_TOL:
+            continue  # near-tie data: the driver recomputes on the host
+        np.testing.assert_array_equal(np.asarray(dl_d), np.asarray(st2.delta))
+        np.testing.assert_array_equal(np.asarray(sg_d), np.asarray(st2.sigma))
+        checked += 1
+    assert checked >= 4, f"only {checked} seeds had clear margins"
+
+
+def test_device_block_flip_no_blocks_identity(rng):
+    """With no LD blocks the pass is the identity (host returns the state
+    unchanged; the device kernel must too, with an infinite margin)."""
+    from longcallr_tpu.phasing.kernels_fast import (fast_block_flip32,
+                                                    make_fast_tables32)
+
+    K, I = 32, 16
+    r = np.random.default_rng(7)
+    p = r.choice([-1, 0, 1], size=(K, I)).astype(np.int8)
+    q = r.integers(3, 31, size=(K, I)).astype(np.uint8)
+    sigma = r.choice([-1.0, 1.0], size=K)
+    delta = r.choice([-1.0, 1.0], size=I)
+    eta = np.zeros(I)
+    site = np.ones(I, bool)
+    rm = jnp.asarray(sigma != 0)
+    ft = make_fast_tables32(KK.make_cell_tables(p, q), rm, jnp.asarray(site))
+    sg_d, dl_d, margin = fast_block_flip32(
+        ft, jnp.asarray(p), jnp.asarray(sigma), jnp.asarray(delta),
+        jnp.asarray(eta), jnp.asarray(site),
+        jnp.asarray(np.full(I, -1, np.int32)))
+    assert np.isinf(float(margin))
+    np.testing.assert_array_equal(np.asarray(sg_d), sigma)
+    np.testing.assert_array_equal(np.asarray(dl_d), delta)
+
+
+def test_batched_driver_device_flip_matches_host_flip(tmp_path, rng, monkeypatch):
+    """In-situ gate: the batched driver under f32 mode produces byte-identical
+    states whether the block-flip pass runs as the device kernel (default)
+    or is forced entirely onto the exact host path (F32_BF_TOL = inf ⇒
+    every region's margin 'fails' and _flip_one recomputes) — i.e. the
+    device decisions match the host decisions on real pipeline data."""
+    from longcallr_tpu.phasing import kernels_fast as KF
+    from longcallr_tpu.phasing import optimize as opt
+    from longcallr_tpu.phasing.batch_driver import phase_regions_batched
+
+    cfg, cands, frags = _mk_region(tmp_path, rng)
+    assert cands.n > cfg.max_enum_snps, "need the iterative path"
+    rng2 = np.random.default_rng(991)
+    cfg2, cands2, frags2 = _mk_region(tmp_path, rng2, n_het=12)
+
+    def fake_f32():
+        dev = jax.config.jax_default_device
+        return not (dev is not None and dev.platform == "cpu")
+
+    jax.clear_caches()
+    monkeypatch.setattr(opt, "USE_F32_KERNELS", True)
+    monkeypatch.setattr(opt, "_f32_mode", fake_f32)
+    items = [(frags, cands, 3, False), (frags2, cands2, 5, False)]
+    try:
+        got_dev = phase_regions_batched(items, cfg)
+        monkeypatch.setattr(KF, "F32_BF_TOL", np.inf)
+        got_host = phase_regions_batched(items, cfg)
+    finally:
+        jax.clear_caches()
+    for a, b in zip(got_dev, got_host):
+        np.testing.assert_array_equal(np.asarray(a.sigma), np.asarray(b.sigma))
+        np.testing.assert_array_equal(np.asarray(a.delta), np.asarray(b.delta))
+        np.testing.assert_array_equal(np.asarray(a.eta), np.asarray(b.eta))
+
+
+def test_device_block_flip_symmetric_block_exact(rng):
+    """A block that fully contains every active read is the global-flip
+    symmetry: the host's per-block Δ is EXACTLY 0.0 (bit-identical sums, no
+    flip under strict <). The device kernel must detect this case with
+    integer logic — no flip, margin +inf (no host fallback) — instead of
+    reporting pure f32 noise."""
+    from longcallr_tpu.phasing.kernels import make_cell_tables_np
+    from longcallr_tpu.phasing.kernels_fast import (fast_block_flip32,
+                                                    make_fast_tables32)
+    from longcallr_tpu.phasing.optimize import (LDInfo, PhaseState,
+                                                block_flip_pass)
+
+    K, I = 48, 20
+    r = np.random.default_rng(5)
+    hap = r.choice([-1, 1], size=K)
+    true_delta = r.choice([-1.0, 1.0], size=I)
+    exists = r.random((K, I)) < 0.7
+    p = (hap[:, None] * true_delta[None, :]).astype(np.int8)
+    p = np.where(r.random((K, I)) < 0.05, -p, p)
+    p = np.where(exists, p, 0).astype(np.int8)
+    q = r.integers(3, 31, size=(K, I)).astype(np.uint8)
+    sigma = hap.astype(np.float64)
+    delta = true_delta.copy()
+    eta = np.zeros(I)
+    site = np.ones(I, bool)
+    # ONE block over all columns → every read fully contained
+    block_id = np.zeros(I, np.int32)
+    ld = LDInfo(pair_ld=None, blocks=[np.arange(I)], block_id=block_id,
+                adj=None)
+
+    ct_np = make_cell_tables_np(p, q)
+    st2 = block_flip_pass(ct_np, PhaseState(sigma, delta, eta),
+                          np.ones(K, bool), site, np.asarray(ct_np.exists),
+                          ld)
+    np.testing.assert_array_equal(st2.delta, delta)   # symmetric: no flip
+
+    rm = jnp.asarray(sigma != 0)
+    ft = make_fast_tables32(KK.make_cell_tables(p, q), rm, jnp.asarray(site))
+    sg_d, dl_d, margin = fast_block_flip32(
+        ft, jnp.asarray(p), jnp.asarray(sigma), jnp.asarray(delta),
+        jnp.asarray(eta), jnp.asarray(site), jnp.asarray(block_id))
+    assert np.isinf(float(margin)), float(margin)
+    np.testing.assert_array_equal(np.asarray(dl_d), delta)
+    np.testing.assert_array_equal(np.asarray(sg_d), sigma)

@@ -672,3 +672,32 @@ def test_run_multihost_streaming_pod(tmp_path):
                               sb.read(i).get_tag("PS"))
            for i in range(sb.n_records)}
     assert t_p == t_s
+
+
+def test_batched_block_flip_sharded_over_mesh(rng, monkeypatch):
+    """The device block-flip program shards over the regions axis of the
+    mesh with bit-equal states and margins (f32 mode forced: the split
+    tables are the kernel's operands)."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    from longcallr_tpu.parallel.mesh import batched_block_flip, make_mesh
+    from longcallr_tpu.phasing import optimize as opt
+
+    monkeypatch.setattr(opt, "USE_F32_KERNELS", True)
+    jax.clear_caches()
+    try:
+        mesh = make_mesh(4, 2)
+        B, K, I = 8, 32, 8
+        batch, sigma, delta, eta = _batch(rng, B, K, I)
+        bid = np.full((B, I), -1, np.int32)
+        bid[:, 0:2] = 0                    # two 2-column blocks per region
+        bid[:, 3:5] = 1
+        bid = jnp.asarray(bid)
+        sg_m, dl_m, mg_m = batched_block_flip(batch, sigma, delta, eta, bid,
+                                              mesh=mesh)
+        sg_u, dl_u, mg_u = batched_block_flip(batch, sigma, delta, eta, bid)
+        np.testing.assert_array_equal(np.asarray(sg_m), np.asarray(sg_u))
+        np.testing.assert_array_equal(np.asarray(dl_m), np.asarray(dl_u))
+        np.testing.assert_array_equal(np.asarray(mg_m), np.asarray(mg_u))
+    finally:
+        jax.clear_caches()
