@@ -352,16 +352,24 @@ def batched_block_flip(batch: BatchedRegions, sigma, delta, eta, block_id,
     f32 fast-kernel mode ONLY (the split tables are the operands): callers
     gate on optimize._f32_mode() and run optimize.block_flip_pass on the
     host otherwise. ``block_id`` is [B,I] int32 (−1 = unblocked/padded
-    column). Returns (new_sigma, new_delta, margin[B]); a region with
-    margin < 0 had a near-tie block decision and must be recomputed with
-    the exact host pass (kernels_fast.fast_block_flip32 docstring)."""
-    from ..phasing.kernels_fast import fast_block_flip32
+    column). Returns (new_sigma, new_delta, prob2[B], margin[B]):
+    ``prob2`` scores the flipped state with the SAME expression (and the
+    same per-lane tables) as batched_overall_probability's f32 branch, so
+    the flip-accept comparison needs no second program/dispatch; a region
+    with margin < F32_BF_TOL had a near-tie block decision and must be
+    recomputed with the exact host pass (kernels_fast.fast_block_flip32
+    docstring)."""
+    from ..phasing.kernels_fast import (fast_block_flip32,
+                                        fast_overall_probability32)
     from ..phasing.optimize import _f32_mode, _fast_tables_for
     assert _f32_mode(), "device block flip requires the f32 split tables"
 
     def one(p, q, rb, sm, sg, dl, et, bid):
         ft = _fast_tables_for(CompactCells(p, q), rb, sg, sm)
-        return fast_block_flip32(ft, p, sg, dl, et, sm, bid)
+        sg2, dl2, margin = fast_block_flip32(ft, p, sg, dl, et, sm, bid)
+        # the flip never zeroes σ, so ft's active-read set is still exact
+        prob2 = fast_overall_probability32(ft, sg2, dl2, et)
+        return sg2, dl2, prob2, margin
 
     args = (batch.p, batch.q, batch.read_base, batch.site_mask,
             sigma, delta, eta, block_id)

@@ -270,6 +270,7 @@ def _phase_bucket(group: List[_Prepared], cfg: CallerConfig, K: int,
 
     from .optimize import USE_FAST_KERNELS as _FK
     from .optimize import _f32_mode as _f32m
+    prob2_np = None
     if _FK and _f32m():
         from ..parallel.mesh import batched_block_flip
         bid_np = np.full((B, I_pad), -1, np.int32)
@@ -277,15 +278,26 @@ def _phase_bucket(group: List[_Prepared], cfg: CallerConfig, K: int,
             blk = lds[b].block_id
             bid_np[b, :blk.shape[0]] = blk
         from .kernels_fast import F32_BF_TOL
-        sg2_d, dl2_d, margins = batched_block_flip(
+        sg2_d, dl2_d, prob2_d, margins = batched_block_flip(
             batch, sg, dl, et, dp(bid_np), mesh=mesh)
         # np.array (copy): the host fallback writes rows in place, and
         # np.asarray of a device array is a read-only view
         sg2 = np.array(sg2_d)
         dl2 = np.array(dl2_d)
-        for b in np.flatnonzero(np.asarray(margins) < F32_BF_TOL):
+        prob2_np = np.array(prob2_d)
+        bad = np.flatnonzero(np.asarray(margins) < F32_BF_TOL)
+        for b in bad:
             STAGE_TOTALS["phase_blockflip_exact"] += 1
             _flip_one(int(b))
+        if bad.size:
+            # rescore ONLY the host-recomputed regions (their in-kernel
+            # prob2 scored the pre-fallback flip). The batched program
+            # computes every lane; lanes are numerically independent, so a
+            # region's kept value never depends on its bucket-mates.
+            from ..parallel.mesh import batched_overall_probability
+            pr_re = np.asarray(batched_overall_probability(
+                batch, dp(sg2), dp(dl2), dp(et_np), mesh=mesh))
+            prob2_np[bad] = pr_re[bad]
     elif cfg.threads > 1 and B > 1:
         from concurrent.futures import ThreadPoolExecutor
         with ThreadPoolExecutor(max_workers=min(cfg.threads, B)) as ex:
@@ -295,10 +307,13 @@ def _phase_bucket(group: List[_Prepared], cfg: CallerConfig, K: int,
             _flip_one(b)
 
     # evaluate flipped states (reference scores the flip without
-    # re-optimizing, phase.rs:1139-1144) and keep per-region best
-    from ..parallel.mesh import batched_overall_probability
-    prob2_np = np.asarray(batched_overall_probability(
-        batch, dp(sg2), dp(dl2), dp(et_np), mesh=mesh))
+    # re-optimizing, phase.rs:1139-1144) and keep per-region best. The
+    # device-flip path already scored the flip inside its program (same
+    # expression and tables as the f32 branch here — no second dispatch).
+    if prob2_np is None:
+        from ..parallel.mesh import batched_overall_probability
+        prob2_np = np.asarray(batched_overall_probability(
+            batch, dp(sg2), dp(dl2), dp(et_np), mesh=mesh))
     better = prob2_np > prob1_np
     best_sg = np.where(better[:, None], sg2, sg_np)
     best_dl = np.where(better[:, None], dl2, dl_np)

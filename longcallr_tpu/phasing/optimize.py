@@ -662,6 +662,16 @@ def init_haplotypes_ld(cands: CandidateSet, ld: LDInfo,
 # Block flip pass: cross_optimize_by_block (phase.rs:1298-1394)
 # ---------------------------------------------------------------------------
 
+@jax.jit
+def _block_flip_fast_jit(p8, q8, sigma, delta, eta, read_base, site_mask,
+                         bid):
+    """Single-region device block flip over the split tables (f32 mode only
+    — see kernels_fast.fast_block_flip32 and mesh.batched_block_flip)."""
+    from . import kernels_fast as KF
+    ft = _fast_tables_for(CompactCells(p8, q8), read_base, sigma, site_mask)
+    return KF.fast_block_flip32(ft, p8, sigma, delta, eta, site_mask, bid)
+
+
 def block_flip_pass(ct_np: CellTables, st: PhaseState, read_base: np.ndarray,
                     site_mask: np.ndarray, exists: np.ndarray,
                     ld: LDInfo) -> PhaseState:
@@ -918,11 +928,29 @@ def _phase_region_padded_impl(frags, cands, cfg, seed, apply_downsampling,
     consider(st, prob)
     st = best_st
 
-    exists_pad = np.zeros((K, I_pad), dtype=bool)
-    exists_pad[:K0, :I] = frags.exists()
-    ct_np = make_cell_tables_np(p_pad, q_pad)   # host pass: block flip only
-    st2 = block_flip_pass(ct_np, st, read_base_np, site_mask_np, exists_pad, ld)
-    del ct_np
+    # block flip: in f32 mode the pass runs on the device over the split
+    # tables (no host f64 [K,I] tables — at giant-region scale those cost
+    # seconds of first-touch page faults); a region whose smallest
+    # per-block decision margin is inside the f32 envelope is recomputed
+    # with the exact host pass, so decisions match the f64 path (same
+    # contract as the batched driver, kernels_fast.fast_block_flip32)
+    st2 = None
+    if USE_FAST_KERNELS and _f32_mode():
+        from . import kernels_fast as KF
+        bid_pad = np.full(I_pad, -1, np.int32)
+        bid_pad[:ld.block_id.shape[0]] = ld.block_id
+        sg2, dl2, mg = _block_flip_fast_jit(
+            ct.p, ct.q, st.sigma, st.delta, st.eta, read_base, site_mask,
+            jnp.asarray(bid_pad))
+        if float(mg) >= KF.F32_BF_TOL:
+            st2 = PhaseState(sg2, dl2, st.eta)
+    if st2 is None:
+        exists_pad = np.zeros((K, I_pad), dtype=bool)
+        exists_pad[:K0, :I] = frags.exists()
+        ct_np = make_cell_tables_np(p_pad, q_pad)  # host pass: block flip only
+        st2 = block_flip_pass(ct_np, st, read_base_np, site_mask_np,
+                              exists_pad, ld)
+        del ct_np
     prob = _overall_probability_jit(ct, st2.sigma, st2.delta, st2.eta,
                                     read_base, site_mask)
     consider(st2, prob)

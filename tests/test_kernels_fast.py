@@ -790,3 +790,32 @@ def test_device_block_flip_symmetric_block_exact(rng):
     assert np.isinf(float(margin)), float(margin)
     np.testing.assert_array_equal(np.asarray(dl_d), delta)
     np.testing.assert_array_equal(np.asarray(sg_d), sigma)
+
+
+def test_per_region_device_flip_matches_host_flip(tmp_path, rng, monkeypatch):
+    """The per-region iterative path under f32 mode is byte-identical
+    whether its block-flip pass runs as the device kernel (default) or is
+    forced onto the exact host pass (huge F32_BF_TOL ⇒ every finite margin
+    'fails') — i.e. the device decisions match the host decisions inside
+    the otherwise-identical pipeline."""
+    from longcallr_tpu.phasing import kernels_fast as KF
+    from longcallr_tpu.phasing import optimize as opt
+    from longcallr_tpu.phasing.optimize import phase_region
+
+    cfg, cands, frags = _mk_region(tmp_path, rng)
+    assert cands.n > cfg.max_enum_snps, "need the iterative path"
+
+    def fake_f32():
+        dev = jax.config.jax_default_device
+        return not (dev is not None and dev.platform == "cpu")
+
+    jax.clear_caches()
+    monkeypatch.setattr(opt, "_f32_mode", fake_f32)
+    try:
+        got_dev = phase_region(frags, cands, cfg, seed=3)
+        monkeypatch.setattr(KF, "F32_BF_TOL", 1e30)
+        got_host = phase_region(frags, cands, cfg, seed=3)
+    finally:
+        jax.clear_caches()
+    for a, b in zip(got_dev, got_host):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

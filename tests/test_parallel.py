@@ -693,11 +693,19 @@ def test_batched_block_flip_sharded_over_mesh(rng, monkeypatch):
         bid[:, 0:2] = 0                    # two 2-column blocks per region
         bid[:, 3:5] = 1
         bid = jnp.asarray(bid)
-        sg_m, dl_m, mg_m = batched_block_flip(batch, sigma, delta, eta, bid,
-                                              mesh=mesh)
-        sg_u, dl_u, mg_u = batched_block_flip(batch, sigma, delta, eta, bid)
+        sg_m, dl_m, pr_m, mg_m = batched_block_flip(batch, sigma, delta,
+                                                    eta, bid, mesh=mesh)
+        sg_u, dl_u, pr_u, mg_u = batched_block_flip(batch, sigma, delta,
+                                                    eta, bid)
         np.testing.assert_array_equal(np.asarray(sg_m), np.asarray(sg_u))
         np.testing.assert_array_equal(np.asarray(dl_m), np.asarray(dl_u))
+        np.testing.assert_array_equal(np.asarray(pr_m), np.asarray(pr_u))
         np.testing.assert_array_equal(np.asarray(mg_m), np.asarray(mg_u))
+        # the in-kernel flip score must be bit-equal to the standalone
+        # scoring program (same expression, same tables) — the flip-accept
+        # comparison relies on this when a fallback region is rescored
+        from longcallr_tpu.parallel.mesh import batched_overall_probability
+        pr_s = batched_overall_probability(batch, sg_u, dl_u, eta)
+        np.testing.assert_array_equal(np.asarray(pr_u), np.asarray(pr_s))
     finally:
         jax.clear_caches()
