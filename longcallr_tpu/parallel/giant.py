@@ -109,9 +109,15 @@ def phase_region_sharded(frags: FragmentMatrix, cands: CandidateSet,
     sigma0 = np.where(read_base_np, sigma0, 0.0)
 
     # device-resident operands (sharded by the shard_map in_specs on entry;
-    # compact 2-byte/cell form — each shard expands its own rows)
-    p8_d = jnp.asarray(padKI(frags.p))
-    q8_d = jnp.asarray(padKI(frags.baseq).astype(np.uint8))
+    # compact form — each shard expands its own rows). Accelerator meshes
+    # take the joint 1-byte/cell transfer (kernels.pack_cells_np).
+    if mesh.devices.flat[0].platform != "cpu":
+        from ..phasing.kernels import pack_cells_np, unpack_cells
+        p8_d, q8_d = unpack_cells(jnp.asarray(pack_cells_np(
+            padKI(frags.p), padKI(frags.baseq))))
+    else:
+        p8_d = jnp.asarray(padKI(frags.p))
+        q8_d = jnp.asarray(padKI(frags.baseq).astype(np.uint8))
     rb_d = jnp.asarray(read_base_np)
     sm_d = jnp.asarray(site_mask_np)
     cons_d = jnp.asarray(conserved_np)

@@ -80,6 +80,23 @@ def phase_regions_batched(items: List[Tuple[FragmentMatrix, CandidateSet, int, b
     return out
 
 
+def _cells_to_device(p: np.ndarray, bq: np.ndarray, dev, mesh, dp):
+    """(p, q) of a bucket → device arrays. Accelerator targets transfer the
+    joint 1-byte/cell encoding and unpack on device (bit-exact inverse,
+    kernels.pack_cells_np) — the tunneled TPU moves ~19 MB/s, so halving
+    the bucket's bytes saves ~0.45 s per deep wave; CPU targets (and CPU
+    meshes) take the direct 2-byte form (packing is pure overhead there)."""
+    from ..utils.device import accel_placement
+    from .kernels import pack_cells_np, unpack_cells
+    if mesh is not None:
+        accel = mesh.devices.flat[0].platform != "cpu"
+    else:
+        accel = dev is None and accel_placement()
+    if accel:
+        return unpack_cells(dp(pack_cells_np(p, bq)))
+    return dp(p), dp(bq)
+
+
 def _phase_enum_bucket(group: List[_Prepared], cfg: CallerConfig, K: int,
                        I0: int, mesh, out: List[Optional[PhaseState]]) -> None:
     """Batched 2^I enumeration (phase.rs:1097-1122) for regions sharing the
@@ -119,8 +136,9 @@ def _phase_enum_bucket(group: List[_Prepared], cfg: CallerConfig, K: int,
         a = jnp.asarray(a)
         return jax.device_put(a, dev) if dev is not None else a
 
+    p_d, q_d = _cells_to_device(p, bq, dev, mesh, dp)
     batch = BatchedRegions(
-        p=dp(p), q=dp(bq),
+        p=p_d, q=q_d,
         read_base=dp(read_base), site_mask=dp(site_mask),
         conserved=dp(np.zeros((B, I_pad), bool)))
 
@@ -231,8 +249,9 @@ def _phase_bucket(group: List[_Prepared], cfg: CallerConfig, K: int,
         a = jnp.asarray(a)
         return jax.device_put(a, dev) if dev is not None else a
 
+    p_d, q_d = _cells_to_device(p, bq, dev, mesh, dp)
     batch = BatchedRegions(
-        p=dp(p), q=dp(bq),
+        p=p_d, q=q_d,
         read_base=dp(read_base), site_mask=dp(site_mask),
         conserved=dp(conserved))
     STAGE_TOTALS["phase_tables"] += time.monotonic() - _t

@@ -834,7 +834,15 @@ def _phase_region_padded_impl(frags, cands, cfg, seed, apply_downsampling,
     # only where a host pass needs them (block flip).
     p_pad = padKI(frags.p)
     q_pad = padKI(frags.baseq).astype(np.uint8)
-    ct = CompactCells(jnp.asarray(p_pad), jnp.asarray(q_pad))
+    from ..utils.device import accel_placement
+    if accel_placement():
+        # accelerator target: 1-byte/cell joint transfer, bit-exact device
+        # unpack (kernels.pack_cells_np — the tunneled TPU moves ~19 MB/s)
+        from .kernels import pack_cells_np, unpack_cells
+        ct = CompactCells(*unpack_cells(
+            jnp.asarray(pack_cells_np(p_pad, q_pad))))
+    else:
+        ct = CompactCells(jnp.asarray(p_pad), jnp.asarray(q_pad))
     site_mask_np = padI(cands.for_phasing)
     site_mask = jnp.asarray(site_mask_np)
     ds = frags.downsampled if apply_downsampling else np.ones(K0, bool)

@@ -92,6 +92,21 @@ def phase_problem_device(work: int) -> Optional[jax.Device]:
     return _cpu_or_none()
 
 
+def accel_placement() -> bool:
+    """True when programs traced HERE will run on an accelerator (same
+    placement resolution as optimize._f32_mode's auto: an explicit
+    jax.default_device context wins, else the default backend). Gates
+    host-side work that only pays off for a device target — e.g. the
+    1-byte cell packing for transfer (kernels.pack_cells_np)."""
+    try:
+        dev = jax.config.jax_default_device
+        if dev is not None:
+            return dev.platform != "cpu"
+        return jax.default_backend() != "cpu"
+    except Exception:
+        return False
+
+
 def _cpu_or_none() -> Optional[jax.Device]:
     try:
         default = jax.devices()[0]

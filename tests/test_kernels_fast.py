@@ -819,3 +819,36 @@ def test_per_region_device_flip_matches_host_flip(tmp_path, rng, monkeypatch):
         jax.clear_caches()
     for a, b in zip(got_dev, got_host):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_pack_cells_roundtrip_exact(rng):
+    """pack_cells_np → unpack_cells is bit-exact: p everywhere, q wherever a
+    cell exists (q at p==0 cells is never consumed — every table masks by
+    exists)."""
+    from longcallr_tpu.phasing.kernels import pack_cells_np, unpack_cells
+    for seed in range(3):
+        r = np.random.default_rng(seed)
+        p = r.choice([-1, 0, 1], size=(37, 19)).astype(np.int8)
+        q = r.integers(0, 94, size=(37, 19)).astype(np.uint8)
+        c = pack_cells_np(p, q)
+        assert c.dtype == np.uint8
+        p2, q2 = unpack_cells(jnp.asarray(c))
+        np.testing.assert_array_equal(np.asarray(p2), p)
+        np.testing.assert_array_equal(np.asarray(q2)[p != 0], q[p != 0])
+
+
+def test_packed_transfer_driver_identity(tmp_path, rng, monkeypatch):
+    """Forcing the accelerator-placement gate on (packed 1-byte transfer +
+    device unpack) leaves the batched driver's outputs byte-identical to
+    the direct 2-byte path."""
+    from longcallr_tpu.phasing.batch_driver import phase_regions_batched
+    from longcallr_tpu.utils import device as UD
+
+    cfg, cands, frags = _mk_region(tmp_path, rng)
+    items = [(frags, cands, 3, False), (frags, cands, 7, False)]
+    want = phase_regions_batched(items, cfg)
+    monkeypatch.setattr(UD, "accel_placement", lambda: True)
+    got = phase_regions_batched(items, cfg)
+    for a, b in zip(got, want):
+        for x, y in zip(a, b):
+            np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
