@@ -173,9 +173,14 @@ def batched_cross_optimize(batch: BatchedRegions, sigma, delta, eta,
 
 def _batched_perturbation_impl(batch: BatchedRegions, best_sigma, best_delta,
                                best_eta, best_prob, n_rounds, keys,
-                               mesh: Optional[Mesh], with_iters: bool):
+                               mesh: Optional[Mesh], with_iters: bool,
+                               fts=None):
     """Shared body of batched_perturbation_phase and its _stats variant —
-    identical programs except for the iteration counter carry."""
+    identical programs except for the iteration counter carry. ``fts``:
+    optional prebuilt split tables (batched_phase_fused shares ONE build
+    across ascent1/flip/schedule — valid because the active-read mask they
+    bake in is σ-sign-invariant, so the values are bit-identical to a
+    rebuild here)."""
     from ..phasing.optimize import PhaseState
 
     from ..phasing.optimize import (USE_FAST_KERNELS,
@@ -197,9 +202,10 @@ def _batched_perturbation_impl(batch: BatchedRegions, best_sigma, best_delta,
     # 278 ms of a 314 ms deep-bucket program); the spec path expands the
     # f64 cell tables as before.
     if USE_FAST_KERNELS:
-        fts = jax.vmap(_fast_tables_for)(
-            CompactCells(batch.p, batch.q), batch.read_base, best_sigma,
-            batch.site_mask)
+        if fts is None:
+            fts = jax.vmap(_fast_tables_for)(
+                CompactCells(batch.p, batch.q), batch.read_base, best_sigma,
+                batch.site_mask)
         ct_full = None
     else:
         fts = None
@@ -379,6 +385,73 @@ def batched_block_flip(batch: BatchedRegions, sigma, delta, eta, block_id,
                 a, NamedSharding(mesh, P("regions", *([None] * (a.ndim - 1)))))
             for a in args)
     return jax.vmap(one)(*args)
+
+
+@partial(jax.jit, static_argnames=("mesh",))
+def batched_phase_fused(batch: BatchedRegions, sigma0, delta0, eta0,
+                        block_id, n_rounds, keys,
+                        mesh: Optional[Mesh] = None):
+    """The bucket's ENTIRE iterative phase — first ascent (keep_conserved,
+    phase.rs:1132) → block flip + flip score → keep-best → perturbation
+    schedule — as ONE device program sharing ONE split-table build (f32
+    fast-kernel mode only). On the tunneled deployment this replaces three
+    dispatch roundtrips with one; on any host it saves two table rebuilds.
+
+    Every stage is the same jitted computation the staged driver runs
+    (batched_cross_optimize / batched_block_flip / host keep-best /
+    batched_perturbation_phase), composed — outputs are bit-identical
+    (asserted in tests), so the driver may choose fused vs staged per
+    bucket without affecting results. Returns (sigma, delta, eta, prob[B],
+    margin[B]); when any region's margin is inside the f32 envelope the
+    caller discards the fused result and reruns the staged path, whose
+    host-exact block-flip fallback defines the semantics."""
+    from ..phasing.kernels_fast import (fast_block_flip32,
+                                        fast_overall_probability32)
+    from ..phasing.optimize import (PhaseState, _cross_optimize_fast_loop_it,
+                                    _f32_mode, _fast_tables_for)
+    assert _f32_mode(), "fused phase requires the f32 split tables"
+
+    args = (batch.p, batch.q, batch.read_base, batch.site_mask,
+            batch.conserved, sigma0, delta0, eta0, block_id)
+    if mesh is not None:
+        args = tuple(
+            jax.lax.with_sharding_constraint(
+                a, NamedSharding(mesh, P("regions", *([None] * (a.ndim - 1)))))
+            for a in args)
+    p, q, rb, sm, cons, sg0, dl0, et0, bid = args
+
+    # one build serves all three stages: the active-read mask it bakes in
+    # (rb & σ≠0) is σ-sign-invariant across the whole sequence
+    fts = jax.vmap(_fast_tables_for)(CompactCells(p, q), rb, sg0, sm)
+
+    def one_ascent(ft, rb1, sm1, cons1, sg, dl, et):
+        st, prob, _ = _cross_optimize_fast_loop_it(
+            None, PhaseState(sg, dl, et), rb1, sm1, cons1,
+            with_genotype=False, keep_conserved=True, ft=ft)
+        return st.sigma, st.delta, st.eta, prob
+
+    sg1, dl1, et1, prob1 = jax.vmap(one_ascent)(fts, rb, sm, cons,
+                                                sg0, dl0, et0)
+
+    def one_flip(ft, p1, sg, dl, et, sm1, bid1):
+        sg2, dl2, margin = fast_block_flip32(ft, p1, sg, dl, et, sm1, bid1)
+        prob2 = fast_overall_probability32(ft, sg2, dl2, et)
+        return sg2, dl2, prob2, margin
+
+    sg2, dl2, prob2, margins = jax.vmap(one_flip)(fts, p, sg1, dl1, et1,
+                                                  sm, bid)
+
+    # keep-best (reference scores the flip without re-optimizing,
+    # phase.rs:1139-1144) — same comparison the staged driver does on host
+    better = prob2 > prob1
+    best_sg = jnp.where(better[:, None], sg2, sg1)
+    best_dl = jnp.where(better[:, None], dl2, dl1)
+    best_pr = jnp.where(better, prob2, prob1)
+
+    sgf, dlf, etf, prf = _batched_perturbation_impl(
+        batch, best_sg, best_dl, et1, best_pr, n_rounds, keys, mesh,
+        with_iters=False, fts=fts)
+    return sgf, dlf, etf, prf, margins
 
 
 @partial(jax.jit, static_argnames=("mesh",))

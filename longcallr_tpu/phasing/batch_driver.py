@@ -257,98 +257,122 @@ def _phase_bucket(group: List[_Prepared], cfg: CallerConfig, K: int,
     STAGE_TOTALS["phase_tables"] += time.monotonic() - _t
     _t = time.monotonic()
 
-    # 1) first ascent (keep_conserved=True, phase.rs:1132)
-    sg, dl, et, prob1 = batched_cross_optimize(
-        batch, dp(sigma0), dp(delta0), dp(eta0),
-        keep_conserved=True, with_genotype=False, mesh=mesh)
-    sg_np, dl_np, et_np = (np.asarray(a) for a in (sg, dl, et))
-    prob1_np = np.asarray(prob1)
-    STAGE_TOTALS["phase_ascent1"] += time.monotonic() - _t
-    _t = time.monotonic()
-
-    # 2) block-flip pass per region against the best-so-far (== ascent)
-    # state. In f32 fast-kernel mode the whole bucket runs as ONE device
-    # program over the already-resident split tables (mesh.py::
-    # batched_block_flip — block decisions have no sequential dependence);
-    # regions whose smallest per-block decision margin sits inside the f32
-    # error envelope are recomputed with the exact host pass, so decisions
-    # — and therefore outputs — match the host-f64 path (the same fail-safe
-    # shape as the F32_SAFETY_TOL net). On f64 placements the host pass
-    # fans out over a thread pool (numpy releases the GIL; per-region
-    # results are bit-identical to the serial loop).
-    sg2 = sg_np.copy()
-    dl2 = dl_np.copy()
-
-    def _flip_one(b: int):
-        ct_b = make_cell_tables_np(p[b], bq[b])   # host pass: per-region
-        st_b = PhaseState(sg_np[b], dl_np[b], et_np[b])
-        st2 = block_flip_pass(ct_b, st_b, read_base[b], site_mask[b],
-                              np.asarray(ct_b.exists), lds[b])
-        sg2[b] = np.asarray(st2.sigma)
-        dl2[b] = np.asarray(st2.delta)
-
     from .optimize import USE_FAST_KERNELS as _FK
     from .optimize import _f32_mode as _f32m
-    prob2_np = None
-    if _FK and _f32m():
-        from ..parallel.mesh import batched_block_flip
-        bid_np = np.full((B, I_pad), -1, np.int32)
-        for b, it in enumerate(group):
-            blk = lds[b].block_id
-            bid_np[b, :blk.shape[0]] = blk
-        from .kernels_fast import F32_BF_TOL
-        sg2_d, dl2_d, prob2_d, margins = batched_block_flip(
-            batch, sg, dl, et, dp(bid_np), mesh=mesh)
-        # np.array (copy): the host fallback writes rows in place, and
-        # np.asarray of a device array is a read-only view
-        sg2 = np.array(sg2_d)
-        dl2 = np.array(dl2_d)
-        prob2_np = np.array(prob2_d)
-        bad = np.flatnonzero(np.asarray(margins) < F32_BF_TOL)
-        for b in bad:
-            STAGE_TOTALS["phase_blockflip_exact"] += 1
-            _flip_one(int(b))
-        if bad.size:
-            # rescore ONLY the host-recomputed regions (their in-kernel
-            # prob2 scored the pre-fallback flip). The batched program
-            # computes every lane; lanes are numerically independent, so a
-            # region's kept value never depends on its bucket-mates.
-            from ..parallel.mesh import batched_overall_probability
-            pr_re = np.asarray(batched_overall_probability(
-                batch, dp(sg2), dp(dl2), dp(et_np), mesh=mesh))
-            prob2_np[bad] = pr_re[bad]
-    elif cfg.threads > 1 and B > 1:
-        from concurrent.futures import ThreadPoolExecutor
-        with ThreadPoolExecutor(max_workers=min(cfg.threads, B)) as ex:
-            list(ex.map(_flip_one, range(B)))
-    else:
-        for b in range(B):
-            _flip_one(b)
-
-    # evaluate flipped states (reference scores the flip without
-    # re-optimizing, phase.rs:1139-1144) and keep per-region best. The
-    # device-flip path already scored the flip inside its program (same
-    # expression and tables as the f32 branch here — no second dispatch).
-    if prob2_np is None:
-        from ..parallel.mesh import batched_overall_probability
-        prob2_np = np.asarray(batched_overall_probability(
-            batch, dp(sg2), dp(dl2), dp(et_np), mesh=mesh))
-    better = prob2_np > prob1_np
-    best_sg = np.where(better[:, None], sg2, sg_np)
-    best_dl = np.where(better[:, None], dl2, dl_np)
-    best_prob = np.where(better, prob2_np, prob1_np)
-    STAGE_TOTALS["phase_blockflip"] += time.monotonic() - _t
-    _t = time.monotonic()
-
-    # 3) batched perturbation schedule with per-region round counts and
-    # per-region keys (bucket-composition-independent randomness)
     keys = jnp.stack(region_keys)
-    sgf, dlf, etf, prf = batched_perturbation_phase(
-        batch, dp(best_sg), dp(best_dl), dp(et_np),
-        dp(best_prob.astype(np.float64)), dp(n_rounds), keys, mesh=mesh)
-    sgf, dlf, etf = (np.asarray(a) for a in (sgf, dlf, etf))
-    STAGE_TOTALS["phase_perturb"] += time.monotonic() - _t
-    _t = time.monotonic()
+    bid_np = np.full((B, I_pad), -1, np.int32)
+    for b, it in enumerate(group):
+        blk = lds[b].block_id
+        bid_np[b, :blk.shape[0]] = blk
+
+    sgf = None
+    if _FK and _f32m():
+        # 0) fused whole-phase program: ascent1 → block flip → keep-best →
+        # perturbation schedule in ONE dispatch over one shared table build
+        # (mesh.py::batched_phase_fused, bit-identical to the staged
+        # sequence below). When any region's block-flip margin is inside
+        # the f32 envelope, discard and rerun staged — its host-exact
+        # fallback defines the semantics.
+        from ..parallel.mesh import batched_phase_fused
+        from .kernels_fast import F32_BF_TOL
+        sgf_d, dlf_d, etf_d, prf_d, margins = batched_phase_fused(
+            batch, dp(sigma0), dp(delta0), dp(eta0), dp(bid_np),
+            dp(n_rounds), keys, mesh=mesh)
+        if (np.asarray(margins) >= F32_BF_TOL).all():
+            sgf, dlf, etf = (np.asarray(a) for a in (sgf_d, dlf_d, etf_d))
+            STAGE_TOTALS["phase_fused"] += time.monotonic() - _t
+            _t = time.monotonic()
+        else:
+            STAGE_TOTALS["phase_fused_refused"] += 1
+
+    if sgf is None:
+        # 1) first ascent (keep_conserved=True, phase.rs:1132)
+        sg, dl, et, prob1 = batched_cross_optimize(
+            batch, dp(sigma0), dp(delta0), dp(eta0),
+            keep_conserved=True, with_genotype=False, mesh=mesh)
+        sg_np, dl_np, et_np = (np.asarray(a) for a in (sg, dl, et))
+        prob1_np = np.asarray(prob1)
+        STAGE_TOTALS["phase_ascent1"] += time.monotonic() - _t
+        _t = time.monotonic()
+
+        # 2) block-flip pass per region against the best-so-far (== ascent)
+        # state. In f32 fast-kernel mode the whole bucket runs as ONE device
+        # program over the already-resident split tables (mesh.py::
+        # batched_block_flip — block decisions have no sequential
+        # dependence); regions whose smallest per-block decision margin sits
+        # inside the f32 error envelope are recomputed with the exact host
+        # pass, so decisions — and therefore outputs — match the host-f64
+        # path (the same fail-safe shape as the F32_SAFETY_TOL net). On f64
+        # placements the host pass fans out over a thread pool (numpy
+        # releases the GIL; per-region results are bit-identical to the
+        # serial loop).
+        sg2 = sg_np.copy()
+        dl2 = dl_np.copy()
+
+        def _flip_one(b: int):
+            ct_b = make_cell_tables_np(p[b], bq[b])  # host pass: per-region
+            st_b = PhaseState(sg_np[b], dl_np[b], et_np[b])
+            st2 = block_flip_pass(ct_b, st_b, read_base[b], site_mask[b],
+                                  np.asarray(ct_b.exists), lds[b])
+            sg2[b] = np.asarray(st2.sigma)
+            dl2[b] = np.asarray(st2.delta)
+
+        prob2_np = None
+        if _FK and _f32m():
+            from ..parallel.mesh import batched_block_flip
+            from .kernels_fast import F32_BF_TOL
+            sg2_d, dl2_d, prob2_d, margins = batched_block_flip(
+                batch, sg, dl, et, dp(bid_np), mesh=mesh)
+            # np.array (copy): the host fallback writes rows in place, and
+            # np.asarray of a device array is a read-only view
+            sg2 = np.array(sg2_d)
+            dl2 = np.array(dl2_d)
+            prob2_np = np.array(prob2_d)
+            bad = np.flatnonzero(np.asarray(margins) < F32_BF_TOL)
+            for b in bad:
+                STAGE_TOTALS["phase_blockflip_exact"] += 1
+                _flip_one(int(b))
+            if bad.size:
+                # rescore ONLY the host-recomputed regions (their in-kernel
+                # prob2 scored the pre-fallback flip). The batched program
+                # computes every lane; lanes are numerically independent, so
+                # a region's kept value never depends on its bucket-mates.
+                from ..parallel.mesh import batched_overall_probability
+                pr_re = np.asarray(batched_overall_probability(
+                    batch, dp(sg2), dp(dl2), dp(et_np), mesh=mesh))
+                prob2_np[bad] = pr_re[bad]
+        elif cfg.threads > 1 and B > 1:
+            from concurrent.futures import ThreadPoolExecutor
+            with ThreadPoolExecutor(max_workers=min(cfg.threads, B)) as ex:
+                list(ex.map(_flip_one, range(B)))
+        else:
+            for b in range(B):
+                _flip_one(b)
+
+        # evaluate flipped states (reference scores the flip without
+        # re-optimizing, phase.rs:1139-1144) and keep per-region best. The
+        # device-flip path already scored the flip inside its program (same
+        # expression and tables as the f32 branch here — no second
+        # dispatch).
+        if prob2_np is None:
+            from ..parallel.mesh import batched_overall_probability
+            prob2_np = np.asarray(batched_overall_probability(
+                batch, dp(sg2), dp(dl2), dp(et_np), mesh=mesh))
+        better = prob2_np > prob1_np
+        best_sg = np.where(better[:, None], sg2, sg_np)
+        best_dl = np.where(better[:, None], dl2, dl_np)
+        best_prob = np.where(better, prob2_np, prob1_np)
+        STAGE_TOTALS["phase_blockflip"] += time.monotonic() - _t
+        _t = time.monotonic()
+
+        # 3) batched perturbation schedule with per-region round counts and
+        # per-region keys (bucket-composition-independent randomness)
+        sgf, dlf, etf, prf = batched_perturbation_phase(
+            batch, dp(best_sg), dp(best_dl), dp(et_np),
+            dp(best_prob.astype(np.float64)), dp(n_rounds), keys, mesh=mesh)
+        sgf, dlf, etf = (np.asarray(a) for a in (sgf, dlf, etf))
+        STAGE_TOTALS["phase_perturb"] += time.monotonic() - _t
+        _t = time.monotonic()
     for b, it in enumerate(group):
         K0, I0 = it.frags.p.shape
         out[it.index] = PhaseState(sgf[b, :K0], dlf[b, :I0], etf[b, :I0])

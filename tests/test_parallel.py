@@ -709,3 +709,65 @@ def test_batched_block_flip_sharded_over_mesh(rng, monkeypatch):
         np.testing.assert_array_equal(np.asarray(pr_u), np.asarray(pr_s))
     finally:
         jax.clear_caches()
+
+
+def test_batched_phase_fused_bit_identical_to_staged(rng, monkeypatch):
+    """batched_phase_fused (one program: ascent1 → flip → keep-best →
+    schedule over one shared table build) is bit-identical to the staged
+    sequence the driver otherwise runs — this is what lets the driver pick
+    fused vs staged per bucket without affecting any region's result."""
+    from longcallr_tpu.parallel.mesh import (batched_block_flip,
+                                             batched_cross_optimize,
+                                             batched_perturbation_phase,
+                                             batched_phase_fused)
+    from longcallr_tpu.phasing import optimize as opt
+
+    monkeypatch.setattr(opt, "USE_F32_KERNELS", True)
+    jax.clear_caches()
+    try:
+        B, K, I = 3, 64, 16
+        r = np.random.default_rng(17)
+        # planted structure so flips/perturbations do real work
+        hap = r.choice([-1, 1], size=(B, K))
+        td = r.choice([-1.0, 1.0], size=(B, I))
+        exists = r.random((B, K, I)) < 0.6
+        p = (hap[:, :, None] * td[:, None, :]).astype(np.int8)
+        p = np.where(r.random((B, K, I)) < 0.05, -p, p)
+        p = np.where(exists, p, 0).astype(np.int8)
+        q = r.integers(3, 31, size=(B, K, I)).astype(np.uint8)
+        rb = r.random((B, K)) < 0.95
+        sg0 = jnp.asarray(np.where(rb, r.choice([-1.0, 1.0], size=(B, K)), 0.0))
+        dl0 = jnp.asarray(r.choice([-1.0, 1.0], size=(B, I)))
+        et0 = jnp.zeros((B, I))
+        bid = np.full((B, I), -1, np.int32)
+        bid[:, 0:3] = 0
+        bid[:, 4:6] = 1
+        batch = BatchedRegions(
+            p=jnp.asarray(p), q=jnp.asarray(q), read_base=jnp.asarray(rb),
+            site_mask=jnp.ones((B, I), bool), conserved=jnp.zeros((B, I), bool))
+        n_rounds = jnp.asarray(np.full(B, I // 4 + 1, np.int32))
+        keys = jnp.stack([jax.random.PRNGKey(7 + b) for b in range(B)])
+
+        # staged sequence (mirrors batch_driver's f32 branch)
+        sg, dl, et, pr1 = batched_cross_optimize(
+            batch, sg0, dl0, et0, keep_conserved=True, with_genotype=False)
+        sg2, dl2, pr2, mg = batched_block_flip(batch, sg, dl, et,
+                                               jnp.asarray(bid))
+        better = np.asarray(pr2) > np.asarray(pr1)
+        bsg = np.where(better[:, None], np.asarray(sg2), np.asarray(sg))
+        bdl = np.where(better[:, None], np.asarray(dl2), np.asarray(dl))
+        bpr = np.where(better, np.asarray(pr2), np.asarray(pr1))
+        sgf_s, dlf_s, etf_s, prf_s = batched_perturbation_phase(
+            batch, jnp.asarray(bsg), jnp.asarray(bdl), et,
+            jnp.asarray(bpr), n_rounds, keys)
+
+        sgf_f, dlf_f, etf_f, prf_f, mg_f = batched_phase_fused(
+            batch, sg0, dl0, et0, jnp.asarray(bid), n_rounds, keys)
+
+        np.testing.assert_array_equal(np.asarray(mg_f), np.asarray(mg))
+        np.testing.assert_array_equal(np.asarray(sgf_f), np.asarray(sgf_s))
+        np.testing.assert_array_equal(np.asarray(dlf_f), np.asarray(dlf_s))
+        np.testing.assert_array_equal(np.asarray(etf_f), np.asarray(etf_s))
+        np.testing.assert_array_equal(np.asarray(prf_f), np.asarray(prf_s))
+    finally:
+        jax.clear_caches()
