@@ -254,12 +254,11 @@ def deep_bench(cfg, data_dir: str) -> dict:
         # the phasing-stage ratio isolates the device win from the host
         # stages (pileup/fragments/assign run on the host in BOTH legs and
         # bound the end-to-end ratio at this workload size)
-        pt = sum(stages_tpu.get(k, 0.0) for k in
-                 ("phase", "phase_ascent1", "phase_blockflip",
-                  "phase_perturb", "phase_tables"))
-        pc = sum(stages_cpu.get(k, 0.0) for k in
-                 ("phase", "phase_ascent1", "phase_blockflip",
-                  "phase_perturb", "phase_tables"))
+        _PHASE_KEYS = ("phase", "phase_ascent1", "phase_blockflip",
+                       "phase_perturb", "phase_tables", "phase_fused",
+                       "phase_safety")
+        pt = sum(stages_tpu.get(k, 0.0) for k in _PHASE_KEYS)
+        pc = sum(stages_cpu.get(k, 0.0) for k in _PHASE_KEYS)
         res.update({
             "deep_cpu_wall_s": round(wall_cpu, 3),
             "deep_speedup_vs_cpu": round(wall_cpu / wall_tpu, 2),

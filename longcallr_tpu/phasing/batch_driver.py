@@ -215,6 +215,10 @@ def _phase_bucket(group: List[_Prepared], cfg: CallerConfig, K: int,
     n_rounds = np.zeros(B, np.int32)
     lds = []
     region_keys = []
+    # pass 1: fill the big cell arrays + masks and START the device
+    # transfer — device_put is asynchronous, so the ~MB/s tunnel moves the
+    # bucket's bytes WHILE the LD/init host loop below runs (the transfer
+    # was ~0.45 s of dead time per deep wave when it began after the loop)
     for b, it in enumerate(group):
         K0, I0 = it.frags.p.shape
         p[b, :K0, :I0] = it.frags.p
@@ -222,24 +226,7 @@ def _phase_bucket(group: List[_Prepared], cfg: CallerConfig, K: int,
         ds = it.frags.downsampled if it.apply_ds else np.ones(K0, bool)
         read_base[b, :K0] = it.frags.for_phasing & ds
         site_mask[b, :I0] = it.cands.for_phasing
-        # each region consumes its OWN rng stream in exactly the order the
-        # per-region path does (optimize.py::_phase_region_padded_impl):
-        # init_haplotypes_ld → padded-K sigma draw → int64 key draw. This
-        # makes batched == per-region and keeps results independent of which
-        # other regions share the bucket (resume/mode invariance).
-        rng = np.random.default_rng(
-            np.random.SeedSequence([cfg.seed, it.seed & 0x7FFFFFFF]))
-        ld = compute_ld_blocks(it.cands, it.frags)
-        lds.append(ld)
-        d0, cons = init_haplotypes_ld(it.cands, ld, rng)
-        delta0[b, :I0] = d0
-        conserved[b, :I0] = cons
-        eta0[b, :I0] = init_genotype(it.cands)
-        s0 = np.where(rng.random(K) < 0.5, -1.0, 1.0)
-        sigma0[b] = np.where(read_base[b], s0, 0.0)
         n_rounds[b] = I0 // 4 + 1
-        region_keys.append(jax.random.PRNGKey(
-            int(rng.integers(0, np.iinfo(np.int64).max, dtype=np.int64))))
 
     from ..pipeline.engine import STAGE_TOTALS
     _t = time.monotonic()
@@ -250,10 +237,34 @@ def _phase_bucket(group: List[_Prepared], cfg: CallerConfig, K: int,
         return jax.device_put(a, dev) if dev is not None else a
 
     p_d, q_d = _cells_to_device(p, bq, dev, mesh, dp)
-    batch = BatchedRegions(
-        p=p_d, q=q_d,
-        read_base=dp(read_base), site_mask=dp(site_mask),
-        conserved=dp(conserved))
+    rb_d, sm_d = dp(read_base), dp(site_mask)
+    STAGE_TOTALS["phase_tables"] += time.monotonic() - _t
+
+    # pass 2: per-region LD blocks + state init (host BLAS/numpy work that
+    # overlaps the in-flight transfer). Each region consumes its OWN rng
+    # stream in exactly the order the per-region path does
+    # (optimize.py::_phase_region_padded_impl): init_haplotypes_ld →
+    # padded-K sigma draw → int64 key draw. This makes batched ==
+    # per-region and keeps results independent of which other regions share
+    # the bucket (resume/mode invariance).
+    for b, it in enumerate(group):
+        K0, I0 = it.frags.p.shape
+        rng = np.random.default_rng(
+            np.random.SeedSequence([cfg.seed, it.seed & 0x7FFFFFFF]))
+        ld = compute_ld_blocks(it.cands, it.frags)
+        lds.append(ld)
+        d0, cons = init_haplotypes_ld(it.cands, ld, rng)
+        delta0[b, :I0] = d0
+        conserved[b, :I0] = cons
+        eta0[b, :I0] = init_genotype(it.cands)
+        s0 = np.where(rng.random(K) < 0.5, -1.0, 1.0)
+        sigma0[b] = np.where(read_base[b], s0, 0.0)
+        region_keys.append(jax.random.PRNGKey(
+            int(rng.integers(0, np.iinfo(np.int64).max, dtype=np.int64))))
+
+    _t = time.monotonic()
+    batch = BatchedRegions(p=p_d, q=q_d, read_base=rb_d, site_mask=sm_d,
+                           conserved=dp(conserved))
     STAGE_TOTALS["phase_tables"] += time.monotonic() - _t
     _t = time.monotonic()
 
