@@ -434,6 +434,15 @@ def _run_batched(bam, fasta, regions, cfg, input_candidates, exon_regions,
     from .engine import (STAGE_TOTALS, import_external_candidates,
                          prepare_region_fragments, prepare_region_pileup)
     wave_cells = int(os.environ.get("LONGCALLR_WAVE_CELLS", str(32 * 1024 * 1024)))
+    # regions with at least this many fragment-matrix cells finalize on a
+    # thread pool (see the deep-wave finalize fan-out below). Default OFF
+    # (0): on this 4-core host OpenBLAS already parallelises the [K,4I]
+    # assignment GEMMs internally, so pooling oversubscribes (measured
+    # 8.06 s → 8.24 s on the deep CPU leg). The knob exists for many-core
+    # deployment hosts, where the single-threaded elementwise fraction of
+    # assign dominates and per-region fan-out is the only lever.
+    _env = os.environ.get("LONGCALLR_FINALIZE_MT_CELLS", "0")
+    _FINALIZE_MT_CELLS = int(_env) if int(_env) > 0 else (1 << 62)
 
     def _pileup_one(item):
         i, _ = item
@@ -519,16 +528,37 @@ def _run_batched(bam, fasta, regions, cfg, input_candidates, exon_regions,
             states = phase_regions_batched(phase_items, cfg, mesh=mesh)
             st_by_region = {phase_index[j]: states[j]
                             for j in range(len(phase_index))}
-            # finalize is GEMM/numpy-bound (GIL-held dispatch dominates at
-            # this size), so a thread pool only adds contention — run it
-            # serially; checkpoint puts stay in wave order
-            for i in todo:
+
+            def _finalize_one(i):
                 cands, frags, apply_ds = prepared[i]
-                res = finalize_region(regions[i], cands, frags,
-                                      st_by_region.get(i), cfg, apply_ds)
-                ckpt.put(res)
-                results[i] = res
-                prepared[i] = None
+                return finalize_region(regions[i], cands, frags,
+                                       st_by_region.get(i), cfg, apply_ds)
+
+            # Deep waves fan finalize out over a thread pool: the assignment
+            # layer is [K,4I] f64 GEMMs that release the GIL, ~0.2 s/region
+            # at 4096x512 (bench deep leg). Small regions stay serial —
+            # there the GIL-held numpy dispatch dominates and threads only
+            # add contention. Per-region results are independent (own rng
+            # stream, own ct/T4 slot — assign.py thread-local cache), so
+            # only the ckpt.put order below is order-sensitive.
+            big = [i for i in todo
+                   if prepared[i][1].n_frags * max(prepared[i][0].n, 1)
+                   >= _FINALIZE_MT_CELLS]
+            if len(big) >= 2 and cfg.threads > 1:
+                with ThreadPoolExecutor(
+                        max_workers=min(cfg.threads, len(todo))) as fex:
+                    futs = {i: fex.submit(_finalize_one, i) for i in todo}
+                    for i in todo:   # checkpoint puts stay in wave order
+                        res = futs[i].result()
+                        ckpt.put(res)
+                        results[i] = res
+                        prepared[i] = None
+            else:
+                for i in todo:
+                    res = _finalize_one(i)
+                    ckpt.put(res)
+                    results[i] = res
+                    prepared[i] = None
     finally:
         if ahead is not None:
             ahead.shutdown(wait=True, cancel_futures=True)

@@ -561,3 +561,32 @@ def test_wave_split_and_overlap_byte_identical(tmp_path, monkeypatch):
     serial = _run("serial")             # same waves, serial prepare
     assert split == base
     assert serial == base
+
+
+def test_finalize_pool_byte_identical(tmp_path, monkeypatch):
+    """The deep-wave finalize fan-out (LONGCALLR_FINALIZE_MT_CELLS) must not
+    change a byte: finalize_region is per-region independent (own rng
+    stream seeded by region.start, own cell tables, thread-local T4 cache),
+    so pooled vs serial execution differs only in scheduling."""
+    from longcallr_tpu.utils.bench_workload import make_deep_workload
+
+    cfg = preset("hifi-masseq").replace(min_read_length=100, threads=3)
+    bam_p = str(tmp_path / "fp.bam")
+    fa_p = str(tmp_path / "fp.fa")
+    make_deep_workload(bam_p, fa_p, n_regions=3, region_len=2400,
+                       snp_spacing=120, coverage=30, read_len=600,
+                       err_rate=0.0, gap=3000, seed=11, contig="chrF")
+
+    def _run(tag):
+        out = run(bam_p, fa_p, str(tmp_path / tag), cfg, batched=True)
+        with open(out.vcf_path) as f:
+            recs = [ln for ln in f if not ln.startswith("#")]
+        pb = BamFile(out.phased_bam_path)
+        tags = sorted((r.qname, r.get_tag("HP"), r.get_tag("PS")) for r in pb)
+        return recs, tags
+
+    monkeypatch.setenv("LONGCALLR_FINALIZE_MT_CELLS", str(1 << 60))
+    serial = _run("fser")              # threshold unreachable → serial path
+    monkeypatch.setenv("LONGCALLR_FINALIZE_MT_CELLS", "1")
+    pooled = _run("fpool")             # every region "big" → thread pool
+    assert pooled == serial
