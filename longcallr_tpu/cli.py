@@ -18,6 +18,10 @@ def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(
         prog="longcallr-tpu",
         description="TPU-native SNP calling and phasing from long-read RNA-seq")
+    # clap derives -V/--version from #[command(version)] (main.rs:40)
+    from . import __version__
+    p.add_argument("-V", "--version", action="version",
+                   version=f"%(prog)s {__version__}")
     p.add_argument("-b", "--bam-path", required=True,
                    help="Input BAM file (must be sorted)")
     p.add_argument("-f", "--ref-path", required=True,

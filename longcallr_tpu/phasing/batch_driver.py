@@ -175,7 +175,7 @@ def _phase_enum_bucket(group: List[_Prepared], cfg: CallerConfig, K: int,
     from .optimize import (F32_SAFETY_TOL, USE_FAST_KERNELS, _f32_mode,
                            f64_decision_margin_batched)
     if USE_FAST_KERNELS and _f32_mode() and F32_SAFETY_TOL > 0:
-        from ..pipeline.engine import STAGE_TOTALS
+        from ..pipeline.engine import stage_add
         pr_all = np.concatenate(all_pr, axis=1)          # [B, C]
         sgf = np.stack([best[b][0] for b in range(B)])
         dlf = np.stack([best[b][1] for b in range(B)])
@@ -193,7 +193,7 @@ def _phase_enum_bucket(group: List[_Prepared], cfg: CallerConfig, K: int,
                 cfg_gap = (best_prob[b] - float(below.max())
                            if below.size else np.inf)
                 if min(float(margins[b]), cfg_gap) < F32_SAFETY_TOL:
-                    STAGE_TOTALS["phase_safety_recompute"] += 1
+                    stage_add("phase_safety_recompute", 1)
                     out[it.index] = phase_region(it.frags, it.cands, cfg,
                                                  it.seed, it.apply_ds)
 
@@ -228,7 +228,7 @@ def _phase_bucket(group: List[_Prepared], cfg: CallerConfig, K: int,
         site_mask[b, :I0] = it.cands.for_phasing
         n_rounds[b] = I0 // 4 + 1
 
-    from ..pipeline.engine import STAGE_TOTALS
+    from ..pipeline.engine import stage_add
     _t = time.monotonic()
     dev = phase_problem_device(B * K * I_pad * int(n_rounds.max())) if mesh is None else None
 
@@ -238,7 +238,7 @@ def _phase_bucket(group: List[_Prepared], cfg: CallerConfig, K: int,
 
     p_d, q_d = _cells_to_device(p, bq, dev, mesh, dp)
     rb_d, sm_d = dp(read_base), dp(site_mask)
-    STAGE_TOTALS["phase_tables"] += time.monotonic() - _t
+    stage_add("phase_tables", time.monotonic() - _t)
 
     # pass 2: per-region LD blocks + state init (host BLAS/numpy work that
     # overlaps the in-flight transfer). Each region consumes its OWN rng
@@ -265,7 +265,7 @@ def _phase_bucket(group: List[_Prepared], cfg: CallerConfig, K: int,
     _t = time.monotonic()
     batch = BatchedRegions(p=p_d, q=q_d, read_base=rb_d, site_mask=sm_d,
                            conserved=dp(conserved))
-    STAGE_TOTALS["phase_tables"] += time.monotonic() - _t
+    stage_add("phase_tables", time.monotonic() - _t)
     _t = time.monotonic()
 
     from .optimize import USE_FAST_KERNELS as _FK
@@ -291,10 +291,10 @@ def _phase_bucket(group: List[_Prepared], cfg: CallerConfig, K: int,
             dp(n_rounds), keys, mesh=mesh)
         if (np.asarray(margins) >= F32_BF_TOL).all():
             sgf, dlf, etf = (np.asarray(a) for a in (sgf_d, dlf_d, etf_d))
-            STAGE_TOTALS["phase_fused"] += time.monotonic() - _t
+            stage_add("phase_fused", time.monotonic() - _t)
             _t = time.monotonic()
         else:
-            STAGE_TOTALS["phase_fused_refused"] += 1
+            stage_add("phase_fused_refused", 1)
 
     if sgf is None:
         # 1) first ascent (keep_conserved=True, phase.rs:1132)
@@ -303,7 +303,7 @@ def _phase_bucket(group: List[_Prepared], cfg: CallerConfig, K: int,
             keep_conserved=True, with_genotype=False, mesh=mesh)
         sg_np, dl_np, et_np = (np.asarray(a) for a in (sg, dl, et))
         prob1_np = np.asarray(prob1)
-        STAGE_TOTALS["phase_ascent1"] += time.monotonic() - _t
+        stage_add("phase_ascent1", time.monotonic() - _t)
         _t = time.monotonic()
 
         # 2) block-flip pass per region against the best-so-far (== ascent)
@@ -341,7 +341,7 @@ def _phase_bucket(group: List[_Prepared], cfg: CallerConfig, K: int,
             prob2_np = np.array(prob2_d)
             bad = np.flatnonzero(np.asarray(margins) < F32_BF_TOL)
             for b in bad:
-                STAGE_TOTALS["phase_blockflip_exact"] += 1
+                stage_add("phase_blockflip_exact", 1)
                 _flip_one(int(b))
             if bad.size:
                 # rescore ONLY the host-recomputed regions (their in-kernel
@@ -373,7 +373,7 @@ def _phase_bucket(group: List[_Prepared], cfg: CallerConfig, K: int,
         best_sg = np.where(better[:, None], sg2, sg_np)
         best_dl = np.where(better[:, None], dl2, dl_np)
         best_prob = np.where(better, prob2_np, prob1_np)
-        STAGE_TOTALS["phase_blockflip"] += time.monotonic() - _t
+        stage_add("phase_blockflip", time.monotonic() - _t)
         _t = time.monotonic()
 
         # 3) batched perturbation schedule with per-region round counts and
@@ -382,7 +382,7 @@ def _phase_bucket(group: List[_Prepared], cfg: CallerConfig, K: int,
             batch, dp(best_sg), dp(best_dl), dp(et_np),
             dp(best_prob.astype(np.float64)), dp(n_rounds), keys, mesh=mesh)
         sgf, dlf, etf = (np.asarray(a) for a in (sgf, dlf, etf))
-        STAGE_TOTALS["phase_perturb"] += time.monotonic() - _t
+        stage_add("phase_perturb", time.monotonic() - _t)
         _t = time.monotonic()
     for b, it in enumerate(group):
         K0, I0 = it.frags.p.shape
@@ -406,7 +406,7 @@ def _phase_bucket(group: List[_Prepared], cfg: CallerConfig, K: int,
                 jnp.asarray(site_mask)))
             for b, it in enumerate(group):
                 if margins[b] < F32_SAFETY_TOL:
-                    STAGE_TOTALS["phase_safety_recompute"] += 1
+                    stage_add("phase_safety_recompute", 1)
                     out[it.index] = phase_region(it.frags, it.cands, cfg,
                                                  it.seed, it.apply_ds)
-        STAGE_TOTALS["phase_safety"] += time.monotonic() - _t
+        stage_add("phase_safety", time.monotonic() - _t)

@@ -431,7 +431,7 @@ def _run_batched(bam, fasta, regions, cfg, input_candidates, exon_regions,
     # composition cannot change results: bucketing is composition-independent
     # (per-region seed streams, phasing/batch_driver.py).
     from ..ops.candidates import CAND_BATCH_COLS, select_candidates_batched
-    from .engine import (STAGE_TOTALS, import_external_candidates,
+    from .engine import (stage_add, import_external_candidates,
                          prepare_region_fragments, prepare_region_pileup)
     wave_cells = int(os.environ.get("LONGCALLR_WAVE_CELLS", str(32 * 1024 * 1024)))
     # regions with at least this many fragment-matrix cells finalize on a
@@ -442,7 +442,12 @@ def _run_batched(bam, fasta, regions, cfg, input_candidates, exon_regions,
     # deployment hosts, where the single-threaded elementwise fraction of
     # assign dominates and per-region fan-out is the only lever.
     _env = os.environ.get("LONGCALLR_FINALIZE_MT_CELLS", "0")
-    _FINALIZE_MT_CELLS = int(_env) if int(_env) > 0 else (1 << 62)
+    try:
+        _env_val = int(_env)
+    except ValueError:
+        raise ValueError(
+            f"LONGCALLR_FINALIZE_MT_CELLS must be an integer, got {_env!r}")
+    _FINALIZE_MT_CELLS = _env_val if _env_val > 0 else (1 << 62)
 
     def _pileup_one(item):
         i, _ = item
@@ -496,7 +501,7 @@ def _run_batched(bam, fasta, regions, cfg, input_candidates, exon_regions,
         else:
             cands_list = select_candidates_batched(
                 pileups, cfg, [em for _, em in wave])
-        STAGE_TOTALS["candidates"] += time.monotonic() - _t
+        stage_add("candidates", time.monotonic() - _t)
         del pileups
         _pmap(_frags_one, [(i, c) for (i, _), c in zip(wave, cands_list)])
         todo = [i for (i, _) in wave if prepared[i] is not None]
@@ -536,20 +541,23 @@ def _run_batched(bam, fasta, regions, cfg, input_candidates, exon_regions,
 
             # Deep waves fan finalize out over a thread pool: the assignment
             # layer is [K,4I] f64 GEMMs that release the GIL, ~0.2 s/region
-            # at 4096x512 (bench deep leg). Small regions stay serial —
-            # there the GIL-held numpy dispatch dominates and threads only
-            # add contention. Per-region results are independent (own rng
-            # stream, own ct/T4 slot — assign.py thread-local cache), so
-            # only the ckpt.put order below is order-sensitive.
-            big = [i for i in todo
+            # at 4096x512 (bench deep leg). Small regions stay serial even
+            # inside a mixed wave — there the GIL-held numpy dispatch
+            # dominates and threads only add contention — so only the big
+            # regions are submitted to the pool. Per-region results are
+            # independent (own rng stream, own ct/T4 slot — assign.py
+            # thread-local cache), so only the ckpt.put order below is
+            # order-sensitive.
+            big = {i for i in todo
                    if prepared[i][1].n_frags * max(prepared[i][0].n, 1)
-                   >= _FINALIZE_MT_CELLS]
+                   >= _FINALIZE_MT_CELLS}
             if len(big) >= 2 and cfg.threads > 1:
                 with ThreadPoolExecutor(
-                        max_workers=min(cfg.threads, len(todo))) as fex:
-                    futs = {i: fex.submit(_finalize_one, i) for i in todo}
+                        max_workers=min(cfg.threads, len(big))) as fex:
+                    futs = {i: fex.submit(_finalize_one, i) for i in todo
+                            if i in big}
                     for i in todo:   # checkpoint puts stay in wave order
-                        res = futs[i].result()
+                        res = futs[i].result() if i in big else _finalize_one(i)
                         ckpt.put(res)
                         results[i] = res
                         prepared[i] = None

@@ -9,8 +9,16 @@ from collections import defaultdict
 from dataclasses import dataclass
 from typing import Dict, List, Optional, Tuple
 
-# cumulative per-stage seconds across all regions (thread-racy but advisory)
+# cumulative per-stage seconds across all regions; updated via stage_add so
+# concurrent finalize/prepare threads never lose increments (bench.py reports
+# ratios from these totals)
 STAGE_TOTALS: Dict[str, float] = defaultdict(float)
+_STAGE_LOCK = __import__("threading").Lock()
+
+
+def stage_add(key: str, val: float) -> None:
+    with _STAGE_LOCK:
+        STAGE_TOTALS[key] += val
 
 import numpy as np
 
@@ -120,7 +128,7 @@ def prepare_region(bam: BamFile, region: Region, ref_seq: np.ndarray,
         cands = import_external_candidates(pileup, ref_seq, chr_cands)
     else:
         cands = select_candidates(pileup, cfg, exon_mask=exon_mask)
-    STAGE_TOTALS["candidates"] += time.monotonic() - _t
+    stage_add("candidates", time.monotonic() - _t)
     frags, apply_ds = prepare_region_fragments(bam, region, cands, cfg)
     return cands, frags, apply_ds
 
@@ -132,7 +140,7 @@ def prepare_region_pileup(bam: BamFile, region: Region, ref_seq: np.ndarray,
     select_candidates_batched)."""
     _t = time.monotonic()
     pileup = build_pileup(bam, region, ref_seq, cfg)
-    STAGE_TOTALS["pileup"] += time.monotonic() - _t
+    stage_add("pileup", time.monotonic() - _t)
     return pileup
 
 
@@ -141,7 +149,7 @@ def prepare_region_fragments(bam: BamFile, region: Region, cands,
     """Fragment stage alone; returns (frags, apply_ds)."""
     _t = time.monotonic()
     frags = get_fragments(bam, region, cands, cfg)
-    STAGE_TOTALS["fragments"] += time.monotonic() - _t
+    stage_add("fragments", time.monotonic() - _t)
     apply_ds = (cfg.downsample and cfg.downsample_depth > 0
                 and frags.n_frags >= cfg.downsample_depth)
     if apply_ds:
@@ -178,7 +186,7 @@ def finalize_region(region: Region, cands, frags, st, cfg: CallerConfig,
             from ..ops.somatic import detect_somatic_by_het
             detect_somatic_by_het(frags, cands, cfg.somatic_purity)
         phase_sets = A.assign_phase_set(frags, cands, cfg.min_phase_score)
-        STAGE_TOTALS["assign"] += time.monotonic() - _t
+        stage_add("assign", time.monotonic() - _t)
     else:
         if cands.n > 0:
             ct = make_cell_tables_np(frags.p, frags.baseq)
@@ -207,7 +215,7 @@ def process_region(bam: BamFile, region: Region, ref_seq: np.ndarray,
         _t = time.monotonic()
         st = phase_region(frags, cands, cfg, seed=region.start,
                           apply_downsampling=apply_ds)
-        STAGE_TOTALS["phase"] += time.monotonic() - _t
+        stage_add("phase", time.monotonic() - _t)
         sigma = np.asarray(st.sigma)
         frags.haplotag = np.sign(sigma).astype(np.int8)
         cands.haplotype = np.sign(np.asarray(st.delta)).astype(np.int8)
@@ -231,7 +239,7 @@ def process_region(bam: BamFile, region: Region, ref_seq: np.ndarray,
             from ..ops.somatic import detect_somatic_by_het
             detect_somatic_by_het(frags, cands, cfg.somatic_purity)
         phase_sets = A.assign_phase_set(frags, cands, cfg.min_phase_score)
-        STAGE_TOTALS["assign"] += time.monotonic() - _t
+        stage_add("assign", time.monotonic() - _t)
     else:
         # no phasing possible; still run the SNP-state passes so
         # non_selected/single flags are set for VCF emission
