@@ -126,6 +126,13 @@ def _declare(lib: ctypes.CDLL) -> None:
             _u8p, ctypes.c_int64]
     except AttributeError:  # stale .so
         pass
+    try:
+        lib.ld_pair_counts.restype = ctypes.c_int64
+        lib.ld_pair_counts.argtypes = [
+            _i8p, ctypes.c_int64, ctypes.c_int64, _u8p,
+            _i32p, _i32p, _i32p, ctypes.c_int64, ctypes.c_int]
+    except AttributeError:  # stale .so
+        pass
     lib.scan_bam_records.restype = ctypes.c_int64
     lib.scan_bam_records.argtypes = [
         _u8p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,

@@ -717,6 +717,134 @@ int fragment_cells_mt(const uint8_t* data, const int64_t* rec_off,
     return 0;
 }
 
+// ---------------------------------------------------------------------------
+// ld_pair_counts
+// ---------------------------------------------------------------------------
+
+// LD pair tables via bit-packed popcounts: the per-read pair loop of
+// fragment.rs:208-240 restricted to the pairs calculate_ld consumes (both
+// columns flagged in ld_cols — ref among the two alleles, not dense).
+// P is the [K,I] int8 cell matrix (+1 ref / -1 alt / 0 none, row-major).
+// Each kept column's ref/alt cells are packed into K-bit masks; a pair's
+// 2x2 (ref/alt)² table is then four AND+popcount reductions over the
+// intersection of the two columns' nonzero word spans (reads are
+// coordinate-sorted, so a column's covering reads — and hence its set bits —
+// form one narrow contiguous range). Pairs with all-zero tables are not
+// emitted, matching the dense-GEMM builder's nonzero filter.
+//
+// Outputs, in (i, j) row-major order (identical to the numpy builder's
+// np.nonzero(triu) order): out_i/out_j column indices and out_cnt 4 ints
+// per pair [rr, ra, ar, aa]. Returns the pair count, or -1 when cap would
+// overflow (caller falls back).
+int64_t ld_pair_counts(const int8_t* P, int64_t K, int64_t I,
+                       const uint8_t* ld_cols,
+                       int32_t* out_i, int32_t* out_j, int32_t* out_cnt,
+                       int64_t cap, int n_threads) {
+    const int64_t W = (K + 63) >> 6;
+    std::vector<int32_t> cols;
+    cols.reserve(I);
+    for (int64_t i = 0; i < I; ++i) if (ld_cols[i]) cols.push_back((int32_t)i);
+    const int64_t NC = (int64_t)cols.size();
+    if (NC == 0 || K == 0) return 0;
+    std::vector<uint64_t> rbits((size_t)(NC * W), 0);
+    std::vector<uint64_t> abits((size_t)(NC * W), 0);
+    std::vector<int32_t> colmap((size_t)I, -1);
+    for (int64_t a = 0; a < NC; ++a) colmap[cols[a]] = (int32_t)a;
+    for (int64_t k = 0; k < K; ++k) {
+        const int8_t* row = P + k * I;
+        const uint64_t bit = 1ull << (k & 63);
+        const int64_t w = k >> 6;
+        for (int64_t i = 0; i < I; ++i) {
+            int8_t v = row[i];
+            if (!v) continue;
+            int32_t a = colmap[i];
+            if (a < 0) continue;
+            if (v > 0) rbits[(size_t)(a * W + w)] |= bit;
+            else       abits[(size_t)(a * W + w)] |= bit;
+        }
+    }
+    std::vector<int32_t> wlo((size_t)NC), whi((size_t)NC);
+    for (int64_t a = 0; a < NC; ++a) {
+        int64_t lo = W, hi = 0;
+        const uint64_t* r = rbits.data() + a * W;
+        const uint64_t* q = abits.data() + a * W;
+        for (int64_t w = 0; w < W; ++w)
+            if (r[w] | q[w]) { if (w < lo) lo = w; hi = w + 1; }
+        wlo[a] = (int32_t)lo;
+        whi[a] = (int32_t)hi;
+    }
+    // contiguous 'a' ranges balanced by pair count; per-thread buffers are
+    // concatenated in range order so the output order is thread-invariant
+    int T = std::max(1, std::min(n_threads, (int)std::min<int64_t>(NC, 64)));
+    const double total_pairs = 0.5 * (double)NC * (double)(NC - 1);
+    std::vector<int64_t> bounds(T + 1, NC);
+    bounds[0] = 0;
+    {
+        int64_t a = 0;
+        for (int t = 1; t < T; ++t) {
+            double target = total_pairs * t / T;
+            // pairs with first index < a: NC*a - a(a+1)/2
+            while (a < NC
+                   && ((double)NC * a - 0.5 * (double)a * (a + 1)) < target)
+                ++a;
+            bounds[t] = a;
+        }
+    }
+    struct Out { std::vector<int32_t> i, j, c; };
+    std::vector<Out> outs((size_t)T);
+    auto work = [&](int t) {
+        Out& o = outs[t];
+        for (int64_t a = bounds[t]; a < bounds[t + 1]; ++a) {
+            const uint64_t* Ra = rbits.data() + a * W;
+            const uint64_t* Aa = abits.data() + a * W;
+            const int32_t la = wlo[a], ha = whi[a];
+            if (la >= ha) continue;
+            for (int64_t b = a + 1; b < NC; ++b) {
+                const int32_t lo = std::max(la, wlo[b]);
+                const int32_t hi = std::min(ha, whi[b]);
+                if (lo >= hi) continue;
+                const uint64_t* Rb = rbits.data() + b * W;
+                const uint64_t* Ab = abits.data() + b * W;
+                uint32_t rr = 0, ra = 0, ar = 0, aa = 0;
+                for (int32_t w = lo; w < hi; ++w) {
+                    const uint64_t x = Ra[w], y = Aa[w];
+                    const uint64_t u = Rb[w], v = Ab[w];
+                    rr += (uint32_t)__builtin_popcountll(x & u);
+                    ra += (uint32_t)__builtin_popcountll(x & v);
+                    ar += (uint32_t)__builtin_popcountll(y & u);
+                    aa += (uint32_t)__builtin_popcountll(y & v);
+                }
+                if (rr | ra | ar | aa) {
+                    o.i.push_back(cols[a]);
+                    o.j.push_back(cols[b]);
+                    o.c.push_back((int32_t)rr);
+                    o.c.push_back((int32_t)ra);
+                    o.c.push_back((int32_t)ar);
+                    o.c.push_back((int32_t)aa);
+                }
+            }
+        }
+    };
+    if (T <= 1) {
+        work(0);
+    } else {
+        std::vector<std::thread> ts;
+        for (int t = 0; t < T; ++t) ts.emplace_back(work, t);
+        for (auto& th : ts) th.join();
+    }
+    int64_t n = 0;
+    for (auto& o : outs) n += (int64_t)o.i.size();
+    if (n > cap) return -1;
+    int64_t w = 0;
+    for (auto& o : outs) {
+        std::memcpy(out_i + w, o.i.data(), o.i.size() * 4);
+        std::memcpy(out_j + w, o.j.data(), o.j.size() * 4);
+        std::memcpy(out_cnt + 4 * w, o.c.data(), o.c.size() * 4);
+        w += (int64_t)o.i.size();
+    }
+    return n;
+}
+
 }  // extern "C"
 
 extern "C" {

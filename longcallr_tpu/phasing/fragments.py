@@ -217,6 +217,39 @@ def _triu_cached(m: int):
 LD_DENSE_MAX_I = 2048
 
 
+def _ld_counts_native(nlib, P: np.ndarray, ld_cols: np.ndarray,
+                      threads: int) -> Optional[Dict[Tuple[int, int], np.ndarray]]:
+    """LD pair tables via the bit-packed popcount kernel
+    (native/decode.cpp::ld_pair_counts) — integer-exact, so dicts are
+    identical to the dense-GEMM builder's (asserted in tests/test_native.py).
+    The GEMM form streamed [K,I] f32 indicator matrices through BLAS four
+    times (~0.12 s/region at 4000×500 — most of the deep leg's fragment
+    stage); the popcount form touches each column's packed bits once per
+    overlapping pair (~5 ms). Returns None when the kernel is unavailable
+    or the pair capacity would overflow (caller falls back)."""
+    import ctypes
+    K, I = P.shape
+    cap = I * (I - 1) // 2
+    # np.empty: pages are untouched until the kernel writes actual pairs
+    out_i = np.empty(cap, np.int32)
+    out_j = np.empty(cap, np.int32)
+    out_c = np.empty(cap * 4, np.int32)
+    Pc = np.ascontiguousarray(P)
+    lc = np.ascontiguousarray(ld_cols.astype(np.uint8))
+    ptr = lambda a, t: a.ctypes.data_as(ctypes.POINTER(t))
+    n = nlib.ld_pair_counts(ptr(Pc, ctypes.c_int8), K, I,
+                            ptr(lc, ctypes.c_uint8),
+                            ptr(out_i, ctypes.c_int32),
+                            ptr(out_j, ctypes.c_int32),
+                            ptr(out_c, ctypes.c_int32), cap, threads)
+    if n < 0:
+        return None
+    tbls = out_c[:4 * n].reshape(n, 2, 2).copy()
+    return {(int(i), int(j)): tbls[k]
+            for k, (i, j) in enumerate(zip(out_i[:n].tolist(),
+                                           out_j[:n].tolist()))}
+
+
 def _ld_counts_dense(P: np.ndarray, ld_cols: np.ndarray
                      ) -> Dict[Tuple[int, int], np.ndarray]:
     """LD pair tables as four Gram matmuls: with R/A the [K,I] indicators of
@@ -297,7 +330,15 @@ def get_fragments(bam: BamFile, region: Region, cands: CandidateSet,
     ld_cols = ref_in_alleles & not_dense
     if len(ci) and ld_cols.any():
         if I <= LD_DENSE_MAX_I:
-            ld_counts = _ld_counts_dense(P, ld_cols)
+            ld_counts = None
+            if use_native:
+                from .. import native
+                nlib = native.lib()
+                if nlib is not None and hasattr(nlib, "ld_pair_counts"):
+                    ld_counts = _ld_counts_native(nlib, P, ld_cols,
+                                                  max(1, cfg.threads))
+            if ld_counts is None:
+                ld_counts = _ld_counts_dense(P, ld_cols)
         else:
             # giant-I fallback: packed per-read pair keys
             pair_keys: List[np.ndarray] = []

@@ -175,6 +175,37 @@ def test_ld_dense_equals_pair_loop(tmp_path, rng, monkeypatch):
         np.testing.assert_array_equal(fd.ld_counts[k], fl.ld_counts[k], err_msg=str(k))
 
 
+def test_ld_popcount_equals_dense(rng):
+    """The bit-packed popcount LD kernel (native ld_pair_counts) emits
+    exactly the dense Gram-matmul builder's tables — integer counts, so
+    equality is exact — across ragged shapes, sparse coverage bands, and
+    column subsets."""
+    from longcallr_tpu import native
+    from longcallr_tpu.phasing.fragments import (_ld_counts_dense,
+                                                 _ld_counts_native)
+
+    nlib = native.lib()
+    if nlib is None or not hasattr(nlib, "ld_pair_counts"):
+        import pytest
+        pytest.skip("native library unavailable")
+    for _ in range(5):
+        K = int(rng.integers(1, 3000))
+        I = int(rng.integers(2, 400))
+        P = rng.choice(np.array([-1, 0, 0, 1], np.int8), size=(K, I))
+        # banded coverage (coordinate-sorted reads → contiguous column spans)
+        if K > 10:
+            for k in range(K):
+                c0 = (k * I) // K
+                P[k, :max(0, c0 - 30)] = 0
+                P[k, min(I, c0 + 30):] = 0
+        ld_cols = rng.random(I) < 0.7
+        d = _ld_counts_dense(P, ld_cols)
+        n = _ld_counts_native(nlib, P, ld_cols, 3)
+        assert set(d) == set(n)
+        for k in d:
+            np.testing.assert_array_equal(d[k], n[k], err_msg=str(k))
+
+
 def test_write_tagged_records_native_equals_fallback(tmp_path, rng, monkeypatch):
     """bam_emit_tagged produces the same records as the per-read Python
     writer loop (HP only when nonzero, PS when present)."""
