@@ -133,6 +133,17 @@ def _declare(lib: ctypes.CDLL) -> None:
             _i32p, _i32p, _i32p, ctypes.c_int64, ctypes.c_int]
     except AttributeError:  # stale .so
         pass
+    try:
+        lib.assign_group_hist.restype = ctypes.c_int
+        lib.assign_group_hist.argtypes = [
+            ctypes.c_int64, ctypes.c_int64, _i64p, _i32p, _i8p, _u8p,
+            _u8p, ctypes.c_int64, _i32p, ctypes.c_int]
+        lib.assign_read_sums.restype = ctypes.c_int
+        lib.assign_read_sums.argtypes = [
+            ctypes.c_int64, _i64p, _i32p, _i8p, _u8p, _i8p,
+            ctypes.c_int64, _f64p, _f64p, _f64p, _f64p, _i32p]
+    except AttributeError:  # stale .so
+        pass
     lib.scan_bam_records.restype = ctypes.c_int64
     lib.scan_bam_records.argtypes = [
         _u8p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,

@@ -845,6 +845,126 @@ int64_t ld_pair_counts(const int8_t* P, int64_t K, int64_t I,
     return n;
 }
 
+// ---------------------------------------------------------------------------
+// assignment-layer cell kernels
+// ---------------------------------------------------------------------------
+
+// assign_group_hist: integer cell histograms for the assignment layer's
+// masked row-group sums (snpfrags.rs:378-625 semantics; the Python GEMM
+// formulation streamed a [K,4I] f64 table per call). Every cell's emission
+// value is a function of (sign(p), capped baseq) only, so the per-column
+// group sums reduce to counts: H[g][i][s][q] = #cells of column i in
+// read-group g with allele sign s (0:+1, 1:-1) and capped baseq q. The
+// f64 combination with the log10 tables happens in numpy in one fixed
+// order — deterministic and thread-count-invariant by construction.
+//
+// CSR cell inputs (read-major, as built by get_fragments): off[K+1],
+// ci/cp/cq[nnz]. gcode per read: 0xFF = excluded (read_mask false), else
+// bits 0-1 sigma group (0: sigma=+1, 1: sigma=-1, 2: sigma=0) and bits 2-3
+// assignment group (0: none, 1: assignment==1, 2: assignment==2). Groups
+// 0-2 are the sigma split, 3-4 the assignment split, 5 all masked reads.
+// H is int32 [6][I][2][n_q], zeroed by the caller. Threads split the read
+// range with private histograms merged by addition (order-invariant).
+int assign_group_hist(int64_t K, int64_t I,
+                      const int64_t* off, const int32_t* ci,
+                      const int8_t* cp, const uint8_t* cq,
+                      const uint8_t* gcode, int64_t n_q,
+                      int32_t* H, int n_threads) {
+    const int64_t QB = n_q;
+    const int64_t stride_g = I * 2 * QB;
+    const int64_t hsize = 6 * stride_g;
+    auto accum = [&](int64_t k0, int64_t k1, int32_t* Hb) {
+        for (int64_t k = k0; k < k1; ++k) {
+            const uint8_t code = gcode[k];
+            if (code == 0xFF) continue;
+            int32_t* Hs = Hb + (int64_t)(code & 3) * stride_g;
+            const int ga = (code >> 2) & 3;
+            int32_t* Ha = ga ? Hb + (int64_t)(2 + ga) * stride_g : nullptr;
+            int32_t* Hl = Hb + 5 * stride_g;
+            const int64_t c1 = off[k + 1];
+            for (int64_t c = off[k]; c < c1; ++c) {
+                int64_t q = cq[c];
+                if (q >= QB) q = QB - 1;
+                const int64_t idx =
+                    ((int64_t)ci[c] * 2 + (cp[c] > 0 ? 0 : 1)) * QB + q;
+                Hs[idx]++;
+                if (Ha) Ha[idx]++;
+                Hl[idx]++;
+            }
+        }
+    };
+    const int64_t nnz = K ? off[K] : 0;
+    int T = (int)std::max<int64_t>(1, std::min<int64_t>(
+        n_threads, std::min<int64_t>(K, nnz / 65536 + 1)));
+    if (T <= 1) {
+        accum(0, K, H);
+        return 0;
+    }
+    // split by cell count so skewed coverage balances
+    std::vector<int64_t> bounds(T + 1, K);
+    bounds[0] = 0;
+    {
+        int64_t k = 0;
+        for (int t = 1; t < T; ++t) {
+            const int64_t target = nnz * t / T;
+            while (k < K && off[k] < target) ++k;
+            bounds[t] = k;
+        }
+    }
+    std::vector<int32_t> priv((size_t)((T - 1) * hsize), 0);
+    std::vector<std::thread> ts;
+    for (int t = 1; t < T; ++t)
+        ts.emplace_back(accum, bounds[t], bounds[t + 1],
+                        priv.data() + (int64_t)(t - 1) * hsize);
+    accum(bounds[0], bounds[1], H);
+    for (auto& th : ts) th.join();
+    for (int t = 1; t < T; ++t) {
+        const int32_t* src = priv.data() + (int64_t)(t - 1) * hsize;
+        for (int64_t x = 0; x < hsize; ++x) H[x] += src[x];
+    }
+    return 0;
+}
+
+// assign_read_sums: per-read masked column sums for assign_reads_haplotype
+// (snpfrags.rs:548-625). For each read k over its CSR cells at columns with
+// dcode != 0: tp accumulates the emission term of the CURRENT delta sign,
+// tm of the flipped sign, ncells the cell count. dcode per column:
+// 0 = column not gathered, 1 = delta>0, 2 = delta<0, 3 = delta==0.
+// Emission: match(delta, p) ? l1m[q] : lerr[q]; delta==0 contributes
+// lerr[q] to both. Accumulation order is CSR order — fixed per region.
+int assign_read_sums(int64_t K,
+                     const int64_t* off, const int32_t* ci,
+                     const int8_t* cp, const uint8_t* cq,
+                     const int8_t* dcode, int64_t n_q,
+                     const double* l1m, const double* lerr,
+                     double* tp, double* tm, int32_t* ncells) {
+    const int64_t QB = n_q;
+    for (int64_t k = 0; k < K; ++k) {
+        double a = 0.0, b = 0.0;
+        int32_t n = 0;
+        const int64_t c1 = off[k + 1];
+        for (int64_t c = off[k]; c < c1; ++c) {
+            const int8_t dc = dcode[ci[c]];
+            if (!dc) continue;
+            int64_t q = cq[c];
+            if (q >= QB) q = QB - 1;
+            ++n;
+            if (dc == 3) {
+                a += lerr[q];
+                b += lerr[q];
+            } else {
+                const bool match = (dc == 1) == (cp[c] > 0);
+                a += match ? l1m[q] : lerr[q];
+                b += match ? lerr[q] : l1m[q];
+            }
+        }
+        tp[k] = a;
+        tm[k] = b;
+        ncells[k] = n;
+    }
+    return 0;
+}
+
 }  // extern "C"
 
 extern "C" {

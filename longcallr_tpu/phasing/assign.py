@@ -72,11 +72,95 @@ def _t4(ct: CellTables) -> np.ndarray:
     return t4
 
 
-def _group_sums(frags: FragmentMatrix, ct: CellTables,
+def _native_assign_lib():
+    """The native cell-histogram kernels, or None (→ GEMM fallback).
+    LONGCALLR_NATIVE_ASSIGN=0 forces the numpy path."""
+    import os
+
+    if os.environ.get("LONGCALLR_NATIVE_ASSIGN", "1") == "0":
+        return None
+    from .. import native
+
+    nlib = native.lib()
+    if nlib is None or not hasattr(nlib, "assign_group_hist"):
+        return None
+    return nlib
+
+
+from .kernels import LOG10_1MERR_T as _L1M_T, LOG10_ERR_T as _LERR_T
+
+_N_Q = _L1M_T.shape[0]
+
+
+def _group_sums_hist(nlib, frags: FragmentMatrix,
+                     read_mask: np.ndarray) -> np.ndarray:
+    """Histogram form of :func:`_group_sums`: one native pass over the CSR
+    cells builds integer counts H[6][I][2][n_q]; the f64 combination with
+    the log10 tables is a fixed-order [*,n_q]·[n_q] contraction. Differs
+    from the GEMM form only by f64 reassociation (same class of deviation
+    the GEMM form has vs the reference's scalar loop; oracle-gated at
+    1e-12)."""
+    import ctypes
+
+    K, I = frags.p.shape
+    off, ci, cp, cq = frags.flat_cells()
+    sig = frags.haplotag
+    asg = frags.assignment
+    scode = np.where(sig == 1, 0, np.where(sig == -1, 1, 2))
+    acode = np.where(asg == 1, 1, np.where(asg == 2, 2, 0))
+    gcode = np.where(read_mask, scode | (acode << 2), 0xFF).astype(np.uint8)
+    H = np.zeros((6, I, 2, _N_Q), np.int32)
+    nlib.assign_group_hist(
+        K, I,
+        off.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        ci.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        cp.ctypes.data_as(ctypes.POINTER(ctypes.c_int8)),
+        cq.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        gcode.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        _N_Q, H.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), 4)
+    Hp = H[:, :, 0, :].astype(np.float64)   # [6, I, n_q] allele = +1 counts
+    Hm = H[:, :, 1, :].astype(np.float64)
+    # l1m[0] = -inf (q=0 → err=1): a zero count times -inf would NaN the
+    # dot, so contract over q >= 1 and re-apply -inf where q=0 cells exist
+    A = Hp[:, :, 1:] @ _L1M_T[1:] + Hm @ _LERR_T
+    B = Hm[:, :, 1:] @ _L1M_T[1:] + Hp @ _LERR_T
+    A[Hp[:, :, 0] > 0] = -np.inf
+    B[Hm[:, :, 0] > 0] = -np.inf
+    N = Hp + Hm
+    E = N @ _LERR_T
+    C = N.sum(axis=2)
+    return np.concatenate([A, B, E, C], axis=1)
+
+
+def cell_tables_lazy(frags: FragmentMatrix) -> Optional[CellTables]:
+    """The expanded [K,I] f64 cell tables, or None when the native
+    histogram kernels make them unnecessary (they read the CSR cells and
+    the log10 tables directly). Callers pass the result straight through
+    to the assign functions; the GEMM fallback rebuilds on demand."""
+    if _native_assign_lib() is not None:
+        return None
+    from .kernels import make_cell_tables_np
+
+    return make_cell_tables_np(frags.p, frags.baseq)
+
+
+def _ct_or_build(frags: FragmentMatrix,
+                 ct: Optional[CellTables]) -> CellTables:
+    if ct is None:
+        from .kernels import make_cell_tables_np
+
+        ct = make_cell_tables_np(frags.p, frags.baseq)
+    return ct
+
+
+def _group_sums(frags: FragmentMatrix, ct: Optional[CellTables],
                 read_mask: np.ndarray) -> np.ndarray:
     """[6, 4I] row-group sums over masked reads: rows = σ=+1, σ=−1, σ=0,
     assignment==1, assignment==2, all; column blocks = Tp, Tm, lerr, |p|."""
-    t4 = _t4(ct)
+    nlib = _native_assign_lib()
+    if nlib is not None:
+        return _group_sums_hist(nlib, frags, read_mask)
+    t4 = _t4(_ct_or_build(frags, ct))
     sig = frags.haplotag
     G = np.stack([read_mask & (sig == 1), read_mask & (sig == -1),
                   read_mask & (sig == 0),
@@ -98,15 +182,42 @@ def assign_reads_haplotype(frags: FragmentMatrix, cands: CandidateSet,
     # all gathered cells have eta==0 → x = σ·δ. Column δ-sign groups fold
     # into one [4I, 3] weight matrix against the cached T4 tables:
     # tp = Σ_i col·(δ>0 ? Tp : δ<0 ? Tm : lerr), tm the mirror, plus cov.
-    cp = (col & (delta > 0)).astype(np.float64)
-    cm = (col & (delta < 0)).astype(np.float64)
-    cz = (col & (delta == 0)).astype(np.float64)
-    z = np.zeros(I)
-    W = np.stack([np.concatenate([cp, cm, cz, z]),
-                  np.concatenate([cm, cp, cz, z]),
-                  np.concatenate([z, z, z, col.astype(np.float64)])], axis=1)
-    S = _t4(ct) @ W                  # [K, 3]
-    tp, tm, ncells = S[:, 0], S[:, 1], S[:, 2]
+    nlib = _native_assign_lib()
+    if nlib is not None:
+        import ctypes
+
+        off, ci, cpv, cq = frags.flat_cells()
+        dcode = np.where(col, np.where(delta > 0, 1,
+                                       np.where(delta < 0, 2, 3)),
+                         0).astype(np.int8)
+        tp = np.zeros(K)
+        tm = np.zeros(K)
+        nc = np.zeros(K, np.int32)
+        nlib.assign_read_sums(
+            K,
+            off.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            ci.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            cpv.ctypes.data_as(ctypes.POINTER(ctypes.c_int8)),
+            cq.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            dcode.ctypes.data_as(ctypes.POINTER(ctypes.c_int8)),
+            _N_Q,
+            _L1M_T.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+            _LERR_T.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+            tp.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+            tm.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+            nc.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)))
+        ncells = nc.astype(np.float64)
+    else:
+        cp = (col & (delta > 0)).astype(np.float64)
+        cm = (col & (delta < 0)).astype(np.float64)
+        cz = (col & (delta == 0)).astype(np.float64)
+        z = np.zeros(I)
+        W = np.stack([np.concatenate([cp, cm, cz, z]),
+                      np.concatenate([cm, cp, cz, z]),
+                      np.concatenate([z, z, z, col.astype(np.float64)])],
+                     axis=1)
+        S = _t4(_ct_or_build(frags, ct)) @ W   # [K, 3]
+        tp, tm, ncells = S[:, 0], S[:, 1], S[:, 2]
     d = tp + tm
 
     ds = frags.downsampled if apply_downsampling else np.ones(K, bool)
@@ -387,11 +498,21 @@ def assign_phase_set(frags: FragmentMatrix, cands: CandidateSet,
     # comes from its lexicographically smallest consistent pair — identical
     # to the loop form's sorted-edge, first-wins traversal.
     hap = cands.haplotype.astype(np.int64)
-    active = np.nonzero(frags.for_phasing & (frags.assignment != 0))[0]
-    cellm = (frags.p[active] != 0) & node_mask[None, :]
-    kk, ii = np.nonzero(cellm)                  # row-major: grouped by read
-    pv = frags.p[active[kk], ii].astype(np.int64)
-    counts = cellm.sum(axis=1)
+    act_mask = frags.for_phasing & (frags.assignment != 0)
+    active = np.nonzero(act_mask)[0]
+    # node cells of active reads straight from the CSR view (read-major,
+    # ascending column within a read — the same order np.nonzero gives on
+    # the dense [active, I] mask, so read_key/first-wins ties are identical)
+    off, ci, cpv, _cq = frags.flat_cells()
+    read_of_cell = np.repeat(np.arange(K, dtype=np.int64),
+                             np.diff(off)) if K else np.zeros(0, np.int64)
+    keep = act_mask[read_of_cell] & node_mask[ci]
+    row_of_read = np.full(K, -1, np.int64)
+    row_of_read[active] = np.arange(active.size)
+    kk = row_of_read[read_of_cell[keep]]
+    ii = ci[keep].astype(np.int64)
+    pv = cpv[keep].astype(np.int64)
+    counts = np.bincount(kk, minlength=active.size).astype(np.int64)
     offs = np.concatenate([[0], np.cumsum(counts)])
     read_key = np.full(len(active), np.iinfo(np.int64).max, np.int64)
     self_rows = np.nonzero(counts == 1)[0]

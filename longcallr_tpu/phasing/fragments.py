@@ -60,6 +60,28 @@ class FragmentMatrix:
     # int32 [a_i in {ref=0, alt=1}][a_j] — only pairs where both SNPs have
     # ref among alleles (the only pairs calculate_ld consumes)
     ld_counts: Dict[Tuple[int, int], np.ndarray] = field(default_factory=dict)
+    # flat CSR view of the nonzero cells (read-major, ascending candidate
+    # index within a read): the assignment layer's native histogram kernels
+    # walk these instead of the dense [K,I] matrices. Built by get_fragments;
+    # flat_cells() derives them from p/baseq for hand-constructed matrices.
+    cells_off: Optional[np.ndarray] = None   # [K+1] int64 prefix offsets
+    cells_i: Optional[np.ndarray] = None     # [nnz] int32 candidate index
+    cells_p: Optional[np.ndarray] = None     # [nnz] int8 in {-1,+1}
+    cells_q: Optional[np.ndarray] = None     # [nnz] uint8 capped baseq
+
+    def flat_cells(self):
+        """(cells_off, cells_i, cells_p, cells_q), derived from the dense
+        matrices on first use when get_fragments didn't populate them."""
+        if self.cells_off is None:
+            kk, ii = np.nonzero(self.p)
+            K = self.p.shape[0]
+            off = np.zeros(K + 1, np.int64)
+            np.cumsum(np.bincount(kk, minlength=K), out=off[1:])
+            self.cells_off = off
+            self.cells_i = ii.astype(np.int32)
+            self.cells_p = self.p[kk, ii]
+            self.cells_q = self.baseq[kk, ii]
+        return self.cells_off, self.cells_i, self.cells_p, self.cells_q
 
     @property
     def n_frags(self) -> int:
@@ -370,12 +392,16 @@ def get_fragments(bam: BamFile, region: Region, cands: CandidateSet,
     hete_links = ((P != 0) & phase_site[None, :]).sum(axis=1).astype(np.int32)
     assert cfg.min_linkers > 0, "min_linkers <= 0"
     for_phasing = hete_links >= cfg.min_linkers
+    off = np.zeros(K + 1, np.int64)
+    if K:
+        np.cumsum(np.bincount(kk, minlength=K), out=off[1:])
     return FragmentMatrix(
         region=region, p=P, baseq=Q, qnames=qnames,
         num_hete_links=hete_links, for_phasing=for_phasing,
         downsampled=np.ones(K, bool),
         haplotag=np.zeros(K, np.int8), assignment=np.zeros(K, np.int8),
-        assignment_score=np.zeros(K, np.float64), ld_counts=ld_counts)
+        assignment_score=np.zeros(K, np.float64), ld_counts=ld_counts,
+        cells_off=off, cells_i=ci.astype(np.int32), cells_p=p, cells_q=bq)
 
 
 def downsample_fragments(frags: FragmentMatrix, downsample_depth: int,

@@ -28,7 +28,6 @@ from ..io.vcf import GenotypeAndQuality, format_region_records
 from ..ops.candidates import CandidateSet, select_candidates
 from ..phasing import assign as A
 from ..phasing.fragments import FragmentMatrix, downsample_fragments, get_fragments
-from ..phasing.kernels import make_cell_tables_np
 from ..phasing.optimize import phase_region
 from ..tiles.pileup import build_pileup
 from ..tiles.regions import Region
@@ -169,7 +168,7 @@ def finalize_region(region: Region, cands, frags, st, cfg: CallerConfig,
         cands.haplotype = np.sign(np.asarray(st.delta)).astype(np.int8)
         cands.genotype = np.asarray(st.eta).astype(np.int8)
         _t = time.monotonic()
-        ct = make_cell_tables_np(frags.p, frags.baseq)
+        ct = A.cell_tables_lazy(frags)
         A.assign_reads_haplotype(frags, cands, cfg, ct, apply_ds)
         A.assign_snp_haplotype_genotype(frags, cands, cfg, ct, apply_ds)
         A.assign_reads_haplotype(frags, cands, cfg, ct, apply_ds)
@@ -189,7 +188,7 @@ def finalize_region(region: Region, cands, frags, st, cfg: CallerConfig,
         stage_add("assign", time.monotonic() - _t)
     else:
         if cands.n > 0:
-            ct = make_cell_tables_np(frags.p, frags.baseq)
+            ct = A.cell_tables_lazy(frags)
             A.assign_snp_haplotype_genotype(frags, cands, cfg, ct, False)
         read_assignments = {}
         phase_sets = {}
@@ -222,7 +221,7 @@ def process_region(bam: BamFile, region: Region, ref_seq: np.ndarray,
         cands.genotype = np.asarray(st.eta).astype(np.int8)
 
         _t = time.monotonic()
-        ct = make_cell_tables_np(frags.p, frags.baseq)
+        ct = A.cell_tables_lazy(frags)
         A.assign_reads_haplotype(frags, cands, cfg, ct, apply_ds)
         A.assign_snp_haplotype_genotype(frags, cands, cfg, ct, apply_ds)
         A.assign_reads_haplotype(frags, cands, cfg, ct, apply_ds)
@@ -244,7 +243,7 @@ def process_region(bam: BamFile, region: Region, ref_seq: np.ndarray,
         # no phasing possible; still run the SNP-state passes so
         # non_selected/single flags are set for VCF emission
         if cands.n > 0:
-            ct = make_cell_tables_np(frags.p, frags.baseq)
+            ct = A.cell_tables_lazy(frags)
             A.assign_snp_haplotype_genotype(frags, cands, cfg, ct, False)
         read_assignments = {}
         phase_sets = {}

@@ -311,3 +311,141 @@ def test_native_fragments_mt_equals_serial(tmp_path, rng, monkeypatch):
         for k in mt.ld_counts:
             np.testing.assert_array_equal(mt.ld_counts[k],
                                           serial.ld_counts[k])
+
+
+def test_assign_hist_equals_gemm(rng, monkeypatch):
+    """The assignment layer's native histogram kernels (assign_group_hist /
+    assign_read_sums) agree with the GEMM formulation: integer count blocks
+    exactly, f64 sums at reassociation tolerance, and full
+    assign_reads_haplotype outputs (the decision logic compares q vs qn, so
+    assignments must agree exactly on non-knife-edge fuzz inputs)."""
+    import copy
+
+    from longcallr_tpu.phasing import assign as A
+    from longcallr_tpu.phasing.kernels import make_cell_tables_np
+    from test_assign import _synth_large
+
+    nlib = native.lib()
+    if nlib is None or not hasattr(nlib, "assign_group_hist"):
+        pytest.skip("native library unavailable")
+    cfg = preset("hifi-masseq")
+    for K, I in [(400, 3000), (37, 19), (1, 5), (1200, 150)]:
+        frags, cands = _synth_large(rng, K=max(K, 2), I=max(I, 50))
+        frags.p = frags.p[:K, :I].copy()
+        frags.baseq = frags.baseq[:K, :I].copy()
+        frags.cells_off = None  # re-derive CSR for the sliced matrices
+        for name in ("num_hete_links", "for_phasing", "downsampled",
+                     "haplotag", "assignment", "assignment_score"):
+            setattr(frags, name, getattr(frags, name)[:K].copy())
+        frags.qnames = frags.qnames[:K]
+        ct = make_cell_tables_np(frags.p, frags.baseq)
+        mask = rng.random(K) < 0.8
+        monkeypatch.setenv("LONGCALLR_NATIVE_ASSIGN", "0")
+        gs_gemm = A._group_sums(frags, ct, mask)
+        monkeypatch.setenv("LONGCALLR_NATIVE_ASSIGN", "1")
+        gs_nat = A._group_sums(frags, ct, mask)
+        np.testing.assert_array_equal(gs_nat[:, 3 * I:], gs_gemm[:, 3 * I:])
+        np.testing.assert_allclose(gs_nat, gs_gemm, rtol=1e-12, atol=1e-12)
+
+        c1 = copy.deepcopy(cands)
+        import dataclasses
+        # slice candidate arrays to I columns
+        for f in dataclasses.fields(c1):
+            v = getattr(c1, f.name)
+            if isinstance(v, np.ndarray) and v.shape[:1] == (cands.n,):
+                setattr(c1, f.name, v[:I].copy())
+        f1 = copy.deepcopy(frags)
+        monkeypatch.setenv("LONGCALLR_NATIVE_ASSIGN", "0")
+        r1 = A.assign_reads_haplotype(f1, copy.deepcopy(c1), cfg, ct, False)
+        f2 = copy.deepcopy(frags)
+        monkeypatch.setenv("LONGCALLR_NATIVE_ASSIGN", "1")
+        r2 = A.assign_reads_haplotype(f2, copy.deepcopy(c1), cfg, ct, False)
+        assert r1 == r2
+        np.testing.assert_array_equal(f1.assignment, f2.assignment)
+        np.testing.assert_array_equal(f1.haplotag, f2.haplotag)
+        np.testing.assert_allclose(f1.assignment_score, f2.assignment_score,
+                                   rtol=1e-12, atol=1e-12)
+
+
+def test_assign_hist_q0_matches_scalar(rng, monkeypatch):
+    """q=0 cells (err=1 → log10(1-err) = -inf): the histogram path must
+    reproduce the reference's scalar-sum semantics — -inf exactly where a
+    GATHERED read has a matched q=0 cell, finite elsewhere. (The GEMM
+    formulation NaNs these columns through 0·(-inf) products of EXCLUDED
+    rows — the histogram path is the more faithful one, so it is compared
+    against a scalar loop, not the GEMM.)"""
+    from longcallr_tpu.phasing import assign as A
+    from longcallr_tpu.phasing.kernels import (LOG10_1MERR_T, LOG10_ERR_T,
+                                               make_cell_tables_np)
+    from test_assign import _synth_large
+
+    nlib = native.lib()
+    if nlib is None or not hasattr(nlib, "assign_group_hist"):
+        pytest.skip("native library unavailable")
+    K, I = 60, 60
+    frags, _ = _synth_large(rng, K=K, I=200)
+    frags.p = frags.p[:, :I].copy()
+    frags.baseq = frags.baseq[:, :I].copy()
+    sel = (frags.p != 0) & (rng.random((K, I)) < 0.1)
+    frags.baseq[sel] = 0
+    frags.cells_off = None
+    ct = make_cell_tables_np(frags.p, frags.baseq)
+    mask = rng.random(K) < 0.7
+    monkeypatch.setenv("LONGCALLR_NATIVE_ASSIGN", "1")
+    gs = A._group_sums(frags, ct, mask)
+    sig, asg, p, q = frags.haplotag, frags.assignment, frags.p, frags.baseq
+    groups = [mask & (sig == 1), mask & (sig == -1), mask & (sig == 0),
+              mask & (asg == 1), mask & (asg == 2), mask]
+    exp = np.zeros((6, 4 * I))
+    for g, gm in enumerate(groups):
+        for i in range(I):
+            a = b = e = c = 0.0
+            for k in np.nonzero(gm)[0]:
+                if p[k, i] == 0:
+                    continue
+                l1, le = LOG10_1MERR_T[q[k, i]], LOG10_ERR_T[q[k, i]]
+                a += l1 if p[k, i] > 0 else le
+                b += l1 if p[k, i] < 0 else le
+                e += le
+                c += 1
+            exp[g, [i, I + i, 2 * I + i, 3 * I + i]] = a, b, e, c
+    fin = np.isfinite(exp)
+    np.testing.assert_array_equal(np.isfinite(gs), fin)
+    np.testing.assert_allclose(gs[fin], exp[fin], rtol=1e-9, atol=1e-12)
+    np.testing.assert_array_equal(gs[~fin], exp[~fin])
+
+
+def test_assign_hist_thread_invariant(rng):
+    """assign_group_hist's multi-threaded split (private histograms merged
+    by integer addition) is exactly thread-count-invariant."""
+    import ctypes
+
+    nlib = native.lib()
+    if nlib is None or not hasattr(nlib, "assign_group_hist"):
+        pytest.skip("native library unavailable")
+    K, I, NQ = 700, 90, 31
+    counts = rng.integers(0, 400, size=K)
+    off = np.zeros(K + 1, np.int64)
+    np.cumsum(counts, out=off[1:])
+    nnz = int(off[-1])
+    ci = rng.integers(0, I, size=nnz).astype(np.int32)
+    cp = rng.choice(np.array([-1, 1], np.int8), size=nnz)
+    cq = rng.integers(0, 31, size=nnz).astype(np.uint8)
+    gcode = rng.choice(np.array([0xFF, 0, 1, 2, 5, 6, 9, 10], np.uint8),
+                       size=K)
+
+    def run(nt):
+        H = np.zeros((6, I, 2, NQ), np.int32)
+        nlib.assign_group_hist(
+            K, I, off.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            ci.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            cp.ctypes.data_as(ctypes.POINTER(ctypes.c_int8)),
+            cq.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            gcode.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            NQ, H.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), nt)
+        return H
+
+    h1 = run(1)
+    for nt in (2, 3, 4, 8):
+        np.testing.assert_array_equal(run(nt), h1)
+    assert h1.sum() >= nnz  # every cell lands in >= 1 group
