@@ -349,11 +349,13 @@ def stream_bench(cfg, data_dir: str) -> dict:
         "stream_bam_mb": round(os.path.getsize(bam_path) / 1e6, 1),
         # standing accuracy leg (round-2 review): calling + phasing quality
         # vs the planted truth, every bench run
-        **accuracy_metrics(out_prefix + "_s.vcf", params["truth"]),
+        **accuracy_metrics(out_prefix + "_s.vcf", params["truth"],
+                           bam_path=bam_path, min_depth=cfg.min_depth),
     }
 
 
-def accuracy_metrics(vcf_path: str, truth: dict) -> dict:
+def accuracy_metrics(vcf_path: str, truth: dict, bam_path: str = None,
+                     min_depth: int = None) -> dict:
     """Precision/recall/F1 of het calls vs the planted truth set, plus the
     phasing switch-error rate (orientation flips between consecutive
     truth-matching phased hets within one phase set; hap1 carries ALT at
@@ -362,6 +364,7 @@ def accuracy_metrics(vcf_path: str, truth: dict) -> dict:
     truth_by = {c: {p: (r, a) for p, r, a in t} for c, t in truth.items()}
     n_truth = sum(len(v) for v in truth_by.values())
     tp = fp = 0
+    tp_pos = set()
     phased_tp = switch_pairs = switch_errors = 0
     last = {}   # (chrom, PS) -> previous truth site's orientation
     with open(vcf_path) as f:
@@ -378,6 +381,7 @@ def accuracy_metrics(vcf_path: str, truth: dict) -> dict:
             t = truth_by.get(chrom, {}).get(int(pos1) - 1)
             if t is not None and t == (ref, alt):
                 tp += 1
+                tp_pos.add((chrom, int(pos1) - 1))
                 if gt != "0/1" and "PS" in fmt:
                     phased_tp += 1
                     key = (chrom, sample[fmt.index("PS")])
@@ -391,7 +395,27 @@ def accuracy_metrics(vcf_path: str, truth: dict) -> dict:
     fn = n_truth - tp
     prec = tp / max(1, tp + fp)
     rec = tp / max(1, n_truth)
+    fn_reasons = None
+    if fn and bam_path is not None:
+        # classify every missed truth site by its BAM depth: the planted
+        # first-SNP of each locus sits ~220bp past the locus start where
+        # only reads starting in that margin cover it — depth < min_depth
+        # is correct reference filtering (pileup.rs min_depth gate), not
+        # a caller bug. Anything NOT explained by depth is flagged.
+        from longcallr_tpu.io.bam import BamFile
+        fn_reasons = {"below_min_depth": 0, "uncalled_other": 0}
+        bam = BamFile(bam_path)
+        for c, sites in truth_by.items():
+            for pos in sites:
+                if (c, pos) in tp_pos:
+                    continue
+                depth = sum(1 for r in bam.fetch(c, pos, pos + 1))
+                if min_depth is not None and depth < min_depth:
+                    fn_reasons["below_min_depth"] += 1
+                else:
+                    fn_reasons["uncalled_other"] += 1
     return {
+        **({"acc_fn_reasons": fn_reasons} if fn_reasons else {}),
         "acc_truth_sites": n_truth,
         "acc_tp": tp, "acc_fp": fp, "acc_fn": fn,
         "acc_precision": round(prec, 5),

@@ -69,3 +69,36 @@ def test_workload_truth_sidecar(tmp_path):
         side = json.load(f)
     again = make_genome_workload(bam, fa, contigs=spec)
     assert again["truth"] == side["truth"] == params["truth"]
+
+def test_accuracy_fn_reasons(tmp_path):
+    """The acc_fn_reasons classifier: a missed truth site whose BAM depth is
+    below min_depth is 'below_min_depth' (correct reference filtering);
+    a missed site at full depth is 'uncalled_other'. A truth site called
+    with the WRONG allele still counts as a FN to classify."""
+    import numpy as np
+    from bench import accuracy_metrics
+    from longcallr_tpu.io import bam as bamio
+    from longcallr_tpu.io.bai import build_bai
+
+    bam = str(tmp_path / "d.bam")
+    with bamio.BamWriter(bam, ["chrA"], [10_000]) as w:
+        qual = np.full(500, 30, np.uint8)
+        # deep coverage at 1000-1500 (8 reads), single read at 3000
+        for i in range(8):
+            w.write_record(qname=f"r{i}", flag=0, ref_id=0, pos=1000,
+                           mapq=60, cigar=bamio.encode_cigar([(500, "M")]),
+                           seq=b"A" * 500, qual=qual)
+        w.write_record(qname="lone", flag=0, ref_id=0, pos=3000, mapq=60,
+                       cigar=bamio.encode_cigar([(500, "M")]),
+                       seq=b"A" * 500, qual=qual)
+    build_bai(bam)
+    truth = {"chrA": [[1100, "A", "C"], [1200, "A", "T"], [3100, "A", "G"]]}
+    vcf = str(tmp_path / "a.vcf")
+    with open(vcf, "w") as f:
+        f.write("#h\n"
+                # 1100 matched; 1200 wrong alt (FP + FN at full depth)
+                "chrA\t1101\t.\tA\tC\t60\tPASS\t.\tGT\t0/1\n"
+                "chrA\t1201\t.\tA\tG\t60\tPASS\t.\tGT\t0/1\n")
+    m = accuracy_metrics(vcf, truth, bam_path=bam, min_depth=6)
+    assert m["acc_tp"] == 1 and m["acc_fn"] == 2
+    assert m["acc_fn_reasons"] == {"below_min_depth": 1, "uncalled_other": 1}
