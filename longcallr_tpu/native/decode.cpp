@@ -188,6 +188,10 @@ int bgzf_deflate_many(const uint8_t* src, const int64_t* src_off,
 // ---------------------------------------------------------------------------
 
 static const char SEQ_NIBBLE[17] = "=ACMGRSVTWYHKDBN";
+// 4-bit code → base index (A=0 C=1 G=2 T=3, else -1); the direct form of
+// base_index(seq_base(...)) for the hot pileup loop
+static const int8_t NIB_IDX[16] = {-1, 0, 1, -1, 2, -1, -1, -1,
+                                   3, -1, -1, -1, -1, -1, -1, -1};
 
 struct RecView {
     const uint8_t* rec;   // fixed 32-byte prefix
@@ -337,26 +341,50 @@ static int pileup_fill_range(
 
         int64_t pv = (int64_t)v.pos - start0;  // pos_in_freq_vec
         int64_t pr = lead_sc;                  // pos_in_read
+        // hoisted per-read invariants for the hot M loop
+        int32_t* fb = strand ? bwd : fwd;
+        const int soff = strand;               // strands[o*2 + strand]
         for (int ci = 0; ci < v.n_cigar; ++ci) {
             uint32_t w = v.cigar[ci];
             int op = w & 0xF;
             int64_t ln = w >> 4;
             if (op == 4 || op == 5 || op == 6) continue;  // S,H,P
             if (op == 0 || op == 7 || op == 8) {          // M,=,X
-                for (int64_t j = 0; j < ln; ++j) {
-                    if (pv < 0) { ++pv; ++pr; continue; }
-                    if (pv >= P) break;
-                    char base = seq_base(v, pr);
-                    int bq = v.qual[pr];
-                    if (bq > 30) bq = 30;
-                    uint8_t ref_base = ref_window[pv];
-                    bool trim = false, polya = false, homop = false;
-                    bool near = (llabs(pr - lead_sc) < dist_end)
-                             || (llabs(pr - boundary_end) < dist_end);
-                    if (is_ont) {
-                        trim = near;
-                    } else if (near) {
-                        for (int64_t t0 = pr - polya_len; t0 <= pr + 1; ++t0) {
+                // Clamp the per-base loop to the window once, then split it
+                // into near-read-end segments (trim / poly-A logic) and a
+                // tight middle segment with no per-base near test. Identical
+                // writes in identical order to the per-base-branch form
+                // (util.rs:660-760 semantics; the near predicate
+                // |pr-lead_sc| < dist_end || |pr-boundary_end| < dist_end is
+                // monotone in pr within one op since pr >= lead_sc and
+                // pr < boundary_end for every M base).
+                if (pv >= P) continue;         // == immediate break: no writes
+                // per-base loop advances pv/pr even while pv < 0 and stops
+                // (frozen) when pv reaches P → total advance min(ln, P-pv)
+                const int64_t j_lo = pv < 0 ? -pv : 0;
+                const int64_t j_hi = (P - pv < ln) ? P - pv : ln;
+                const int64_t pv0 = pv, pr0 = pr;
+                pv += j_hi;
+                pr += j_hi;
+                if (j_hi <= j_lo) continue;    // op entirely before window
+                // middle zone in j: pr0+j in [lead_sc+dist_end,
+                //                              boundary_end-dist_end]
+                int64_t jm_lo = lead_sc + dist_end - pr0;
+                int64_t jm_hi = boundary_end - dist_end - pr0 + 1;
+                if (jm_lo < j_lo) jm_lo = j_lo;
+                if (jm_lo > j_hi) jm_lo = j_hi;
+                if (jm_hi > j_hi) jm_hi = j_hi;
+                if (jm_hi < jm_lo) jm_hi = jm_lo;
+                // near segments [j_lo, jm_lo) and [jm_hi, j_hi): ONT trims
+                // them outright; HiFi runs the poly-A/homopolymer scan
+                auto near_seg = [&](int64_t s_lo, int64_t s_hi) {
+                    for (int64_t j = s_lo; j < s_hi; ++j) {
+                        const int64_t cpv = pv0 + j, cpr = pr0 + j;
+                        int bq = v.qual[cpr];
+                        if (bq > 30) bq = 30;
+                        uint8_t ref_base = ref_window[cpv];
+                        bool polya = false, homop = false;
+                        for (int64_t t0 = cpr - polya_len; t0 <= cpr + 1; ++t0) {
                             if (t0 < 0 || t0 + polya_len - 1 >= seq_len) continue;
                             int ca = 0, ct_ = 0, cc = 0, cg = 0;
                             for (int64_t t1 = 0; t1 < polya_len; ++t1) {
@@ -369,22 +397,43 @@ static int pileup_fill_range(
                             if (ca >= polya_len || ct_ >= polya_len) polya = true;
                             if (cc >= polya_len || cg >= polya_len) homop = true;
                         }
-                    }
-                    if (!trim && !polya && !homop) {
-                        if (ts_col >= 0) ++ts_out[pv * 2 + ts_col];
-                        int bi = base_index(base);
+                        if (polya || homop) continue;
+                        if (ts_col >= 0) ++ts_out[cpv * 2 + ts_col];
+                        int bi = base_index(seq_base(v, cpr));
                         if (bi >= 0) {
-                            int64_t o = pv * 4 + bi;
+                            int64_t o = cpv * 4 + bi;
                             ++cnt[o];
-                            ++strands[o * 2 + strand];
+                            ++strands[o * 2 + soff];
                             s_err[o] += log_err[bq];
                             s_1merr[o] += log_1merr[bq];
                             if (bq >= min_baseq) ++bq_pass[o];
                         }
-                        if (strand == 0) ++fwd[pv]; else ++bwd[pv];
+                        ++fb[cpv];
                     }
-                    ++pv; ++pr;
+                };
+                if (!is_ont) near_seg(j_lo, jm_lo);
+                // tight middle loop: no trim/poly-A possible here
+                {
+                    for (int64_t j = jm_lo; j < jm_hi; ++j) {
+                        const int64_t cpv = pv0 + j, cpr = pr0 + j;
+                        int bq = v.qual[cpr];
+                        if (bq > 30) bq = 30;
+                        if (ts_col >= 0) ++ts_out[cpv * 2 + ts_col];
+                        const uint8_t pk = v.seq_packed[cpr >> 1];
+                        const int bi =
+                            NIB_IDX[(cpr & 1) ? (pk & 0xF) : (pk >> 4)];
+                        if (bi >= 0) {
+                            int64_t o = cpv * 4 + bi;
+                            ++cnt[o];
+                            ++strands[o * 2 + soff];
+                            s_err[o] += log_err[bq];
+                            s_1merr[o] += log_1merr[bq];
+                            if (bq >= min_baseq) ++bq_pass[o];
+                        }
+                        ++fb[cpv];
+                    }
                 }
+                if (!is_ont) near_seg(jm_hi, j_hi);
             } else if (op == 2) {  // D
                 for (int64_t j = 0; j < ln; ++j) {
                     if (pv < 0) { ++pv; continue; }
