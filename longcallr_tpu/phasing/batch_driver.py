@@ -106,6 +106,15 @@ def _phase_enum_bucket(group: List[_Prepared], cfg: CallerConfig, K: int,
 
     B = len(group)
     I_pad = _bucket(max(1, I0))
+    if mesh is None:
+        C_est = enumeration_order(I0).shape[0]
+        if phase_problem_device(B * C_est * K * I_pad) is not None:
+            # sub-threshold on an accelerator session → per-region host path
+            # (same rationale as _phase_bucket's early exit)
+            for it in group:
+                out[it.index] = phase_region(it.frags, it.cands, cfg,
+                                             it.seed, it.apply_ds)
+            return
     p = np.zeros((B, K, I_pad), np.int8)
     bq = np.zeros((B, K, I_pad), np.uint8)
     read_base = np.zeros((B, K), bool)
@@ -204,6 +213,19 @@ def _phase_bucket(group: List[_Prepared], cfg: CallerConfig, K: int,
                                  batched_perturbation_phase)
 
     B = len(group)
+    if mesh is None:
+        max_rounds = max(it.frags.p.shape[1] // 4 + 1 for it in group)
+        if phase_problem_device(B * K * I_pad * max_rounds) is not None:
+            # Sub-threshold bucket on an accelerator session: the work-based
+            # router picked the host CPU, but the batched XLA program costs
+            # ~0.3 s per dispatch on the CPU backend — phase_region (the
+            # defining host-exact per-region path, byte-equal by the
+            # batched==per-region seed contract) is ~10x faster at this
+            # scale (scaled16: 6.2 s → per-region host phasing).
+            for it in group:
+                out[it.index] = phase_region(it.frags, it.cands, cfg,
+                                             it.seed, it.apply_ds)
+            return
     p = np.zeros((B, K, I_pad), np.int8)
     bq = np.zeros((B, K, I_pad), np.uint8)
     read_base = np.zeros((B, K), bool)
