@@ -327,11 +327,18 @@ def stream_bench(cfg, data_dir: str) -> dict:
 
     run_streaming(bam_path, fa_path, out_prefix + "_s", cfg)   # warm compiles
     gc.collect()
+    # reset the heap floor: malloc_tune disables auto-trim, so without an
+    # explicit trim the floor reads the max working set of every EARLIER
+    # bench leg (demo/scaled/deep) — ~2.2 GB of retained-but-free blocks in
+    # the round-3 capture — not the streaming leg's own residency
+    from longcallr_tpu.utils import malloc_tune as _mt
+    _mt.trim()
     with _RssPeak() as r_s:
         t0 = time.monotonic()
         out_s = run_streaming(bam_path, fa_path, out_prefix + "_s", cfg)
         wall_s = time.monotonic() - t0
     gc.collect()
+    _mt.trim()
     with _RssPeak() as r_f:
         out_f = run(bam_path, fa_path, out_prefix + "_f", cfg, batched=True)
     a = [l for l in open(out_prefix + "_s.vcf") if not l.startswith("#")]

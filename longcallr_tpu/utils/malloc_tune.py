@@ -37,6 +37,22 @@ def tune(mmap_threshold: int = 1 << 30, trim_threshold: int = 1 << 30) -> bool:
     return _done
 
 
+def trim() -> bool:
+    """One explicit malloc_trim(0): return freed heap blocks to the OS now.
+
+    tune() disables automatic trimming so freed blocks stay warm; an
+    explicit trim is still honored by glibc and is the honest way to reset
+    the RSS floor before a memory measurement (re-faulting a trimmed
+    working set runs at ~2 GB/s on this host — measured, not the ~3 MB/s
+    never-touched-page pathology). Returns True if memory was released."""
+    try:
+        libc = ctypes.CDLL(ctypes.util.find_library("c") or "libc.so.6",
+                           use_errno=True)
+        return bool(libc.malloc_trim(0))
+    except Exception:
+        return False
+
+
 def limit_blas_threads(n: int = 1) -> None:
     """Pin BLAS pools to one thread: the pipeline's GEMMs are small
     ([reads, 4·snps] and alike) and already run under a region thread pool,
