@@ -68,6 +68,9 @@ class FragmentMatrix:
     cells_i: Optional[np.ndarray] = None     # [nnz] int32 candidate index
     cells_p: Optional[np.ndarray] = None     # [nnz] int8 in {-1,+1}
     cells_q: Optional[np.ndarray] = None     # [nnz] uint8 capped baseq
+    # third-pass somatic baseq gather (populated when cfg.somatic is on;
+    # None otherwise — ops/somatic.py then falls back to fragment cells)
+    somatic_gather: Optional["SomaticGather"] = None
 
     def flat_cells(self):
         """(cells_off, cells_i, cells_p, cells_q), derived from the dense
@@ -402,6 +405,87 @@ def get_fragments(bam: BamFile, region: Region, cands: CandidateSet,
         haplotag=np.zeros(K, np.int8), assignment=np.zeros(K, np.int8),
         assignment_score=np.zeros(K, np.float64), ld_counts=ld_counts,
         cells_off=off, cells_i=ci.astype(np.int32), cells_p=p, cells_q=bq)
+
+
+@dataclass
+class SomaticGather:
+    """Per-read baseq observations at candidate-somatic sites, gathered with
+    the exact read-set and matching rules of the reference's dedicated third
+    BAM pass (``snpfrags.rs:56-189`` get_somatic_haplotype_baseqs):
+
+      * reads: every fetched record that is mapped and not secondary /
+        supplementary with ``pos <= last somatic site`` — NO mapq / length /
+        divergence QC re-check (the reference relies on qname membership in
+        ``phased_fragments`` only, applied later once assignments exist);
+      * sites: the candidate-time ``somatic_snps`` snapshot — dense sites
+        INCLUDED (the dense retain at candidate.rs:525-527 touches only
+        homo/het lists, and unlike fragment cells, fragment.rs:148-152,
+        the third pass has no dense exclusion);
+      * cell rule: recorded iff ref ∈ {allele1, allele2} and base ∈
+        {allele1, allele2}; ref-bucket iff base == ref; baseq capped at 30
+        (snpfrags.rs:118-135).
+
+    Cells are stored record-major in fetch order so per-site bucket order
+    (and thus the sequential f64 products of somatic.rs) reproduces the
+    reference's Vec push order bit-exactly."""
+
+    som_idx: np.ndarray      # candidate-time somatic candidate indices
+    rec_qnames: List[str]    # per gathered record, fetch order
+    cell_rec: np.ndarray     # [nnz] record ordinal (ascending)
+    cell_site: np.ndarray    # [nnz] index into som_idx
+    cell_is_ref: np.ndarray  # [nnz] bool
+    cell_baseq: np.ndarray   # [nnz] uint8 (capped at 30)
+
+
+def gather_somatic_hap_quals(bam: BamFile, region: Region,
+                             cands: CandidateSet) -> Optional[SomaticGather]:
+    """The reference's third BAM pass (snpfrags.rs:56-189), minus the
+    assignment routing — run at fragment time so the candidate-time
+    ``somatic_snps`` snapshot is taken before rescue clears flags
+    (the reference's ``self.somatic_snps`` is never mutated after
+    candidate.rs:414). Routing by read assignment happens later in
+    ``ops.somatic.detect_somatic_by_het``."""
+    from ..io.bam import FLAG_SECONDARY, FLAG_SUPPLEMENTARY, FLAG_UNMAPPED
+
+    som_idx = np.nonzero(cands.cand_somatic)[0]
+    if som_idx.size == 0:
+        return None
+    sub_pos = cands.pos[som_idx]
+    sub_ref = cands.ref_base[som_idx]
+    sub_alleles = cands.alleles[som_idx]
+    # site-level gate: ref must be among the two alleles (snpfrags.rs:122)
+    ref_in = (sub_alleles[:, 0] == sub_ref) | (sub_alleles[:, 1] == sub_ref)
+
+    lo, hi, omask = bam.overlap_range(region.chr, region.start, region.end)
+    flags = bam.flag[lo:hi]
+    bad = FLAG_UNMAPPED | FLAG_SECONDARY | FLAG_SUPPLEMENTARY
+    keep = omask & ((flags & bad) == 0) & (bam.pos[lo:hi] <= int(sub_pos[-1]))
+    recs = (lo + np.nonzero(keep)[0]).tolist()
+
+    rec_qnames: List[str] = []
+    c_rec: List[np.ndarray] = []
+    c_site: List[np.ndarray] = []
+    c_ref: List[np.ndarray] = []
+    c_q: List[np.ndarray] = []
+    for j, ridx in enumerate(recs):
+        r = bam.read(ridx)
+        rec_qnames.append(r.qname)
+        s_idx = int(np.searchsorted(sub_pos, r.pos, side="left"))
+        e_idx = int(np.searchsorted(sub_pos, r.reference_end(), side="left"))
+        ci, p, bq = _read_cells(r, sub_pos, s_idx, e_idx, sub_ref, sub_alleles)
+        m = (p != 0) & ref_in[ci]   # base ∈ alleles and ref ∈ alleles
+        if not m.any():
+            continue
+        ci, p, bq = ci[m], p[m], bq[m]
+        c_rec.append(np.full(len(ci), j, np.int64))
+        c_site.append(ci)
+        c_ref.append(p == 1)        # p=+1 ⇔ base == ref (fragment.rs:134-136)
+        c_q.append(bq.astype(np.uint8))
+    cat = lambda xs, dt: (np.concatenate(xs) if xs else np.empty(0, dt))
+    return SomaticGather(
+        som_idx=som_idx, rec_qnames=rec_qnames,
+        cell_rec=cat(c_rec, np.int64), cell_site=cat(c_site, np.int64),
+        cell_is_ref=cat(c_ref, bool), cell_baseq=cat(c_q, np.uint8))
 
 
 def downsample_fragments(frags: FragmentMatrix, downsample_depth: int,

@@ -148,6 +148,11 @@ def prepare_region_fragments(bam: BamFile, region: Region, cands,
     """Fragment stage alone; returns (frags, apply_ds)."""
     _t = time.monotonic()
     frags = get_fragments(bam, region, cands, cfg)
+    if cfg.somatic:
+        # third-pass baseq gather at the candidate-time somatic snapshot
+        # (snpfrags.rs:56-189); routed by assignment after phasing
+        from ..phasing.fragments import gather_somatic_hap_quals
+        frags.somatic_gather = gather_somatic_hap_quals(bam, region, cands)
     stage_add("fragments", time.monotonic() - _t)
     apply_ds = (cfg.downsample and cfg.downsample_depth > 0
                 and frags.n_frags >= cfg.downsample_depth)

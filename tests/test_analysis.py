@@ -251,6 +251,113 @@ def test_somatic_flag_end_to_end(tmp_path, rng):
     assert res.n_candidates > 0
 
 
+def test_somatic_third_pass_oracle(tmp_path, rng):
+    """The production somatic path (third-pass baseq gather + classifier)
+    matches a scalar transcription of snpfrags.rs:56-189 + 735-771 +
+    somatic.rs:5-80 bit-exactly, including the reference's read-set quirk:
+    the third pass re-walks every mapped primary record whose qname has a
+    phased fragment, with NO mapq/length/divergence re-check — so a
+    low-mapq record sharing a qname with a QC-passed one contributes quals
+    the fragment matrix never saw."""
+    from longcallr_tpu.io import bam as bamio
+    from longcallr_tpu.io.bam import BamFile
+    from longcallr_tpu.io.fasta import write_fasta
+    from longcallr_tpu.ops.candidates import select_candidates
+    from longcallr_tpu.ops.somatic import detect_somatic_by_het
+    from longcallr_tpu.phasing.fragments import (get_fragments,
+                                                 gather_somatic_hap_quals)
+    from longcallr_tpu.tiles.pileup import build_pileup
+    from longcallr_tpu.tiles.regions import Region
+    from simulate import BASES
+    from oracle_somatic import scalar_detect, scalar_gather
+
+    cfg = preset("hifi-masseq").replace(min_read_length=100, somatic=True)
+    ref = make_reference(rng, 6000)
+    L = len(ref)
+
+    def pick_alt(refb):
+        # avoid the RNA-edit pairs A->G / T->C (candidate.rs:379-407)
+        for b in BASES.tolist():
+            if b != refb and (refb, b) not in ((65, 71), (84, 67)):
+                return b
+
+    site_a, site_b = 2500, 3700            # 0-based; af 8/60 < 0.15 → somatic
+    alt_a = pick_alt(int(ref[site_a]))
+    alt_b = pick_alt(int(ref[site_b]))
+    rows = []
+    for i in range(60):
+        hap = 1 if i % 2 == 0 else 2
+        seq = ref[500:5500].copy()
+        if hap == 1 and i % 8 == 0:
+            seq[site_a - 500] = alt_a      # 8 hap1 reads carry alt at A
+        if hap == 2 and i % 8 == 1:
+            seq[site_b - 500] = alt_b      # 8 hap2 reads carry alt at B
+        rows.append((f"s{i:03d}", 0, 60, seq))
+    # low-mapq second primary sharing qname s000: in the third pass, not in
+    # the fragment matrix (fails min_mapq=20 there)
+    dup = ref[500:5500].copy()
+    dup[site_a - 500] = alt_a
+    rows.append(("s000", 0, 10, dup))
+    # supplementary record: excluded by both passes
+    rows.append(("s001", 0x800, 60, dup.copy()))
+
+    bam_path = str(tmp_path / "som3.bam")
+    with bamio.BamWriter(bam_path, ["chrS"], [L]) as w:
+        for qn, flag, mapq, seq in rows:
+            w.write_record(qname=qn, flag=flag, ref_id=0, pos=500, mapq=mapq,
+                           cigar=bamio.encode_cigar([(len(seq), "M")]),
+                           seq=bytes(seq), qual=np.full(len(seq), 30),
+                           tags=bamio.make_tag_bytes("de", "f", 0.001))
+    write_fasta(bam_path.replace(".bam", ".fa"), {"chrS": bytes(ref)})
+    bam = BamFile(bam_path)
+    region = Region(chr="chrS", start=1, end=L + 1)
+
+    pileup = build_pileup(bam, region, ref, cfg)
+    cands = select_candidates(pileup, cfg)
+    ia = int(np.nonzero(cands.pos == site_a)[0][0])
+    ib = int(np.nonzero(cands.pos == site_b)[0][0])
+    assert cands.cand_somatic[ia] and cands.cand_somatic[ib]
+
+    frags = get_fragments(bam, region, cands, cfg)
+    gather = gather_somatic_hap_quals(bam, region, cands)
+    # 60 QC-clean reads + the low-mapq duplicate; supplementary excluded
+    assert len(gather.rec_qnames) == 61
+    assert gather.rec_qnames.count("s000") == 2
+
+    # assign by construction (reads of even index → hap 1); two excluded
+    for k, qn in enumerate(frags.qnames):
+        i = int(qn[1:])
+        frags.assignment[k] = 1 if i % 2 == 0 else 2
+    for k, qn in enumerate(frags.qnames):
+        if qn in ("s058", "s059"):
+            frags.assignment[k] = 0
+
+    phased = {qn: int(a) for qn, a in zip(frags.qnames, frags.assignment)
+              if a in (1, 2)}
+    expected = scalar_detect(cands, scalar_gather(bam, region, cands, phased),
+                             cfg.somatic_purity)
+    assert ia in expected and ib in expected
+
+    # fallback path first (no gather): misses the duplicate record's quals
+    cands_fb = select_candidates(pileup, cfg)
+    frags.somatic_gather = None
+    detect_somatic_by_het(frags, cands_fb, cfg.somatic_purity)
+
+    frags.somatic_gather = gather
+    detect_somatic_by_het(frags, cands, cfg.somatic_purity)
+    for i in np.nonzero(cands.cand_somatic)[0].tolist():
+        exp = expected.get(i)
+        if exp is None:
+            assert not cands.somatic[i]
+        else:
+            assert bool(cands.somatic[i]) and int(cands.variant_type[i]) == 1
+            assert cands.somatic_score[i] == exp[2]   # bit-exact
+    # the duplicate record shifts hap1's bucket at site A → fallback differs
+    assert cands_fb.somatic_score[ia] != cands.somatic_score[ia]
+    # site B has no duplicate-qname records → the two paths agree there
+    assert cands_fb.somatic_score[ib] == cands.somatic_score[ib]
+
+
 def _phased_setup(tmp_path, rng, n_reads=60):
     """Simulated phased BAM + caller VCF + matching GTF for ASE modes."""
     cfg = preset("hifi-masseq").replace(min_read_length=100)
