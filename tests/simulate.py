@@ -21,6 +21,8 @@ class Truth:
     ref: bytes
     het_snps: Dict[int, Tuple[int, int]] = field(default_factory=dict)  # pos0 → (ref, alt)
     hom_snps: Dict[int, Tuple[int, int]] = field(default_factory=dict)
+    # triallelic: pos0 → (ref, alt1 on hap1, alt2 on hap2) with alt1 != alt2
+    tri_snps: Dict[int, Tuple[int, int, int]] = field(default_factory=dict)
     hap_of_read: Dict[str, int] = field(default_factory=dict)           # qname → 1|2
     # phase convention: hap1 carries ALT at every het site
 
@@ -31,11 +33,11 @@ def make_reference(rng: np.random.Generator, length: int = 8000) -> np.ndarray:
 
 def plant_snps(rng: np.random.Generator, ref: np.ndarray, n_het: int = 10,
                n_hom: int = 3, lo: int = 500, hi: Optional[int] = None,
-               min_gap: int = 120) -> Truth:
+               min_gap: int = 120, n_tri: int = 0) -> Truth:
     hi = hi if hi is not None else len(ref) - 500
     positions: List[int] = []
     cursor = lo
-    while cursor < hi and len(positions) < n_het + n_hom:
+    while cursor < hi and len(positions) < n_het + n_hom + n_tri:
         positions.append(int(cursor + rng.integers(0, min_gap // 2)))
         cursor += min_gap
     rng.shuffle(positions)
@@ -45,8 +47,12 @@ def plant_snps(rng: np.random.Generator, ref: np.ndarray, n_het: int = 10,
         altb = int(BASES[(list(BASES).index(refb) + int(rng.integers(1, 4))) % 4])
         if j < n_het:
             truth.het_snps[p] = (refb, altb)
-        else:
+        elif j < n_het + n_hom:
             truth.hom_snps[p] = (refb, altb)
+        else:
+            others = [int(b) for b in BASES.tolist() if b not in (refb, altb)]
+            alt2 = others[int(rng.integers(0, 2))]
+            truth.tri_snps[p] = (refb, altb, alt2)
     return truth
 
 
@@ -54,6 +60,8 @@ def haplotype_seq(truth: Truth, ref: np.ndarray, hap: int) -> np.ndarray:
     seq = ref.copy()
     for p, (_, alt) in truth.hom_snps.items():
         seq[p] = alt
+    for p, (_, a1, a2) in truth.tri_snps.items():
+        seq[p] = a1 if hap == 1 else a2
     if hap == 1:
         for p, (_, alt) in truth.het_snps.items():
             seq[p] = alt

@@ -171,6 +171,89 @@ def test_oracle_pipeline_exon_mask(tmp_path, rng):
         assert 1500 < pos1 <= 5501
 
 
+# ---------------------------------------------------------------------------
+# Fuzzed oracle sweep: presets × stress shapes × seeds. Each case id feeds the
+# per-test rng fixture (seeded by nodeid), so every row is an independent
+# random workload through the byte-exact wiring gate. This sweep is the
+# standing hedge against transcription error while the Rust binary is
+# unbuildable here (SURVEY.md §4): shapes target the quirk-bearing branches —
+# strand-bias rejection (candidate.rs:199-234), ONT read-end trimming
+# (util.rs:745-751), dense windows incl. the hard-coded 5bp/≥3 pass
+# (candidate.rs:471-523), triallelic hets (candidate.rs:419-455),
+# downsampling (thread.rs:144-151), spliced reads + soft clips.
+FUZZ_CASES = [
+    # (id, preset, cfg_overrides, plant_kwargs, sim_kwargs, inject)
+    ("mq-s0", "hifi-masseq", {}, dict(n_het=9, n_hom=2, min_gap=380),
+     dict(n_reads=50, read_len=2600, err_rate=0.01), None),
+    ("mq-s1", "hifi-masseq", {}, dict(n_het=9, n_hom=2, min_gap=380),
+     dict(n_reads=50, read_len=2600, err_rate=0.01), None),
+    ("mq-s2", "hifi-masseq", {}, dict(n_het=11, n_hom=1, min_gap=340),
+     dict(n_reads=55, read_len=2800, err_rate=0.008), None),
+    ("mq-tri", "hifi-masseq", {}, dict(n_het=8, n_hom=1, n_tri=3, min_gap=360),
+     dict(n_reads=55, read_len=2800, err_rate=0.008), None),
+    ("mq-dense100", "hifi-masseq", {}, dict(n_het=8, n_hom=1, min_gap=380),
+     dict(n_reads=50, read_len=2600, err_rate=0.01), "dense100"),
+    ("mq-dense5bp", "hifi-masseq", {}, dict(n_het=8, n_hom=1, min_gap=380),
+     dict(n_reads=50, read_len=2600, err_rate=0.01), "dense5bp"),
+    ("mq-ds", "hifi-masseq", dict(downsample=True, downsample_depth=30),
+     dict(n_het=10, n_hom=2, min_gap=360),
+     dict(n_reads=60, read_len=2600, err_rate=0.01), None),
+    ("iso-sb", "hifi-isoseq", {}, dict(n_het=9, n_hom=1, min_gap=380),
+     dict(n_reads=50, read_len=2600, err_rate=0.008), "biased"),
+    ("cdna-noisy", "ont-cdna", {}, dict(n_het=10, n_hom=2, min_gap=300),
+     dict(n_reads=50, read_len=2600, err_rate=0.03), None),
+    ("drna-trim", "ont-drna", {}, dict(n_het=10, n_hom=1, min_gap=340),
+     dict(n_reads=50, read_len=2600, err_rate=0.02), None),
+    ("mq-spliced-s0", "hifi-masseq", {}, dict(n_het=10, n_hom=2, min_gap=360),
+     dict(n_reads=55, read_len=2800, err_rate=0.01, with_introns=True,
+          softclip=5), None),
+    ("mq-spliced-s1", "hifi-masseq", {}, dict(n_het=10, n_hom=2, min_gap=360),
+     dict(n_reads=55, read_len=2800, err_rate=0.01, with_introns=True,
+          softclip=5), None),
+]
+
+
+@pytest.mark.parametrize("case", FUZZ_CASES, ids=[c[0] for c in FUZZ_CASES])
+def test_oracle_pipeline_fuzz(tmp_path, rng, case):
+    from simulate import BASES
+
+    cid, pname, over, plant, sim, inject = case
+    cfg = preset(pname).replace(min_read_length=100, **over)
+    ref = make_reference(rng, 6500)
+    truth = plant_snps(rng, ref, **plant)
+
+    def _alt(p):
+        refb = int(ref[p])
+        return int(BASES[(list(BASES).index(refb) + 1) % 4])
+
+    if inject == "dense5bp":
+        # three het SNPs within 4 bp → the hard-coded 5bp/≥3 dense pass
+        for d in (0, 2, 4):
+            truth.het_snps[3210 + d] = (int(ref[3210 + d]), _alt(3210 + d))
+    elif inject == "dense100":
+        # five het SNPs spanning 88 bp → the (dense_win_size=100, ≥5) pass
+        for d in (0, 22, 44, 66, 88):
+            truth.het_snps[2950 + d] = (int(ref[2950 + d]), _alt(2950 + d))
+    elif inject == "biased":
+        # alt written on plus-strand reads only → SOR / binomial rejection
+        sim = dict(sim, biased_sites={2913: _alt(2913), 4471: _alt(4471)})
+
+    bam_path = str(tmp_path / "fuzz.bam")
+    simulate_bam(bam_path, rng, ref, truth, **sim)
+    bam = BamFile(bam_path)
+    region = Region(chr="chrS", start=1, end=len(ref) + 1)
+
+    fast = process_region(bam, region, ref, cfg)
+    o_lines, o_assign, o_ps = scalar_process_region(bam, region, ref, cfg)
+    assert fast.vcf_lines == o_lines
+    assert fast.read_assignments == o_assign
+    assert fast.phase_sets == o_ps
+    assert len(o_lines) > 0
+    if inject in ("dense5bp", "dense100"):
+        # the injected cluster actually fired the dense filter
+        assert any("\tdn\t" in l for l in o_lines)
+
+
 def test_oracle_pipeline_spliced_reads(tmp_path, rng):
     """Spliced long reads (N cigar ops) + soft clips: the fragment CIGAR
     walk, pileup and downstream wiring gate byte-exactly on the domain's
