@@ -163,6 +163,13 @@ def main() -> int:
         stream = {"stream_error": repr(e)[:300]}
     deep.update(stream)
 
+    # 2-process localhost pod leg on the stream workload (C20 replacement
+    # perf evidence: throughput + per-stage scaling + gather overhead)
+    try:
+        deep.update(pod_bench(data_dir, stream.get("stream_reads", 0)))
+    except Exception as e:
+        deep.update({"pod_error": repr(e)[:300]})
+
     from longcallr_tpu.pipeline import engine as _engine
     extra = {
         "wall_s": round(wall, 3),
@@ -358,6 +365,124 @@ def stream_bench(cfg, data_dir: str) -> dict:
         # vs the planted truth, every bench run
         **accuracy_metrics(out_prefix + "_s.vcf", params["truth"],
                            bam_path=bam_path, min_depth=cfg.min_depth),
+    }
+
+
+_POD_WORKER = r"""
+import json, os, sys, time
+port, pid, nproc, bam, fa, out, stats, threads, cache = sys.argv[1:10]
+import jax
+jax.config.update("jax_platforms", "cpu")   # BEFORE distributed init
+jax.config.update("jax_enable_x64", True)
+if int(nproc) > 1:
+    jax.distributed.initialize(f"localhost:{port}", int(nproc), int(pid))
+from longcallr_tpu.config import preset
+from longcallr_tpu.parallel import multihost as mh
+from longcallr_tpu.pipeline.engine import STAGE_TOTALS
+from longcallr_tpu.utils import malloc_tune
+from longcallr_tpu.utils.device import setup_compile_cache
+malloc_tune.tune()
+setup_compile_cache(cache)
+gtime = {}
+orig = mh.gather_results
+def timed(local, **kw):
+    t0 = time.monotonic()
+    r = orig(local, **kw)
+    gtime["gather_s"] = time.monotonic() - t0
+    return r
+mh.gather_results = timed
+cfg = preset("hifi-masseq").replace(threads=int(threads))
+t0 = time.monotonic()
+res = mh.run_multihost(bam, fa, out, cfg)
+wall = time.monotonic() - t0
+with open(stats, "w") as f:
+    json.dump(dict(pid=int(pid), wall_s=wall,
+                   stages={k: round(v, 3) for k, v in STAGE_TOTALS.items()},
+                   **gtime), f)
+"""
+
+
+def pod_bench(data_dir: str, n_reads: int) -> dict:
+    """2-process localhost pod (CPU platform, the substrate the C20
+    replacement ships on) vs a 1-process run of the SAME total core budget,
+    on the stream workload: pod_* keys record throughput, per-stage
+    scaling, gather overhead and the byte gate vs the single run. Runs in
+    SUBPROCESSES so the tunneled axon client in this process never skews
+    the host timing (CLAUDE.md round-1 notes)."""
+    import socket
+    import subprocess
+
+    bam_path = os.path.join(data_dir, "genome_bench.bam")
+    fa_path = os.path.join(data_dir, "genome_bench.fa")
+    worker = os.path.join(data_dir, "pod_worker.py")
+    with open(worker, "w") as f:
+        f.write(_POD_WORKER)
+    here = os.path.dirname(os.path.abspath(__file__))
+    env = dict(os.environ, JAX_ENABLE_X64="1")
+    env["PYTHONPATH"] = here + os.pathsep + env.get("PYTHONPATH", "")
+    ncores = os.cpu_count() or 4
+
+    def _launch(nproc, threads=None, tag=""):
+        with socket.socket() as s:
+            s.bind(("localhost", 0))
+            port = s.getsockname()[1]
+        out_prefix = os.path.join(data_dir, f"pod_out_{nproc}p{tag}")
+        stats = [os.path.join(data_dir, f"pod_stats_{nproc}p{tag}_{p}.json")
+                 for p in range(nproc)]
+        t0 = time.monotonic()
+        procs = [subprocess.Popen(
+            [sys.executable, worker, str(port), str(p), str(nproc),
+             bam_path, fa_path, out_prefix, stats[p],
+             str(threads or max(1, ncores // nproc)), data_dir],
+            cwd=here, env=env, stdout=subprocess.DEVNULL,
+            stderr=subprocess.PIPE, text=True) for p in range(nproc)]
+        errs = [p.communicate(timeout=1200)[1] for p in procs]
+        wall = time.monotonic() - t0
+        for p, se in zip(procs, errs):
+            if p.returncode != 0:
+                raise RuntimeError(f"pod worker rc={p.returncode}: "
+                                   f"{se[-500:]}")
+        st = [json.load(open(s)) for s in stats]
+        return wall, out_prefix, st
+
+    # warm the CPU compile cache once (first worker run pays jit compiles)
+    _launch(1)
+    wall1, out1, st1 = _launch(1)
+    wall2, out2, st2 = _launch(2)
+    # fixed per-process resources comparator: 1 process at the pod workers'
+    # thread budget — separates the sharding gain from the single-host
+    # duplication cost (on a real pod each process has its own cores)
+    _, _, st1f = _launch(1, threads=max(1, ncores // 2), tag="f")
+
+    with open(out1 + ".vcf") as f:
+        v1 = f.read()
+    with open(out2 + ".vcf") as f:
+        v2 = f.read()
+    stages1 = st1[0]["stages"]
+    # critical path per stage across pod workers
+    stages2 = {k: max(s["stages"].get(k, 0.0) for s in st2)
+               for k in stages1}
+    scaling = {k: round(stages1[k] / stages2[k], 2)
+               for k in ("pileup", "candidates", "fragments", "assign")
+               if stages1.get(k) and stages2.get(k)}
+    return {
+        "pod_processes": 2,
+        "pod_wall_s": round(wall2, 3),
+        "pod_reads_per_s": round(n_reads / st2[0]["wall_s"], 1),
+        "pod_1p_wall_s": round(wall1, 3),
+        "pod_1p_reads_per_s": round(n_reads / st1[0]["wall_s"], 1),
+        # in-caller walls (exclude interpreter/jax import of the subprocess)
+        "pod_caller_wall_s": round(max(s["wall_s"] for s in st2), 3),
+        "pod_1p_caller_wall_s": round(st1[0]["wall_s"], 3),
+        "pod_scaling_vs_1p": round(st1[0]["wall_s"]
+                                   / max(s["wall_s"] for s in st2), 2),
+        # same per-process thread budget as the pod workers
+        "pod_scaling_fixed_threads": round(
+            st1f[0]["wall_s"] / max(s["wall_s"] for s in st2), 2),
+        "pod_1p_fixed_threads_wall_s": round(st1f[0]["wall_s"], 3),
+        "pod_gather_s": round(st2[0].get("gather_s", 0.0), 3),
+        "pod_stage_scaling": scaling,
+        "pod_matches_single": v1 == v2,
     }
 
 
