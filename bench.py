@@ -227,14 +227,25 @@ def deep_bench(cfg, data_dir: str) -> dict:
     run(bam_path, fa_path, out_prefix, cfg, batched=True)
     wall_tpu = float("inf")
     stages_tpu = {}
+    out_t = None
     for _ in range(3):   # best-of-3: the tunnel/client tax swings 2-3x
         t0 = time.monotonic()
-        out_t, st = _staged(lambda: run(bam_path, fa_path, out_prefix, cfg,
-                                        batched=True))
+        o, st = _staged(lambda: run(bam_path, fa_path, out_prefix, cfg,
+                                    batched=True))
         w = time.monotonic() - t0
         if w < wall_tpu:
-            wall_tpu, stages_tpu = w, st
+            wall_tpu, stages_tpu, out_t = w, st, o
 
+    # WALL attribution (deep_stages mixes units: phase_* keys run on the
+    # main thread so they are wall; pileup/fragments/assign accumulate
+    # across pool workers so they can exceed wall). stage_seconds walls +
+    # the phase wall give the honest split: host_prepare_finalize is the
+    # pipeline wall NOT covered by device phasing (wave overlap included).
+    _PHASE_KEYS = ("phase", "phase_ascent1", "phase_blockflip",
+                   "phase_perturb", "phase_tables", "phase_fused",
+                   "phase_safety")
+    sw = out_t.stage_seconds
+    phase_wall = sum(stages_tpu.get(k, 0.0) for k in _PHASE_KEYS)
     res = {
         "deep_reads": params["n_reads"],
         "deep_regions": out_t.n_regions,
@@ -242,6 +253,15 @@ def deep_bench(cfg, data_dir: str) -> dict:
         "deep_wall_s": round(wall_tpu, 3),
         "deep_reads_per_s": round(params["n_reads"] / wall_tpu, 1),
         "deep_stages": stages_tpu,
+        "deep_walls": {
+            "load": round(sw.get("load", 0.0), 3),
+            "regions": round(sw.get("regions", 0.0), 3),
+            "pipeline": round(sw.get("regions_pipeline", 0.0), 3),
+            "phase": round(phase_wall, 3),
+            "host_prepare_finalize": round(
+                sw.get("regions_pipeline", 0.0) - phase_wall, 3),
+            "write": round(sw.get("vcf", 0.0) + sw.get("phased_bam", 0.0), 3),
+        },
     }
 
     if accel:
@@ -261,10 +281,7 @@ def deep_bench(cfg, data_dir: str) -> dict:
         # the phasing-stage ratio isolates the device win from the host
         # stages (pileup/fragments/assign run on the host in BOTH legs and
         # bound the end-to-end ratio at this workload size)
-        _PHASE_KEYS = ("phase", "phase_ascent1", "phase_blockflip",
-                       "phase_perturb", "phase_tables", "phase_fused",
-                       "phase_safety")
-        pt = sum(stages_tpu.get(k, 0.0) for k in _PHASE_KEYS)
+        pt = phase_wall
         pc = sum(stages_cpu.get(k, 0.0) for k in _PHASE_KEYS)
         res.update({
             "deep_cpu_wall_s": round(wall_cpu, 3),

@@ -207,10 +207,36 @@ def _phase_enum_bucket(group: List[_Prepared], cfg: CallerConfig, K: int,
                                                  it.seed, it.apply_ds)
 
 
+# Per-bucket split-table budget (MB) for accelerator targets: the stacked
+# hi/lo f32 Dp tables (8·K·I bytes/region) must stay VMEM-resident across
+# ascent iterations — that residency is what lets the schedule beat the HBM
+# roofline (BASELINE.md round-3/4). Measured on the v5e (128 MB VMEM,
+# experiments/arith_intensity.py): at (K=4096, I=512) a B=4 bucket (67 MB
+# tables) runs 27 µs/region-iteration; B=8 (134 MB) falls off VMEM to
+# 67 µs/region-iteration — 2.4x worse than two B=4 dispatches. 72 MB keeps
+# the proven B=4 deep bucket and scales the cap for other shapes.
+import os as _os
+VMEM_TABLE_MB = float(_os.environ.get("LONGCALLR_VMEM_TABLE_MB", "72"))
+
+
 def _phase_bucket(group: List[_Prepared], cfg: CallerConfig, K: int,
                   I_pad: int, mesh, out: List[Optional[PhaseState]]) -> None:
     from ..parallel.mesh import (BatchedRegions, batched_cross_optimize,
                                  batched_perturbation_phase)
+
+    if mesh is None and len(group) > 1:
+        from ..utils.device import accel_placement
+        per_region = 8 * K * I_pad          # stacked [2,K,I] f32 tables
+        force = _os.environ.get("LONGCALLR_VMEM_SPLIT_FORCE") == "1"
+        if ((accel_placement() or force)
+                and per_region * len(group) > VMEM_TABLE_MB * 1e6):
+            # VMEM guard: split the bucket so each dispatch's tables fit —
+            # outputs are invariant to bucket composition (per-region seed
+            # streams; standing wave-composition byte test)
+            bmax = max(1, int(VMEM_TABLE_MB * 1e6 // per_region))
+            for i in range(0, len(group), bmax):
+                _phase_bucket(group[i:i + bmax], cfg, K, I_pad, mesh, out)
+            return
 
     B = len(group)
     if mesh is None:

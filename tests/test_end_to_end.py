@@ -563,6 +563,49 @@ def test_wave_split_and_overlap_byte_identical(tmp_path, monkeypatch):
     assert serial == base
 
 
+def test_vmem_bucket_split_byte_identical(tmp_path, monkeypatch):
+    """The VMEM-aware bucket split (LONGCALLR_VMEM_TABLE_MB, measured in
+    experiments/arith_intensity.py: split tables past ~128 MB fall off VMEM
+    and cost 2.4x per region-iteration) must not change a byte — bucket
+    composition only regroups regions (per-region seed streams)."""
+    from longcallr_tpu.phasing import batch_driver as bd
+    from longcallr_tpu.utils.bench_workload import make_deep_workload
+
+    cfg = preset("hifi-masseq").replace(min_read_length=100, threads=2)
+    bam_p = str(tmp_path / "vm.bam")
+    fa_p = str(tmp_path / "vm.fa")
+    make_deep_workload(bam_p, fa_p, n_regions=3, region_len=2400,
+                       snp_spacing=120, coverage=30, read_len=600,
+                       err_rate=0.0, gap=3000, seed=9, contig="chrV")
+
+    sizes = []
+    orig = bd._phase_bucket
+
+    def spy(group, *a, **kw):
+        sizes.append(len(group))
+        return orig(group, *a, **kw)
+
+    monkeypatch.setattr(bd, "_phase_bucket", spy)
+
+    def _run(tag):
+        out = run(bam_p, fa_p, str(tmp_path / tag), cfg, batched=True)
+        with open(out.vcf_path) as f:
+            recs = [ln for ln in f if not ln.startswith("#")]
+        pb = BamFile(out.phased_bam_path)
+        tags = sorted((r.qname, r.get_tag("HP"), r.get_tag("PS")) for r in pb)
+        return recs, tags
+
+    base = _run("whole")                # CPU placement → no split
+    assert sizes and max(sizes) == 3
+    sizes.clear()
+    monkeypatch.setenv("LONGCALLR_VMEM_SPLIT_FORCE", "1")
+    monkeypatch.setattr(bd, "VMEM_TABLE_MB", 1e-6)   # force max split
+    split = _run("split")               # one region per bucket dispatch
+    # sizes = [3 (outer guard call), 1, 1, 1 (recursive dispatches)]
+    assert sizes.count(1) >= 3
+    assert split == base
+
+
 def test_finalize_pool_byte_identical(tmp_path, monkeypatch):
     """The deep-wave finalize fan-out (LONGCALLR_FINALIZE_MT_CELLS) must not
     change a byte: finalize_region is per-region independent (own rng
