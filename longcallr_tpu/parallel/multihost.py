@@ -168,21 +168,11 @@ def run_local_shard(bam, fasta, regions: Sequence[Region],
     from ..pipeline.engine import RegionResult, finalize_region, prepare_region
     from ..pipeline.caller import _exon_mask_for
 
-    # Accelerator-less pod processes (the localhost/CPU pod substrate) take
-    # the thread-pooled per-region layout instead: the batched bucket
-    # program is one serial XLA dispatch per bucket — on a CPU backend it
-    # leaves cfg.threads-1 cores idle through the dominant phase stage
-    # (measured 2x end-to-end on the 104k-read pod leg). Outputs are
-    # byte-equal by the batched==per-region seed contract
-    # (phasing/batch_driver.py), asserted by the pod tests and bench gate.
-    try:
-        accel = jax.default_backend() != "cpu"
-    except Exception:
-        accel = False
-    if not accel and cfg.threads > 1 and len(mine) > 1:
-        return _run_shard_pooled(bam, fasta, regions, mine, cfg,
-                                 input_candidates, exon_regions, ckpt)
-
+    # Accelerator-less pod processes run the same batched path: the shard's
+    # buckets are split to CPU_BUCKET_B_CAP inside the batch driver, which
+    # bounds the batch-convergence coupling that made one whole-shard B=32
+    # bucket ~2x slower than wave-sized dispatches (measured on the
+    # 104k-read pod leg; see phasing/batch_driver.py).
     local: Dict[int, dict] = {}
     items, item_idx = [], []
     prepared = {}
@@ -229,55 +219,6 @@ def run_local_shard(bam, fasta, regions: Sequence[Region],
         local[i] = _payload(res)
         if ckpt is not None:
             ckpt.put(res)
-    return local, failed
-
-
-def _run_shard_pooled(bam, fasta, regions: Sequence[Region],
-                      mine: Sequence[int], cfg: CallerConfig,
-                      input_candidates, exon_regions,
-                      ckpt) -> Tuple[Dict[int, dict], List[int]]:
-    """CPU-pod shard execution: one region per pool worker, single-threaded
-    inside (the rayon layout of pipeline/caller.run's per-region branch,
-    thread.rs:52-77). Same payload/ckpt/exon semantics as run_local_shard."""
-    from concurrent.futures import ThreadPoolExecutor
-
-    from ..pipeline.caller import _exon_mask_for
-    from ..pipeline.engine import RegionResult, process_region
-
-    cfg_task = cfg.replace(threads=1)
-    # warm the per-contig reference cache serially (duplicate-load guard,
-    # same as pipeline/caller.run)
-    for chrom in {regions[i].chr for i in mine}:
-        fasta.fetch(chrom)
-
-    def _one(i: int):
-        reg = regions[i]
-        done = ckpt.get(reg) if ckpt is not None else None
-        if done is not None:
-            return i, _payload(done), False
-        exon_mask = None
-        if cfg.exon_only and reg.gene_id is not None:
-            exon_mask = _exon_mask_for(reg, exon_regions or {})
-            if exon_mask is None:
-                empty = RegionResult(reg, [], {}, {}, 0, 0)
-                if ckpt is not None:
-                    ckpt.put(empty)
-                return i, _payload(empty), False
-        try:
-            ref_seq = fasta.fetch(reg.chr)
-            res = process_region(bam, reg, ref_seq, cfg_task,
-                                 input_candidates=input_candidates,
-                                 exon_mask=exon_mask)
-        except Exception:
-            return i, None, True
-        if ckpt is not None:
-            ckpt.put(res)
-        return i, _payload(res), False
-
-    with ThreadPoolExecutor(max_workers=cfg.threads) as ex:
-        results = list(ex.map(_one, mine))
-    local = {i: payload for i, payload, _ in results if payload is not None}
-    failed = [i for i, _, f in results if f]
     return local, failed
 
 
@@ -381,6 +322,8 @@ def run_multihost(bam_path: str, ref_path: str, output_prefix: str,
     pid = jax.process_index()
     n_proc = jax.process_count()
     if n_proc == 1:
+        # same default as the CLI: batched AUTO (on for >1 region)
+        run_kwargs.setdefault("batched", None)
         return run(bam_path, ref_path, output_prefix, cfg, **run_kwargs)
 
     if stream is None:

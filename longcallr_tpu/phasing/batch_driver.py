@@ -111,9 +111,7 @@ def _phase_enum_bucket(group: List[_Prepared], cfg: CallerConfig, K: int,
         if phase_problem_device(B * C_est * K * I_pad) is not None:
             # sub-threshold on an accelerator session → per-region host path
             # (same rationale as _phase_bucket's early exit)
-            for it in group:
-                out[it.index] = phase_region(it.frags, it.cands, cfg,
-                                             it.seed, it.apply_ds)
+            _phase_group_host(group, cfg, out)
             return
     p = np.zeros((B, K, I_pad), np.int8)
     bq = np.zeros((B, K, I_pad), np.uint8)
@@ -218,6 +216,35 @@ def _phase_enum_bucket(group: List[_Prepared], cfg: CallerConfig, K: int,
 import os as _os
 VMEM_TABLE_MB = float(_os.environ.get("LONGCALLR_VMEM_TABLE_MB", "72"))
 
+# Accelerator-less sessions: cap the bucket batch axis. The batched CPU
+# program is ONE serial XLA while-loop whose every iteration touches all B
+# regions until the slowest converges, so convergence coupling makes giant
+# buckets waste serial work (measured on the 104k-read workload: one B=32
+# bucket ≈ 44 s of phase vs ≈ 12 s when the same regions run as wave-sized
+# B≈6 buckets). run()'s wave budget produces small buckets naturally; this
+# cap protects call sites that batch a whole shard in one call.
+CPU_BUCKET_B_CAP = int(_os.environ.get("LONGCALLR_CPU_BUCKET_B_CAP", "6"))
+
+
+def _accel_session() -> bool:
+    """True when the session has any accelerator device (the CPU-cap and
+    VMEM-split guards key off the SESSION, not the per-call placement —
+    a jax.default_device(cpu) comparator block on an accelerator session
+    should behave like the accelerator session it is benchmarked against)."""
+    try:
+        return jax.devices()[0].platform != "cpu"
+    except Exception:
+        return False
+
+
+def _phase_group_host(group: List[_Prepared], cfg: CallerConfig,
+                      out: List[Optional[PhaseState]]) -> None:
+    """Per-region host path for a sub-threshold bucket group (the
+    scaled16-style early exits)."""
+    for it in group:
+        out[it.index] = phase_region(it.frags, it.cands, cfg, it.seed,
+                                     it.apply_ds)
+
 
 def _phase_bucket(group: List[_Prepared], cfg: CallerConfig, K: int,
                   I_pad: int, mesh, out: List[Optional[PhaseState]]) -> None:
@@ -248,9 +275,18 @@ def _phase_bucket(group: List[_Prepared], cfg: CallerConfig, K: int,
             # defining host-exact per-region path, byte-equal by the
             # batched==per-region seed contract) is ~10x faster at this
             # scale (scaled16: 6.2 s → per-region host phasing).
-            for it in group:
-                out[it.index] = phase_region(it.frags, it.cands, cfg,
-                                             it.seed, it.apply_ds)
+            _phase_group_host(group, cfg, out)
+            return
+        if not _accel_session() and B > CPU_BUCKET_B_CAP:
+            # accelerator-less session: the batch couples convergence
+            # (every while-loop iteration touches all B regions until the
+            # SLOWEST converges), so giant buckets waste serial CPU work —
+            # measured: B=32 single-call shard ~44 s of phase vs ~12 s as
+            # wave-sized B≈6 buckets on the same regions. Split; byte-
+            # invariant (per-region seed streams).
+            for i in range(0, B, CPU_BUCKET_B_CAP):
+                _phase_bucket(group[i:i + CPU_BUCKET_B_CAP], cfg, K, I_pad,
+                              mesh, out)
             return
     p = np.zeros((B, K, I_pad), np.int8)
     bq = np.zeros((B, K, I_pad), np.uint8)
