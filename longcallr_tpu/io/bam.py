@@ -661,37 +661,11 @@ def write_tagged_records(bam: "BamFile", ridxs, read_assignments,
     n = len(ridxs)
     if n == 0:
         return 0
-    try:
-        from .. import native
-        nlib = native.lib()
-    except Exception:
-        nlib = None
-    if nlib is not None and hasattr(nlib, "bam_emit_tagged"):
-        import ctypes
-
-        from .bgzf import _scratch_buf
-        hp = np.fromiter((read_assignments.get(q) or 0 for q in qnames),
-                         np.int32, count=n)
-        ps = np.fromiter((read_phasesets.get(q) or 0 for q in qnames),
-                         np.int32, count=n)
-        ps_has = np.fromiter((q in read_phasesets for q in qnames),
-                             np.uint8, count=n)
-        off = bam.rec_off[ridxs].astype(np.int64)
-        end = bam.rec_end[ridxs].astype(np.int64)
-        cap = int((end - off).sum()) + 18 * n + 64
-        out = _scratch_buf("bam_emit", cap)
-        data = np.frombuffer(bam._data, dtype=np.uint8)
-        u8p = ctypes.POINTER(ctypes.c_uint8)
-        i64p = ctypes.POINTER(ctypes.c_int64)
-        i32p = ctypes.POINTER(ctypes.c_int32)
-        ptr = lambda a, t: a.ctypes.data_as(t)
-        w = nlib.bam_emit_tagged(
-            ptr(data, u8p), ptr(off, i64p), ptr(end, i64p), n,
-            ptr(hp, i32p), ptr(ps, i32p), ptr(ps_has, u8p),
-            ptr(out, u8p), cap)
-        if w >= 0:
-            writer._w.write(memoryview(out)[:int(w)])
-            return n
+    payload = _emit_tagged_native(bam, ridxs, qnames, read_assignments,
+                                  read_phasesets, copy=False)
+    if payload is not None:
+        writer._w.write(payload)
+        return n
     buf = bam._buf
     for ridx, qname in zip(ridxs, qnames):
         tags = b""
@@ -705,6 +679,81 @@ def write_tagged_records(bam: "BamFile", ridxs, read_assignments,
         writer.write_raw(buf[int(bam.rec_off[ridx]):int(bam.rec_end[ridx])],
                          extra_tags=tags)
     return n
+
+
+def collect_tagged_bytes(bam: "BamFile", ridxs, read_assignments,
+                         read_phasesets) -> Tuple[bytes, int]:
+    """Uncompressed tagged-record stream for ``ridxs`` as an OWNED bytes
+    object (identical byte sequence to what write_tagged_records feeds the
+    BGZF writer). Lets the caller hand the payload to a background writer
+    thread while the source window is evicted — the streaming pipeline's
+    write/compute overlap."""
+    qnames = bam.qnames_at(ridxs)
+    n = len(ridxs)
+    if n == 0:
+        return b"", 0
+    payload = _emit_tagged_native(bam, ridxs, qnames, read_assignments,
+                                  read_phasesets, copy=True)
+    if payload is not None:
+        return payload, n
+    import struct as _struct
+    out = bytearray()
+    buf = bam._buf
+    for ridx, qname in zip(ridxs, qnames):
+        tags = b""
+        asg = read_assignments.get(qname)
+        if asg is not None and asg != 0:
+            tags += make_tag_bytes("HP", "i", asg)
+        psv = read_phasesets.get(qname)
+        if psv is not None:
+            tags += make_tag_bytes("PS", "I", psv)
+        rec = buf[int(bam.rec_off[ridx]):int(bam.rec_end[ridx])]
+        out += _struct.pack("<i", len(rec) + len(tags))
+        out += rec
+        out += tags
+    return bytes(out), n
+
+
+def _emit_tagged_native(bam: "BamFile", ridxs, qnames, read_assignments,
+                        read_phasesets, copy: bool):
+    """Native tagged-record assembly into the shared scratch buffer.
+    Returns a memoryview into the scratch (``copy=False`` — consume before
+    the next call) or an owned bytes copy (``copy=True``); None when the
+    native library is unavailable."""
+    n = len(ridxs)
+    try:
+        from .. import native
+        nlib = native.lib()
+    except Exception:
+        nlib = None
+    if nlib is None or not hasattr(nlib, "bam_emit_tagged"):
+        return None
+    import ctypes
+
+    from .bgzf import _scratch_buf
+    hp = np.fromiter((read_assignments.get(q) or 0 for q in qnames),
+                     np.int32, count=n)
+    ps = np.fromiter((read_phasesets.get(q) or 0 for q in qnames),
+                     np.int32, count=n)
+    ps_has = np.fromiter((q in read_phasesets for q in qnames),
+                         np.uint8, count=n)
+    off = bam.rec_off[ridxs].astype(np.int64)
+    end = bam.rec_end[ridxs].astype(np.int64)
+    cap = int((end - off).sum()) + 18 * n + 64
+    out = _scratch_buf("bam_emit", cap)
+    data = np.frombuffer(bam._data, dtype=np.uint8)
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    ptr = lambda a, t: a.ctypes.data_as(t)
+    w = nlib.bam_emit_tagged(
+        ptr(data, u8p), ptr(off, i64p), ptr(end, i64p), n,
+        ptr(hp, i32p), ptr(ps, i32p), ptr(ps_has, u8p),
+        ptr(out, u8p), cap)
+    if w < 0:
+        return None
+    view = memoryview(out)[:int(w)]
+    return bytes(view) if copy else view
 
 
 def make_tag_bytes(tag: str, typ: str, value) -> bytes:

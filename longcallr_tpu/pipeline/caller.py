@@ -265,16 +265,25 @@ def run_streaming(bam_path: str, ref_path: str, output_prefix: str,
     writer = None
     n_regions_total = n_records = n_phased = n_tagged = 0
     n_assigned = n_frag_total = n_cand_total = 0
-    from ..io.bam import FLAG_SECONDARY, FLAG_SUPPLEMENTARY, FLAG_UNMAPPED
+    from ..io.bam import (FLAG_SECONDARY, FLAG_SUPPLEMENTARY, FLAG_UNMAPPED,
+                          collect_tagged_bytes)
     bad = FLAG_UNMAPPED | FLAG_SECONDARY | FLAG_SUPPLEMENTARY
+    # single ordered writer thread: BGZF deflate of contig N's phased
+    # records overlaps contig N+1's compute (submissions execute in order,
+    # so the byte stream is identical to inline writes)
+    write_pool = ThreadPoolExecutor(max_workers=1)
+    bam_writes: List = []
     try:
         with open(vcf_path, "w") as vf:
             write_vcf_header(vf, fasta.contig_lengths)
             for chrom, clen in fasta.contig_lengths:
                 if contigs and chrom not in contigs:
                     continue
+                _t = time.monotonic()
                 win = BamFile(bam_path, threads=max(1, cfg.threads),
                               region=(chrom, 0, clen))
+                stage["window_load"] = stage.get("window_load", 0.0) + (
+                    time.monotonic() - _t)
                 if win.n_records == 0:
                     continue
                 if writer is None and phased_bam_path:
@@ -283,8 +292,11 @@ def run_streaming(bam_path: str, ref_path: str, output_prefix: str,
                                        header_text=win.header_text,
                                        level=cfg.bam_compression_level,
                                        threads=max(1, cfg.threads))
+                _t = time.monotonic()
                 regions = extract_isolated_regions_parallel(
                     win, [(chrom, clen)], cfg, contigs=[chrom])
+                stage["discovery"] = stage.get("discovery", 0.0) + (
+                    time.monotonic() - _t)
                 if cfg.exon_only:
                     regions = intersect_gene_regions(regions, gene_regions,
                                                      merge=True)
@@ -343,6 +355,7 @@ def run_streaming(bam_path: str, ref_path: str, output_prefix: str,
                             read_assignments.setdefault(k, v)
                         for k, v in res.phase_sets.items():
                             read_phasesets.setdefault(k, v)
+                    _t = time.monotonic()
                     for reg in regions:
                         lo, hi, omask = win.overlap_range(
                             reg.chr, reg.start, reg.end)
@@ -350,9 +363,20 @@ def run_streaming(bam_path: str, ref_path: str, output_prefix: str,
                                 & (win.pos[lo:hi] + 1 >= reg.start)
                                 & (win.ref_end[lo:hi] + 1 <= reg.end))
                         ridxs = (lo + np.nonzero(keep)[0]).tolist()
-                        n_tagged += write_tagged_records(
-                            win, ridxs, read_assignments, read_phasesets,
-                            writer)
+                        # assemble synchronously (cheap, owns its bytes),
+                        # deflate+write on the single ordered writer thread
+                        # so the BGZF compression of contig N overlaps
+                        # contig N+1's window load / pipeline — the window
+                        # is still evicted right below (memory contract
+                        # unchanged up to one contig's payload bytes)
+                        payload, cnt = collect_tagged_bytes(
+                            win, ridxs, read_assignments, read_phasesets)
+                        n_tagged += cnt
+                        if payload:
+                            bam_writes.append(
+                                write_pool.submit(writer._w.write, payload))
+                    stage["bam_emit"] = stage.get("bam_emit", 0.0) + (
+                        time.monotonic() - _t)
                 del win
                 fasta.evict(chrom)
                 # return the evicted contig's freed heap to the OS: tune()
@@ -366,8 +390,14 @@ def run_streaming(bam_path: str, ref_path: str, output_prefix: str,
                 _mt.trim()
     finally:
         ckpt.close()
+        _t = time.monotonic()
+        for f in bam_writes:
+            f.result()          # drain (and surface) pending deflate work
+        write_pool.shutdown()
         if writer is not None:
             writer.close()
+        if bam_writes:
+            stage["bam_write_drain"] = time.monotonic() - _t
     if writer is None:
         phased_bam_path = None      # no records anywhere → no BAM written
     stage["total"] = time.monotonic() - t0
