@@ -273,15 +273,33 @@ def run_streaming(bam_path: str, ref_path: str, output_prefix: str,
     # so the byte stream is identical to inline writes)
     write_pool = ThreadPoolExecutor(max_workers=1)
     bam_writes: List = []
+    # one-ahead window prefetch: contig N+1's BAI-windowed load (IO +
+    # native inflate, GIL-released) runs under contig N's compute. The
+    # loop's steady state is [prefetch N+1] ∥ [compute N] ∥ [deflate N-1];
+    # transient memory is one extra window. LONGCALLR_STREAM_PREFETCH=0
+    # restores the strictly-one-contig-resident loop.
+    todo_contigs = [(c, l) for c, l in fasta.contig_lengths
+                    if not contigs or c in contigs]
+    prefetch_on = os.environ.get("LONGCALLR_STREAM_PREFETCH", "1") != "0"
+    load_pool = ThreadPoolExecutor(max_workers=1) if prefetch_on else None
+
+    def _load_window(chrom: str, clen: int) -> BamFile:
+        return BamFile(bam_path, threads=max(1, cfg.threads),
+                       region=(chrom, 0, clen))
+
     try:
         with open(vcf_path, "w") as vf:
             write_vcf_header(vf, fasta.contig_lengths)
-            for chrom, clen in fasta.contig_lengths:
-                if contigs and chrom not in contigs:
-                    continue
+            nxt = (load_pool.submit(_load_window, *todo_contigs[0])
+                   if load_pool and todo_contigs else None)
+            for ci, (chrom, clen) in enumerate(todo_contigs):
                 _t = time.monotonic()
-                win = BamFile(bam_path, threads=max(1, cfg.threads),
-                              region=(chrom, 0, clen))
+                if nxt is not None:
+                    win = nxt.result()
+                    nxt = (load_pool.submit(_load_window, *todo_contigs[ci + 1])
+                           if ci + 1 < len(todo_contigs) else None)
+                else:
+                    win = _load_window(chrom, clen)
                 stage["window_load"] = stage.get("window_load", 0.0) + (
                     time.monotonic() - _t)
                 if win.n_records == 0:
@@ -390,6 +408,8 @@ def run_streaming(bam_path: str, ref_path: str, output_prefix: str,
                 _mt.trim()
     finally:
         ckpt.close()
+        if load_pool is not None:
+            load_pool.shutdown(wait=True)
         _t = time.monotonic()
         for f in bam_writes:
             f.result()          # drain (and surface) pending deflate work
