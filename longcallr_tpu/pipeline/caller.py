@@ -268,11 +268,6 @@ def run_streaming(bam_path: str, ref_path: str, output_prefix: str,
     from ..io.bam import (FLAG_SECONDARY, FLAG_SUPPLEMENTARY, FLAG_UNMAPPED,
                           collect_tagged_bytes)
     bad = FLAG_UNMAPPED | FLAG_SECONDARY | FLAG_SUPPLEMENTARY
-    # single ordered writer thread: BGZF deflate of contig N's phased
-    # records overlaps contig N+1's compute (submissions execute in order,
-    # so the byte stream is identical to inline writes)
-    write_pool = ThreadPoolExecutor(max_workers=1)
-    bam_writes: List = []
     # one-ahead window prefetch: contig N+1's BAI-windowed load (IO +
     # native inflate, GIL-released) runs under contig N's compute. The
     # loop's steady state is [prefetch N+1] ∥ [compute N] ∥ [deflate N-1];
@@ -282,6 +277,12 @@ def run_streaming(bam_path: str, ref_path: str, output_prefix: str,
                     if not contigs or c in contigs]
     prefetch_on = os.environ.get("LONGCALLR_STREAM_PREFETCH", "1") != "0"
     load_pool = ThreadPoolExecutor(max_workers=1) if prefetch_on else None
+    # single ordered writer thread: BGZF deflate of contig N's phased
+    # records overlaps contig N+1's compute (submissions execute in order,
+    # so the byte stream is identical to inline writes). Gated by the same
+    # switch as the prefetch: =0 restores the strictly serial loop.
+    write_pool = ThreadPoolExecutor(max_workers=1) if prefetch_on else None
+    bam_writes: List = []
 
     def _load_window(chrom: str, clen: int) -> BamFile:
         return BamFile(bam_path, threads=max(1, cfg.threads),
@@ -390,9 +391,11 @@ def run_streaming(bam_path: str, ref_path: str, output_prefix: str,
                         payload, cnt = collect_tagged_bytes(
                             win, ridxs, read_assignments, read_phasesets)
                         n_tagged += cnt
-                        if payload:
+                        if payload and write_pool is not None:
                             bam_writes.append(
                                 write_pool.submit(writer._w.write, payload))
+                        elif payload:
+                            writer._w.write(payload)
                     stage["bam_emit"] = stage.get("bam_emit", 0.0) + (
                         time.monotonic() - _t)
                 del win
@@ -413,7 +416,8 @@ def run_streaming(bam_path: str, ref_path: str, output_prefix: str,
         _t = time.monotonic()
         for f in bam_writes:
             f.result()          # drain (and surface) pending deflate work
-        write_pool.shutdown()
+        if write_pool is not None:
+            write_pool.shutdown()
         if writer is not None:
             writer.close()
         if bam_writes:

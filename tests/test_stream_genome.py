@@ -63,6 +63,20 @@ def test_stream_equals_resident_multi_contig(tmp_path):
         win_sum += win.n_records
     assert win_sum == total
 
+    # kill switch for the streaming overlap (window prefetch + background
+    # deflate): the strictly-one-contig loop produces the same bytes,
+    # including the BGZF container framing of the phased BAM
+    os.environ["LONGCALLR_STREAM_PREFETCH"] = "0"
+    try:
+        plain = run_streaming(bam_path, fa_path, str(tmp_path / "plain"), cfg)
+    finally:
+        del os.environ["LONGCALLR_STREAM_PREFETCH"]
+    with open(plain.vcf_path) as f:
+        assert f.read() == v_stream
+    with open(plain.phased_bam_path, "rb") as a, \
+            open(stream.phased_bam_path, "rb") as b:
+        assert a.read() == b.read()
+
 
 def test_stream_resume_multi_contig(tmp_path):
     """--resume over the streaming mode: a rerun with the checkpoint present
