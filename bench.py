@@ -446,20 +446,39 @@ def pod_bench(data_dir: str, n_reads: int) -> dict:
         out_prefix = os.path.join(data_dir, f"pod_out_{nproc}p{tag}")
         stats = [os.path.join(data_dir, f"pod_stats_{nproc}p{tag}_{p}.json")
                  for p in range(nproc)]
+        err_paths = [os.path.join(data_dir, f"pod_err_{nproc}p{tag}_{p}.log")
+                     for p in range(nproc)]
         t0 = time.monotonic()
-        procs = [subprocess.Popen(
-            [sys.executable, worker, str(port), str(p), str(nproc),
-             bam_path, fa_path, out_prefix, stats[p],
-             str(threads or max(1, ncores // nproc)), data_dir],
-            cwd=here, env=env, stdout=subprocess.DEVNULL,
-            stderr=subprocess.PIPE, text=True) for p in range(nproc)]
-        errs = [p.communicate(timeout=1200)[1] for p in procs]
-        wall = time.monotonic() - t0
-        for p, se in zip(procs, errs):
-            if p.returncode != 0:
-                raise RuntimeError(f"pod worker rc={p.returncode}: "
-                                   f"{se[-500:]}")
-        st = [json.load(open(s)) for s in stats]
+        # stderr to files (a blocked >64 KB pipe would stall a worker mid-
+        # collective); kill every worker on any failure so a wedged pod
+        # never leaks live processes into the rest of the bench
+        procs = []
+        try:
+            for p in range(nproc):
+                procs.append(subprocess.Popen(
+                    [sys.executable, worker, str(port), str(p), str(nproc),
+                     bam_path, fa_path, out_prefix, stats[p],
+                     str(threads or max(1, ncores // nproc)), data_dir],
+                    cwd=here, env=env, stdout=subprocess.DEVNULL,
+                    stderr=open(err_paths[p], "w")))
+            for p in procs:
+                p.wait(timeout=1200)
+            wall = time.monotonic() - t0
+            for p, ep in zip(procs, err_paths):
+                if p.returncode != 0:
+                    with open(ep) as f:
+                        se = f.read()
+                    raise RuntimeError(f"pod worker rc={p.returncode}: "
+                                       f"{se[-500:]}")
+        finally:
+            for p in procs:
+                if p.poll() is None:
+                    p.kill()
+                    p.wait()
+        st = []
+        for s in stats:
+            with open(s) as f:
+                st.append(json.load(f))
         return wall, out_prefix, st
 
     # warm the CPU compile cache once (first worker run pays jit compiles)

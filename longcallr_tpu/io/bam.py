@@ -663,21 +663,10 @@ def write_tagged_records(bam: "BamFile", ridxs, read_assignments,
         return 0
     payload = _emit_tagged_native(bam, ridxs, qnames, read_assignments,
                                   read_phasesets, copy=False)
-    if payload is not None:
-        writer._w.write(payload)
-        return n
-    buf = bam._buf
-    for ridx, qname in zip(ridxs, qnames):
-        tags = b""
-        asg = read_assignments.get(qname)
-        if asg is not None and asg != 0:
-            tags += make_tag_bytes("HP", "i", asg)
-        psv = read_phasesets.get(qname)
-        if psv is not None:
-            # reference pushes Aux::U32 -> BAM type 'I' (thread.rs:355)
-            tags += make_tag_bytes("PS", "I", psv)
-        writer.write_raw(buf[int(bam.rec_off[ridx]):int(bam.rec_end[ridx])],
-                         extra_tags=tags)
+    if payload is None:
+        payload = _emit_tagged_python(bam, ridxs, qnames, read_assignments,
+                                      read_phasesets)
+    writer._w.write(payload)
     return n
 
 
@@ -694,9 +683,18 @@ def collect_tagged_bytes(bam: "BamFile", ridxs, read_assignments,
         return b"", 0
     payload = _emit_tagged_native(bam, ridxs, qnames, read_assignments,
                                   read_phasesets, copy=True)
-    if payload is not None:
-        return payload, n
-    import struct as _struct
+    if payload is None:
+        payload = _emit_tagged_python(bam, ridxs, qnames, read_assignments,
+                                      read_phasesets)
+    return payload, n
+
+
+def _emit_tagged_python(bam: "BamFile", ridxs, qnames, read_assignments,
+                        read_phasesets) -> bytes:
+    """Pure-Python tagged-record assembly (the native fallback): HP only
+    when the assignment is nonzero (thread.rs:351-354), PS as Aux::U32 →
+    BAM type 'I' whenever the read has one (thread.rs:355). Same
+    ``block_size``-prefixed framing as BamWriter.write_raw."""
     out = bytearray()
     buf = bam._buf
     for ridx, qname in zip(ridxs, qnames):
@@ -708,10 +706,10 @@ def collect_tagged_bytes(bam: "BamFile", ridxs, read_assignments,
         if psv is not None:
             tags += make_tag_bytes("PS", "I", psv)
         rec = buf[int(bam.rec_off[ridx]):int(bam.rec_end[ridx])]
-        out += _struct.pack("<i", len(rec) + len(tags))
+        out += struct.pack("<i", len(rec) + len(tags))
         out += rec
         out += tags
-    return bytes(out), n
+    return bytes(out)
 
 
 def _emit_tagged_native(bam: "BamFile", ridxs, qnames, read_assignments,

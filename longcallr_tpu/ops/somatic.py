@@ -116,13 +116,21 @@ def detect_somatic_by_het(frags, cands, purity: float = 0.3) -> None:
                              np.int8)
         cell_asg = rec_asg[gather.cell_rec] if len(gather.cell_rec) else \
             np.empty(0, np.int8)
+        # one STABLE sort groups cells by site while preserving record
+        # (fetch) order within each site — the reference's Vec push order —
+        # instead of an O(sites × cells) mask scan per site
+        order = np.argsort(gather.cell_site, kind="stable")
+        site_sorted = gather.cell_site[order]
+        asg_s = cell_asg[order]
+        isr_s = gather.cell_is_ref[order]
+        bq_s = gather.cell_baseq[order]
+        S = gather.som_idx.size
+        starts = np.searchsorted(site_sorted, np.arange(S + 1))
         for s, i in enumerate(gather.som_idx.tolist()):
-            m = gather.cell_site == s
-            asg = cell_asg[m]
-            isr = gather.cell_is_ref[m]
-            bq = gather.cell_baseq[m]
-            # cells are record-major in fetch order → bucket order matches
-            # the reference's Vec pushes
+            sl = slice(starts[s], starts[s + 1])
+            asg = asg_s[sl]
+            isr = isr_s[sl]
+            bq = bq_s[sl]
             _apply(cands, i,
                    bq[(asg == 1) & isr], bq[(asg == 1) & ~isr],
                    bq[(asg == 2) & isr], bq[(asg == 2) & ~isr], purity)

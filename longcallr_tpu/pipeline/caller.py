@@ -10,6 +10,7 @@ from __future__ import annotations
 
 import logging
 import os
+import sys
 import time
 from concurrent.futures import ThreadPoolExecutor
 from dataclasses import dataclass, field
@@ -375,6 +376,15 @@ def run_streaming(bam_path: str, ref_path: str, output_prefix: str,
                         for k, v in res.phase_sets.items():
                             read_phasesets.setdefault(k, v)
                     _t = time.monotonic()
+                    if write_pool is not None:
+                        # backpressure: at most ONE contig's payloads
+                        # outstanding (the previous contig's deflate has
+                        # normally finished under this contig's compute) —
+                        # keeps the documented one-extra-contig memory
+                        # contract when deflate is slower than compute
+                        for f in bam_writes:
+                            f.result()
+                        bam_writes.clear()
                     for reg in regions:
                         lo, hi, omask = win.overlap_range(
                             reg.chr, reg.start, reg.end)
@@ -414,14 +424,22 @@ def run_streaming(bam_path: str, ref_path: str, output_prefix: str,
         if load_pool is not None:
             load_pool.shutdown(wait=True)
         _t = time.monotonic()
+        drain_err = None
         for f in bam_writes:
-            f.result()          # drain (and surface) pending deflate work
+            try:
+                f.result()      # drain (and surface) pending deflate work
+            except BaseException as e:   # keep closing; re-raise after
+                drain_err = drain_err or e
         if write_pool is not None:
             write_pool.shutdown()
         if writer is not None:
-            writer.close()
+            writer.close()      # always append the BGZF EOF block
         if bam_writes:
             stage["bam_write_drain"] = time.monotonic() - _t
+        if drain_err is not None and sys.exc_info()[0] is None:
+            # surface a failed background write, but never mask an
+            # exception already propagating out of the contig loop
+            raise drain_err
     if writer is None:
         phased_bam_path = None      # no records anywhere → no BAM written
     stage["total"] = time.monotonic() - t0

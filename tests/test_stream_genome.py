@@ -66,11 +66,9 @@ def test_stream_equals_resident_multi_contig(tmp_path):
     # kill switch for the streaming overlap (window prefetch + background
     # deflate): the strictly-one-contig loop produces the same bytes,
     # including the BGZF container framing of the phased BAM
-    os.environ["LONGCALLR_STREAM_PREFETCH"] = "0"
-    try:
+    import unittest.mock as _mock
+    with _mock.patch.dict(os.environ, {"LONGCALLR_STREAM_PREFETCH": "0"}):
         plain = run_streaming(bam_path, fa_path, str(tmp_path / "plain"), cfg)
-    finally:
-        del os.environ["LONGCALLR_STREAM_PREFETCH"]
     with open(plain.vcf_path) as f:
         assert f.read() == v_stream
     with open(plain.phased_bam_path, "rb") as a, \
