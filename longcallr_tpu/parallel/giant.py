@@ -76,6 +76,7 @@ def phase_region_sharded(frags: FragmentMatrix, cands: CandidateSet,
     """Full iterative ``phase()`` for one giant region with reads-sharded
     ascent. Returns a padded PhaseState (caller slices to true sizes),
     matching ``optimize._phase_region_padded`` semantics."""
+    from ..phasing.kernels import TIE_TOL
     from ..phasing.optimize import (PhaseState, _bucket, block_flip_pass,
                                     compute_ld_blocks, init_genotype,
                                     init_haplotypes_ld)
@@ -142,7 +143,7 @@ def phase_region_sharded(frags: FragmentMatrix, cands: CandidateSet,
                      np.asarray(st2.eta))
     prob2 = _np_matvec_objective(ct_np, sg2, dl2, et2,
                                  read_base_np & (sg2 != 0), site_mask_np)
-    if prob2 > best_prob:
+    if prob2 > best_prob + TIE_TOL:
         best_st, best_prob = st2, prob2
 
     # perturbation schedule (phase.rs:1198-1233), host loop + sharded ascents
@@ -155,7 +156,7 @@ def phase_region_sharded(frags: FragmentMatrix, cands: CandidateSet,
         rg = rng.random(I_pad)
         delta = np.where(rg < 0.1, lowv, np.where(rg >= 0.9, highv, b_dl))
         st1, prob1 = ascend(fn_free, b_sg, delta, b_et)
-        if prob1 > best_prob:
+        if prob1 > best_prob + TIE_TOL:
             best_st, best_prob = st1, prob1
             b_sg = np.asarray(best_st.sigma)
             b_dl = np.asarray(best_st.delta)
@@ -163,6 +164,6 @@ def phase_region_sharded(frags: FragmentMatrix, cands: CandidateSet,
         fl = (rng.random(K) < 0.1) & read_base_np & (b_sg != 0)
         sigma = np.where(fl, -b_sg, b_sg)
         st2, prob2 = ascend(fn_free, sigma, b_dl, b_et)
-        if prob2 > best_prob:
+        if prob2 > best_prob + TIE_TOL:
             best_st, best_prob = st2, prob2
     return best_st

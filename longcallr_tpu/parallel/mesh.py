@@ -31,6 +31,7 @@ except ImportError:  # pragma: no cover
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..phasing.kernels import CellTables, CompactCells, expand_cells, f64
+from ..phasing.kernels import TIE_TOL
 from ..phasing.optimize import PhaseState, _sigma_step, _snp_step
 
 
@@ -242,7 +243,7 @@ def _batched_perturbation_impl(batch: BatchedRegions, best_sigma, best_delta,
         b_st = PhaseState(b_sigma, b_delta, b_eta)
 
         def keep(b_st, b_p, st_new, prob_new):
-            better = active & (prob_new > b_p)
+            better = active & (prob_new > b_p + TIE_TOL)
             sel = lambda a, b: jnp.where(better, a, b)
             return (PhaseState(sel(st_new.sigma, b_st.sigma),
                                sel(st_new.delta, b_st.delta),
@@ -532,11 +533,11 @@ def sharded_cross_optimize(mesh: Mesh, with_genotype: bool = False,
             lp, lm = base + 0.5 * du, base - 0.5 * du
             upd = rm0 & (row_cells > 0)
             q, qn = sigma_q(lp, lm, st.sigma)
-            flip = upd & (q < qn)
+            # tie-quantized flip + exact per-element continue flag
+            # (kernels.TIE_TOL); rows are sharded, so psum the flip count
+            flip = upd & (qn > q + TIE_TOL)
             new_sigma = jnp.where(flip, -st.sigma, st.sigma)
-            q_new = jnp.where(flip, qn, q)
-            inc = (jax.lax.psum(jnp.where(upd, q_new, 0.0).sum(), ax)
-                   > jax.lax.psum(jnp.where(upd, q, 0.0).sum(), ax))
+            inc = jax.lax.psum(flip.sum(), ax) > 0
             return new_sigma, inc
 
         def snp_step(st):
@@ -551,23 +552,20 @@ def sharded_cross_optimize(mesh: Mesh, with_genotype: bool = False,
                 upd &= ~conserved
             if with_genotype:
                 mx = jnp.maximum(jnp.maximum(q1, q2), jnp.maximum(q3, q4))
-                pick = jnp.where(q1 == mx, 0,
-                                 jnp.where(q2 == mx, 1,
-                                           jnp.where(q3 == mx, 2, 3)))
+                pick = jnp.where(q1 >= mx - TIE_TOL, 0,
+                                 jnp.where(q2 >= mx - TIE_TOL, 1,
+                                           jnp.where(q3 >= mx - TIE_TOL, 2, 3)))
             else:
                 het = st.eta == 0
-                pick = jnp.where(het, jnp.where(q1 >= q2, 0, 1),
-                                 jnp.where(q3 >= q4, 2, 3))
+                pick = jnp.where(het, jnp.where(q2 > q1 + TIE_TOL, 1, 0),
+                                 jnp.where(q4 > q3 + TIE_TOL, 3, 2))
             new_delta = jnp.where(upd & (pick == 1), -st.delta, st.delta)
             new_eta = jnp.where(
                 upd, jnp.where(pick <= 1, 0.0,
                                jnp.where(pick == 2, 1.0, -1.0)), st.eta)
-            q_new = jnp.where(pick == 0, q1, jnp.where(pick == 1, q2,
-                              jnp.where(pick == 2, q3, q4)))
-            q_old = snp_q_for(*sums, st.eta)
-            inc = (jnp.where(upd, q_new, 0.0).sum()
-                   > jnp.where(upd, q_old, 0.0).sum())
-            return new_delta, new_eta, inc
+            # cols are replicated across shards: local change flag is global
+            changed = ((new_delta != st.delta) | (new_eta != st.eta)).any()
+            return new_delta, new_eta, changed
 
         def cond(carry):
             st, it, go = carry

@@ -26,7 +26,7 @@ from ..config import CallerConfig
 from ..ops.candidates import CandidateSet
 from ..utils.device import phase_problem_device
 from .fragments import FragmentMatrix
-from .kernels import f64, make_cell_tables_np
+from .kernels import TIE_TOL, f64, make_cell_tables_np
 from .optimize import (PhaseState, _bucket, block_flip_pass, compute_ld_blocks,
                        init_genotype, init_haplotypes_ld, phase_region)
 
@@ -162,10 +162,13 @@ def _phase_enum_bucket(group: List[_Prepared], cfg: CallerConfig, K: int,
         all_pr.append(pr)
         sg, dl, et = (np.asarray(a) for a in (sg, dl, et))
         for b in range(B):
-            j = int(np.argmax(pr[b]))
-            if pr[b, j] > best_prob[b]:
-                best_prob[b] = float(pr[b, j])
-                best[b] = (sg[b, j], dl[b, j], et[b, j])
+            # sequential tie-quantized keep-best (kernels.TIE_TOL): first
+            # config in enumeration order wins structural ties, independent
+            # of summation order — same rule as optimize's enum leg
+            for j in range(pr.shape[1]):
+                if pr[b, j] > best_prob[b] + TIE_TOL:
+                    best_prob[b] = float(pr[b, j])
+                    best[b] = (sg[b, j], dl[b, j], et[b, j])
     for b, it in enumerate(group):
         K0, _ = it.frags.p.shape
         sgb, dlb, etb = best[b]

@@ -21,6 +21,7 @@ f64.
 from __future__ import annotations
 
 import math
+import os as _os
 from typing import NamedTuple, Tuple
 
 from .. import _jaxcfg  # noqa: F401  (x64 before any trace)
@@ -156,6 +157,24 @@ def read_logliks(ct: CellTables, delta: jnp.ndarray, eta: jnp.ndarray,
     tp = jnp.where(m, _cell_term(ct, x_plus), 0.0)
     tm = jnp.where(m, _cell_term(ct, x_minus), 0.0)
     return tp.sum(axis=1), tm.sum(axis=1), m.sum(axis=1)
+
+
+# Decision tie tolerance (LONGCALLR_TIE_TOL; 0 restores strict float
+# comparisons). The ascent/keep-best decisions compare f64 sums whose
+# summation ORDER differs between the scalar reference form, eager numpy,
+# and XLA-fused programs — at STRUCTURAL ties (states whose exact-arithmetic
+# objectives are equal, e.g. a read with perfectly balanced evidence, where
+# q and qn sum the same multiset of terms in different orders) the strict
+# comparison resolves by accumulated rounding (~1e-16..1e-13), making the
+# chosen optimum an artifact of kernel fusion. Quantizing every decision at
+# TIE_TOL makes them order-independent: exact ties resolve by the
+# reference's documented tie rules (keep current σ; q1>q2>q3>q4 priority;
+# first-in-order keep-best), and genuine gaps — ≥ ~1e-4 for the q
+# surrogates by the quantization of the log10 terms — are untouched. The
+# reference's own behavior at structural ties is rounding-order-dependent
+# (and its unseeded thread_rng makes those regions nondeterministic anyway,
+# SURVEY.md §4); see PARITY.md deviation #9.
+TIE_TOL = float(_os.environ.get("LONGCALLR_TIE_TOL", "1e-9"))
 
 
 def sigma_q(lp: jnp.ndarray, lm: jnp.ndarray, sigma: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:

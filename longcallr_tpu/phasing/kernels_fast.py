@@ -34,7 +34,7 @@ from .. import _jaxcfg  # noqa: F401  (x64 before any trace)
 import jax
 import jax.numpy as jnp
 
-from .kernels import CellTables, f64, prior_het_log, snp_qs
+from .kernels import TIE_TOL, CellTables, f64, prior_het_log, snp_qs
 
 
 class FastTables(NamedTuple):
@@ -456,7 +456,10 @@ def fast_block_flip32(ft: FastTables32, p8, sigma, delta, eta, site_mask,
     npart = jnp.where(onehot, cnt_col[:, None], 0).sum(axis=0)
     sym = has & (npart == 0)
 
-    flipb = has & ~sym & (dsum > 0.0)          # q_cur.sum() < q_new.sum()
+    # tie-quantized accept (kernels.TIE_TOL), matching the host pass;
+    # the BF-safety margin net routes near-threshold blocks to the
+    # exact host recompute regardless
+    flipb = has & ~sym & (dsum > TIE_TOL)
     margin = jnp.where(has & ~sym,
                        jnp.abs(dsum) / jnp.maximum(ncols.astype(f64), 1.0),
                        jnp.inf).min()

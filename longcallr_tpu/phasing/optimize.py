@@ -38,7 +38,7 @@ from ..config import CallerConfig
 from ..ops.candidates import CandidateSet
 from ..utils.device import phase_problem_device
 from .fragments import FragmentMatrix
-from .kernels import (CellTables, CompactCells, as_tables, f64,
+from .kernels import (TIE_TOL, CellTables, CompactCells, as_tables, f64,
                       make_cell_tables_np, overall_probability, read_logliks,
                       sigma_q, snp_q_for, snp_qs, snp_sums)
 
@@ -54,12 +54,11 @@ def _sigma_step(ct: CellTables, st: PhaseState, read_base, site_mask):
     lp, lm, ncell = read_logliks(ct, st.delta, st.eta, site_mask[None, :])
     upd = read_base & (st.sigma != 0) & (ncell > 0)
     q, qn = sigma_q(lp, lm, st.sigma)
-    flip = upd & (q < qn)
+    # tie-quantized flip (keep current σ at a structural tie) and an exact
+    # per-element continue flag — both order-independent (kernels.TIE_TOL)
+    flip = upd & (qn > q + TIE_TOL)
     new_sigma = jnp.where(flip, -st.sigma, st.sigma)
-    q_new = jnp.where(flip, qn, q)
-    logp = jnp.where(upd, q_new, 0.0).sum()
-    pre = jnp.where(upd, q, 0.0).sum()
-    return new_sigma, logp > pre
+    return new_sigma, flip.any()
 
 
 def _snp_step(ct: CellTables, st: PhaseState, read_base, site_mask,
@@ -74,24 +73,21 @@ def _snp_step(ct: CellTables, st: PhaseState, read_base, site_mask,
         upd &= ~conserved
     if with_genotype:
         mx = jnp.maximum(jnp.maximum(q1, q2), jnp.maximum(q3, q4))
-        # tie order q1 > q2 > q3 > q4 (phase.rs:909-921)
-        pick = jnp.where(q1 == mx, 0,
-                         jnp.where(q2 == mx, 1, jnp.where(q3 == mx, 2, 3)))
+        # tie order q1 > q2 > q3 > q4 (phase.rs:909-921), TIE_TOL-quantized
+        pick = jnp.where(q1 >= mx - TIE_TOL, 0,
+                         jnp.where(q2 >= mx - TIE_TOL, 1,
+                                   jnp.where(q3 >= mx - TIE_TOL, 2, 3)))
     else:
         het = st.eta == 0
         pick = jnp.where(het,
-                         jnp.where(q1 >= q2, 0, 1),
-                         jnp.where(q3 >= q4, 2, 3))
+                         jnp.where(q2 > q1 + TIE_TOL, 1, 0),
+                         jnp.where(q4 > q3 + TIE_TOL, 3, 2))
     new_delta = jnp.where(upd & (pick == 1), -st.delta, st.delta)
     new_eta = jnp.where(
         upd, jnp.where(pick <= 1, 0.0, jnp.where(pick == 2, 1.0, -1.0)),
         st.eta)
-    q_new = jnp.where(pick == 0, q1, jnp.where(pick == 1, q2,
-                      jnp.where(pick == 2, q3, q4)))
-    q_old = snp_q_for(s_match, s_flip, s_refe, s_alte, cov, st.eta)
-    logp = jnp.where(upd, q_new, 0.0).sum()
-    pre = jnp.where(upd, q_old, 0.0).sum()
-    return new_delta, new_eta, logp > pre
+    changed = ((new_delta != st.delta) | (new_eta != st.eta)).any()
+    return new_delta, new_eta, changed
 
 
 def _cross_optimize_loop(ct: CellTables, st: PhaseState, read_base,
@@ -194,11 +190,10 @@ def _cross_optimize_fast_loop_it(ct: CellTables, st: PhaseState, read_base,
         lp, lm, ncell = fast_read_logliks(ft, st.delta, st.eta)
         upd = rm0 & (ncell > 0)
         q, qn = sigma_q(lp, lm, st.sigma)
-        flip = upd & (q < qn)
+        # tie-quantized flip + per-element continue flag (kernels.TIE_TOL)
+        flip = upd & (qn > q + TIE_TOL)
         new_sigma = jnp.where(flip, -st.sigma, st.sigma)
-        q_new = jnp.where(flip, qn, q)
-        return new_sigma, (jnp.where(upd, q_new, 0.0).sum()
-                           > jnp.where(upd, q, 0.0).sum())
+        return new_sigma, flip.any()
 
     def snp_step(st):
         sums = fast_snp_sums(ft, st.sigma, st.delta)
@@ -209,21 +204,19 @@ def _cross_optimize_fast_loop_it(ct: CellTables, st: PhaseState, read_base,
             upd &= ~conserved
         if with_genotype:
             mx = jnp.maximum(jnp.maximum(q1, q2), jnp.maximum(q3, q4))
-            pick = jnp.where(q1 == mx, 0,
-                             jnp.where(q2 == mx, 1, jnp.where(q3 == mx, 2, 3)))
+            pick = jnp.where(q1 >= mx - TIE_TOL, 0,
+                             jnp.where(q2 >= mx - TIE_TOL, 1,
+                                       jnp.where(q3 >= mx - TIE_TOL, 2, 3)))
         else:
             het = st.eta == 0
-            pick = jnp.where(het, jnp.where(q1 >= q2, 0, 1),
-                             jnp.where(q3 >= q4, 2, 3))
+            pick = jnp.where(het, jnp.where(q2 > q1 + TIE_TOL, 1, 0),
+                             jnp.where(q4 > q3 + TIE_TOL, 3, 2))
         new_delta = jnp.where(upd & (pick == 1), -st.delta, st.delta)
         new_eta = jnp.where(
             upd, jnp.where(pick <= 1, 0.0, jnp.where(pick == 2, 1.0, -1.0)),
             st.eta)
-        q_new = jnp.where(pick == 0, q1, jnp.where(pick == 1, q2,
-                          jnp.where(pick == 2, q3, q4)))
-        q_old = snp_q_for(*sums, st.eta)
-        return new_delta, new_eta, (jnp.where(upd, q_new, 0.0).sum()
-                                    > jnp.where(upd, q_old, 0.0).sum())
+        changed = ((new_delta != st.delta) | (new_eta != st.eta)).any()
+        return new_delta, new_eta, changed
 
     def cond(carry):
         st, it, go = carry
@@ -433,7 +426,7 @@ def perturbation_phase(ct: CellTables, st: PhaseState, best_st: PhaseState,
 
     def keep_best(carry_best, st_new, prob_new):
         b_st, b_p = carry_best
-        better = prob_new > b_p
+        better = prob_new > b_p + TIE_TOL
         sel = lambda a, b: jnp.where(better, a, b)
         return (PhaseState(sel(st_new.sigma, b_st.sigma),
                            sel(st_new.delta, b_st.delta),
@@ -478,7 +471,7 @@ def perturbation_phase_stats(ct: CellTables, st: PhaseState,
 
     def keep_best(carry_best, st_new, prob_new):
         b_st, b_p = carry_best
-        better = prob_new > b_p
+        better = prob_new > b_p + TIE_TOL
         sel = lambda a, b: jnp.where(better, a, b)
         return (PhaseState(sel(st_new.sigma, b_st.sigma),
                            sel(st_new.delta, b_st.delta),
@@ -737,7 +730,7 @@ def block_flip_pass(ct_np: CellTables, st: PhaseState, read_base: np.ndarray,
     phase_site_cells = exists & site_mask[None, :]
     for bid, comp in enumerate(ld.blocks):
         cols = np.asarray(comp)
-        if q_cur[cols].sum() < q_new[cols].sum():
+        if q_new[cols].sum() > q_cur[cols].sum() + TIE_TOL:
             new_delta[cols] = -delta[cols]
             covers = phase_site_cells[:, cols].any(axis=1)
             flip_reads = (full_in == bid) & covers & read_mask
@@ -874,10 +867,14 @@ def _phase_region_padded_impl(frags, cands, cfg, seed, apply_downsampling,
                 jnp.asarray(eta0.astype(np.float64)), read_base, site_mask, cons)
             probs = np.asarray(probs)
             all_probs.append(probs)
-            j = int(np.argmax(probs))
-            if probs[j] > best_prob:
-                best_prob = float(probs[j])
-                best_st = jax.tree_util.tree_map(lambda a: a[j], sts)
+            # sequential keep-best with the tie-quantized rule: a config
+            # replaces the incumbent only when its prob exceeds it by
+            # TIE_TOL — first-in-enumeration-order wins structural ties
+            # independent of summation order (kernels.TIE_TOL)
+            for j in range(len(probs)):
+                if probs[j] > best_prob + TIE_TOL:
+                    best_prob = float(probs[j])
+                    best_st = jax.tree_util.tree_map(lambda a, j=j: a[j], sts)
         if USE_FAST_KERNELS and _f32_mode() and F32_SAFETY_TOL > 0:
             # f32 safety net, enumeration leg (round-2 advisor): both the
             # per-config ascents AND the cross-config best-prob comparison
@@ -927,7 +924,7 @@ def _phase_region_padded_impl(frags, cands, cfg, seed, apply_downsampling,
     def consider(st, prob):
         nonlocal best_prob, best_st
         p = float(prob)
-        if p > best_prob:
+        if p > best_prob + TIE_TOL:   # tie-quantized keep-best
             best_prob = p
             best_st = st
 

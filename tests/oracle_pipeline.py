@@ -28,6 +28,8 @@ import math
 
 import numpy as np
 
+from longcallr_tpu.phasing.kernels import TIE_TOL
+
 from oracle_candidates import apply_dense_filters, scalar_candidates
 from oracle_phase import (aki, cal_delta_eta_sigma_log, cal_phase_score_log,
                           cal_sigma_delta_eta_log)
@@ -354,7 +356,9 @@ def scalar_cross_optimize(snps, frags, conserved, keep_conserved,
                 continue
             q = cal_sigma_delta_eta_log(sigma_k, delta, eta, ps, probs)
             qn = cal_sigma_delta_eta_log(-sigma_k, delta, eta, ps, probs)
-            tmp_haplotag[k] = -sigma_k if q < qn else sigma_k
+            # tie-quantized flip (kernels.TIE_TOL): keep current sigma at a
+            # structural tie — same rule as the production kernels
+            tmp_haplotag[k] = -sigma_k if qn > q + TIE_TOL else sigma_k
         # check_new_haplotag (phase.rs:278-314), index order
         logp = pre_logp = 0.0
         for k in sorted(tmp_haplotag):
@@ -373,10 +377,15 @@ def scalar_cross_optimize(snps, frags, conserved, keep_conserved,
                 continue
             logp += cal_sigma_delta_eta_log(tmp_haplotag[k], delta, eta, ps, probs)
             pre_logp += cal_sigma_delta_eta_log(f.haplotag, delta, eta, ps, probs)
-        assert logp >= pre_logp
+        assert logp >= pre_logp - 1e-9
+        changed_any = any(tmp_haplotag[k] != frags[k].haplotag
+                          for k in tmp_haplotag)
         for k, h in tmp_haplotag.items():
             frags[k].haplotag = h
-        haplotag_increase = logp > pre_logp
+        # exact per-element continue flag (order-independent; a flip implies
+        # a > TIE_TOL improvement, so this equals the reference's strict
+        # sum test in exact arithmetic)
+        haplotag_increase = changed_any
         if haplotag_increase:
             hap_geno_increase = True
 
@@ -411,19 +420,22 @@ def scalar_cross_optimize(snps, frags, conserved, keep_conserved,
             q4 = cal_delta_eta_sigma_log(delta_i, -1, sigma, ps, probs)
             if with_genotype:
                 mq = max(q1, max(q2, max(q3, q4)))
-                if q1 == mq:
+                # tie order q1 > q2 > q3 > q4, TIE_TOL-quantized
+                if q1 >= mq - TIE_TOL:
                     tmp_hap_geno[i] = (delta_i, 0)
-                elif q2 == mq:
+                elif q2 >= mq - TIE_TOL:
                     tmp_hap_geno[i] = (-delta_i, 0)
-                elif q3 == mq:
+                elif q3 >= mq - TIE_TOL:
                     tmp_hap_geno[i] = (delta_i, 1)
                 else:
                     tmp_hap_geno[i] = (delta_i, -1)
             else:
                 if eta_i == 0:
-                    tmp_hap_geno[i] = (delta_i, 0) if q1 >= q2 else (-delta_i, 0)
+                    tmp_hap_geno[i] = ((-delta_i, 0) if q2 > q1 + TIE_TOL
+                                       else (delta_i, 0))
                 else:
-                    tmp_hap_geno[i] = (delta_i, 1) if q3 >= q4 else (delta_i, -1)
+                    tmp_hap_geno[i] = ((delta_i, -1) if q4 > q3 + TIE_TOL
+                                       else (delta_i, 1))
         # check_new_haplotype_genotype (phase.rs:316-355), index order
         logp = pre_logp = 0.0
         for i in sorted(tmp_hap_geno):
@@ -445,11 +457,14 @@ def scalar_cross_optimize(snps, frags, conserved, keep_conserved,
             logp += cal_delta_eta_sigma_log(d_new, e_new, sigma, ps, probs)
             pre_logp += cal_delta_eta_sigma_log(s.haplotype, s.genotype,
                                                 sigma, ps, probs)
-        assert logp >= pre_logp
+        assert logp >= pre_logp - 1e-9
+        changed_any = any(tmp_hap_geno[i] != (snps[i].haplotype,
+                                              snps[i].genotype)
+                          for i in tmp_hap_geno)
         for i, (d_new, e_new) in tmp_hap_geno.items():
             snps[i].haplotype = d_new
             snps[i].genotype = e_new
-        hap_geno_inc = logp > pre_logp
+        hap_geno_inc = changed_any
         if hap_geno_inc:
             haplotag_increase = True
             hap_geno_increase = True
@@ -558,7 +573,7 @@ def _block_flip_pass(snps, frags, blocks, apply_ds):
                                              sigma, ps, probs)
             q_new += cal_delta_eta_sigma_log(-s.haplotype, s.genotype,
                                              sigma_f, ps, probs)
-        if q_cur < q_new:
+        if q_new > q_cur + TIE_TOL:
             decisions.append(bid)
     for bid in decisions:
         comp = blocks[bid]
@@ -608,7 +623,7 @@ def scalar_phase(snps, frags, allele_pairs, cfg, region_start, apply_ds):
             _init_genotype(snps)
             prob = scalar_cross_optimize(snps, frags, set(), False, True,
                                          apply_ds)
-            if prob > best_prob:
+            if prob > best_prob + TIE_TOL:   # tie-quantized keep-first
                 best_prob = prob
                 best = _save_config(snps, frags)
         _load_config(snps, frags, best)
@@ -664,7 +679,7 @@ def scalar_phase(snps, frags, allele_pairs, cfg, region_start, apply_ds):
 
     def consider():
         nonlocal best_prob, best
-        if prob > best_prob:
+        if prob > best_prob + TIE_TOL:   # tie-quantized keep-best
             best_prob = prob
             best = _save_config(snps, frags)
 

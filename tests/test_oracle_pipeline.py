@@ -254,6 +254,61 @@ def test_oracle_pipeline_fuzz(tmp_path, rng, case):
         assert any("\tdn\t" in l for l in o_lines)
 
 
+@pytest.mark.parametrize("campaign_case", [47, 78])
+def test_oracle_pipeline_structural_ties(tmp_path, campaign_case):
+    """Regression: fuzz-campaign workloads whose optima TIE at exact
+    arithmetic (e.g. a read with perfectly balanced evidence — its σ and −σ
+    log-sums hold the same terms in different orders). Before the
+    TIE_TOL-quantized decisions (kernels.TIE_TOL, PARITY.md deviation #8),
+    strict float comparisons resolved these by summation-order rounding and
+    the fast pipeline diverged from the scalar oracle (case 47's iterative
+    trajectory landed 27 log-units worse; case 78's enumeration picked a
+    different equally-optimal config). Fixed seeds reproduce the exact
+    campaign workloads."""
+    from simulate import BASES
+
+    rng = np.random.default_rng([777, campaign_case])
+    pname = ["hifi-masseq", "hifi-isoseq", "ont-cdna",
+             "ont-drna"][campaign_case % 4]
+    over = {}
+    if rng.random() < 0.25:
+        over = dict(downsample=True, downsample_depth=int(rng.integers(25, 60)))
+    cfg = preset(pname).replace(min_read_length=100, **over)
+    ref_len = int(rng.integers(4000, 8000))
+    ref = make_reference(rng, ref_len)
+    truth = plant_snps(rng, ref, n_het=int(rng.integers(3, 14)),
+                       n_hom=int(rng.integers(0, 4)),
+                       n_tri=int(rng.integers(0, 3)),
+                       min_gap=int(rng.integers(120, 500)))
+    inject = rng.random()
+    if inject < 0.15:
+        p0 = int(rng.integers(1000, ref_len - 1000))
+        for d in (0, 2, 4):
+            refb = int(ref[p0 + d])
+            truth.het_snps[p0 + d] = (
+                refb, int(BASES[(list(BASES).index(refb) + 1) % 4]))
+    sim = dict(n_reads=int(rng.integers(25, 70)),
+               read_len=int(rng.integers(1200, 3200)),
+               err_rate=float(rng.choice([0.002, 0.008, 0.02, 0.035])))
+    if rng.random() < 0.3:
+        sim.update(with_introns=True, softclip=int(rng.integers(0, 8)))
+    elif rng.random() < 0.2:
+        p1 = int(rng.integers(1000, ref_len - 1000))
+        refb = int(ref[p1])
+        sim["biased_sites"] = {
+            p1: int(BASES[(list(BASES).index(refb) + 1) % 4])}
+    bam_path = str(tmp_path / "tie.bam")
+    simulate_bam(bam_path, rng, ref, truth, **sim)
+    bam = BamFile(bam_path)
+    region = Region(chr="chrS", start=1, end=len(ref) + 1)
+
+    fast = process_region(bam, region, ref, cfg)
+    o_lines, o_assign, o_ps = scalar_process_region(bam, region, ref, cfg)
+    assert fast.vcf_lines == o_lines
+    assert fast.read_assignments == o_assign
+    assert fast.phase_sets == o_ps
+
+
 def test_oracle_pipeline_spliced_reads(tmp_path, rng):
     """Spliced long reads (N cigar ops) + soft clips: the fragment CIGAR
     walk, pileup and downstream wiring gate byte-exactly on the domain's
