@@ -173,7 +173,7 @@ def read_logliks(ct: CellTables, delta: jnp.ndarray, eta: jnp.ndarray,
 # surrogates by the quantization of the log10 terms — are untouched. The
 # reference's own behavior at structural ties is rounding-order-dependent
 # (and its unseeded thread_rng makes those regions nondeterministic anyway,
-# SURVEY.md §4); see PARITY.md deviation #9.
+# SURVEY.md §4); see PARITY.md deviation #8.
 TIE_TOL = float(_os.environ.get("LONGCALLR_TIE_TOL", "1e-9"))
 
 
