@@ -30,11 +30,17 @@ from oracle_pipeline import scalar_process_region
 from simulate import BASES, make_reference, plant_snps, simulate_bam
 import tempfile, shutil
 
-N_CASES = int(sys.argv[1]) if len(sys.argv) > 1 else 150
+MULTI = "--multi" in sys.argv
+argv = [a for a in sys.argv[1:] if not a.startswith("--")]
+N_CASES = int(argv[0]) if argv else 150
 PRESETS = ["hifi-masseq", "hifi-isoseq", "ont-cdna", "ont-drna"]
 t_start = time.monotonic()
+if MULTI:
+    N_SINGLE = 0
+else:
+    N_SINGLE = N_CASES
 fails = []
-for case in range(N_CASES):
+for case in range(N_SINGLE):
     rng = np.random.default_rng([777, case])
     pname = PRESETS[case % 4]
     over = {}
@@ -88,5 +94,125 @@ for case in range(N_CASES):
     if case % 25 == 24:
         print(f"... {case+1}/{N_CASES} cases, {len(fails)} failures, "
               f"{round(time.monotonic()-t_start,1)}s", flush=True)
-print(json.dumps(dict(cases=N_CASES, failures=fails,
-                      wall_s=round(time.monotonic() - t_start, 1))), flush=True)
+if not MULTI:
+    print(json.dumps(dict(cases=N_CASES, failures=fails,
+                          wall_s=round(time.monotonic() - t_start, 1))), flush=True)
+
+
+def run_multi_campaign(n_cases: int) -> list:
+    """Multi-region mode: 2-4 coverage-isolated loci on one contig through
+    run(batched=True) — waves, bucket composition, the batched candidate
+    kernel, ordered merge, first-wins haplotags — against the per-region
+    scalar-oracle composition. Gated on VCF body lines and phased-BAM
+    HP/PS tags."""
+    import tempfile, shutil
+    from longcallr_tpu.pipeline.caller import run
+    from longcallr_tpu.tiles.regions import extract_isolated_regions_parallel
+    from longcallr_tpu.io import bam as bamio
+    from longcallr_tpu.io.fasta import write_fasta
+    from simulate import BASES, make_reference, haplotype_seq, Truth
+
+    fails = []
+    t0 = time.monotonic()
+    for case in range(n_cases):
+        rng = np.random.default_rng([888, case])
+        pname = PRESETS[case % 4]
+        cfg = preset(pname).replace(min_read_length=100,
+                                    threads=int(rng.integers(1, 5)))
+        n_loci = int(rng.integers(2, 5))
+        locus_len = int(rng.integers(2500, 5000))
+        gap = int(rng.integers(1500, 4000))
+        L = n_loci * (locus_len + gap) + 1000
+        ref = make_reference(rng, L)
+        truth = Truth(ref=bytes(ref))
+        spans = []
+        for li in range(n_loci):
+            s = 500 + li * (locus_len + gap)
+            spans.append((s, s + locus_len))
+            n_het = int(rng.integers(2, 10))
+            cursor = s + 150
+            while cursor < s + locus_len - 150 and n_het > 0:
+                refb = int(ref[cursor])
+                altb = int(BASES[(list(BASES).index(refb)
+                                  + int(rng.integers(1, 4))) % 4])
+                truth.het_snps[cursor] = (refb, altb)
+                cursor += int(rng.integers(200, 450))
+                n_het -= 1
+        haps = {1: haplotype_seq(truth, ref, 1),
+                2: haplotype_seq(truth, ref, 2)}
+        reads = []
+        qi = 0
+        err = float(rng.choice([0.004, 0.01, 0.025]))
+        for (s, e) in spans:
+            for _ in range(int(rng.integers(18, 45))):
+                hap = int(rng.integers(1, 3))
+                rl = min(int(rng.integers(800, locus_len - 100)), e - s - 1)
+                pos = int(rng.integers(s, e - rl))
+                seq = haps[hap][pos:pos + rl].copy()
+                em = rng.random(rl) < err
+                if em.any():
+                    seq[em] = BASES[rng.integers(0, 4, size=int(em.sum()))]
+                reads.append((pos, f"m{qi:05d}", 16 * (qi % 2), seq))
+                qi += 1
+        reads.sort(key=lambda t: t[0])
+        d = tempfile.mkdtemp()
+        try:
+            bam_path = os.path.join(d, "m.bam")
+            with bamio.BamWriter(bam_path, ["chrM"], [L]) as w:
+                for pos, qn, flag, seq in reads:
+                    w.write_record(qname=qn, flag=flag, ref_id=0, pos=pos,
+                                   mapq=60,
+                                   cigar=bamio.encode_cigar([(len(seq), "M")]),
+                                   seq=bytes(seq),
+                                   qual=np.full(len(seq), 30),
+                                   tags=bamio.make_tag_bytes("de", "f", 0.001))
+            fa_path = os.path.join(d, "m.fa")
+            write_fasta(fa_path, {"chrM": bytes(ref)})
+            out = run(bam_path, fa_path, os.path.join(d, "out"), cfg,
+                      batched=True)
+            with open(out.vcf_path) as f:
+                got = [l.rstrip("\n") for l in f if not l.startswith("#")]
+            # oracle: per-region scalar composition in (contig, start) order
+            bam = BamFile(bam_path)
+            regions = extract_isolated_regions_parallel(bam, [("chrM", L)],
+                                                        cfg)
+            want = []
+            ra = {}
+            ps = {}
+            for reg in sorted(regions, key=lambda r: r.start):
+                lines, a, p = scalar_process_region(bam, reg, ref, cfg)
+                want.extend(lines)
+                for k, v in a.items():
+                    ra.setdefault(k, v)
+                for k, v in p.items():
+                    ps.setdefault(k, v)
+            ok = got == want
+            if ok and out.phased_bam_path:
+                pb = BamFile(out.phased_bam_path)
+                for i in range(pb.n_records):
+                    r = pb.read(i)
+                    hp = r.get_tag("HP")
+                    want_hp = ra.get(r.qname)
+                    want_hp = want_hp if want_hp not in (None, 0) else None
+                    want_ps = ps.get(r.qname)
+                    if hp != want_hp or r.get_tag("PS") != want_ps:
+                        ok = False
+                        break
+            if not ok:
+                fails.append(case)
+                print(json.dumps(dict(mode="multi", case=case, preset=pname,
+                                      n_loci=n_loci,
+                                      lines=(len(got), len(want)))),
+                      flush=True)
+        finally:
+            shutil.rmtree(d, ignore_errors=True)
+        if case % 25 == 24:
+            print(f"... multi {case+1}/{n_cases}, {len(fails)} failures, "
+                  f"{round(time.monotonic()-t0,1)}s", flush=True)
+    print(json.dumps(dict(mode="multi", cases=n_cases, failures=fails,
+                          wall_s=round(time.monotonic() - t0, 1))), flush=True)
+    return fails
+
+
+if MULTI:
+    run_multi_campaign(N_CASES)
