@@ -153,6 +153,7 @@ def _phase_enum_bucket(group: List[_Prepared], cfg: CallerConfig, K: int,
     chunk = min(C, 1 << (chunk.bit_length() - 1))
     best_prob = np.full(B, -np.inf)
     best = [None] * B
+    best_idx = np.full(B, -1)
     all_pr: List[np.ndarray] = []
     for c0 in range(0, C, chunk):
         sg, dl, et, pr = batched_enum_cross_optimize(
@@ -169,6 +170,7 @@ def _phase_enum_bucket(group: List[_Prepared], cfg: CallerConfig, K: int,
                 if pr[b, j] > best_prob[b] + TIE_TOL:
                     best_prob[b] = float(pr[b, j])
                     best[b] = (sg[b, j], dl[b, j], et[b, j])
+                    best_idx[b] = c0 + j
     for b, it in enumerate(group):
         K0, _ = it.frags.p.shape
         sgb, dlb, etb = best[b]
@@ -179,9 +181,10 @@ def _phase_enum_bucket(group: List[_Prepared], cfg: CallerConfig, K: int,
     # f32 safety net, enumeration leg (same contract as the per-region enum
     # path, optimize.py): recompute a region on the host f64 path when the
     # winning state's f64 decision margins are inside the f32 error bound,
-    # or when another config sits STRICTLY below the winner's prob but
-    # within the bound (exact ties resolve by enumeration order identically
-    # under f32 and f64 — see optimize.py for the flip-twin argument).
+    # or when any OTHER config's prob sits within the bound of the winner's
+    # — above it included (the sequential TIE_TOL keep-best can leave a
+    # later config up to TIE_TOL above the winner; its gap reads negative
+    # here and forces the rerun).
     from .optimize import (F32_SAFETY_TOL, USE_FAST_KERNELS, _f32_mode,
                            f64_decision_margin_batched)
     if USE_FAST_KERNELS and _f32_mode() and F32_SAFETY_TOL > 0:
@@ -199,9 +202,9 @@ def _phase_enum_bucket(group: List[_Prepared], cfg: CallerConfig, K: int,
                 jnp.asarray(dlf), jnp.asarray(etf), jnp.asarray(read_base),
                 jnp.asarray(site_mask)))
             for b, it in enumerate(group):
-                below = pr_all[b][pr_all[b] < best_prob[b]]
-                cfg_gap = (best_prob[b] - float(below.max())
-                           if below.size else np.inf)
+                others = np.delete(pr_all[b], int(best_idx[b]))
+                cfg_gap = (best_prob[b] - float(others.max())
+                           if others.size else np.inf)
                 if min(float(margins[b]), cfg_gap) < F32_SAFETY_TOL:
                     stage_add("phase_safety_recompute", 1)
                     out[it.index] = phase_region(it.frags, it.cands, cfg,
@@ -456,7 +459,7 @@ def _phase_bucket(group: List[_Prepared], cfg: CallerConfig, K: int,
             from ..parallel.mesh import batched_overall_probability
             prob2_np = np.asarray(batched_overall_probability(
                 batch, dp(sg2), dp(dl2), dp(et_np), mesh=mesh))
-        better = prob2_np > prob1_np
+        better = prob2_np > prob1_np + TIE_TOL
         best_sg = np.where(better[:, None], sg2, sg_np)
         best_dl = np.where(better[:, None], dl2, dl_np)
         best_prob = np.where(better, prob2_np, prob1_np)

@@ -859,6 +859,7 @@ def _phase_region_padded_impl(frags, cands, cfg, seed, apply_downsampling,
         chunk = min(C, 1 << (chunk.bit_length() - 1))
         best_prob = -np.inf
         best_st = None
+        best_idx = -1
         all_probs: List[np.ndarray] = []
         for c0 in range(0, C, chunk):
             sts, probs = _enum_vmap(
@@ -870,28 +871,33 @@ def _phase_region_padded_impl(frags, cands, cfg, seed, apply_downsampling,
             # sequential keep-best with the tie-quantized rule: a config
             # replaces the incumbent only when its prob exceeds it by
             # TIE_TOL — first-in-enumeration-order wins structural ties
-            # independent of summation order (kernels.TIE_TOL)
+            # independent of summation order (kernels.TIE_TOL). The scan is
+            # numpy; the device result tree is sliced once per chunk.
+            sel = -1
             for j in range(len(probs)):
                 if probs[j] > best_prob + TIE_TOL:
                     best_prob = float(probs[j])
-                    best_st = jax.tree_util.tree_map(lambda a, j=j: a[j], sts)
+                    sel = j
+            if sel >= 0:
+                best_idx = c0 + sel
+                best_st = jax.tree_util.tree_map(lambda a: a[sel], sts)
         if USE_FAST_KERNELS and _f32_mode() and F32_SAFETY_TOL > 0:
             # f32 safety net, enumeration leg (round-2 advisor): both the
             # per-config ascents AND the cross-config best-prob comparison
             # ran in f32 on the accelerator. Recompute on the host backend
             # (auto → f64 there) when the winning state's f64 decision
             # margins are inside the f32 error bound, or when another
-            # config's prob is STRICTLY below the winner's but within the
-            # bound (it could overtake under f64). Exact-tie probs are
-            # excluded on purpose: equal final states (and global-flip
-            # twins, whose ascent is flip-covariant cell for cell) produce
-            # bit-equal probs in every precision, and the first-in-
-            # enumeration-order tie-break (strict > + first argmax) then
-            # resolves identically under f32 and f64.
+            # OTHER config's prob is within the bound of the winner's —
+            # above it included: the sequential TIE_TOL keep-best can leave
+            # a later config up to TIE_TOL above the winner, whose gap then
+            # reads negative here and forces the rerun. Only the winner's
+            # own entry is excluded (equal final states and global-flip
+            # twins produce bit-equal probs in every precision and resolve
+            # identically by the first-in-enumeration-order rule).
             pv = np.concatenate(all_probs)
-            below = pv[pv < best_prob]
-            cfg_gap = (best_prob - float(below.max())
-                       if below.size else np.inf)
+            others = np.delete(pv, best_idx)
+            cfg_gap = (best_prob - float(others.max())
+                       if others.size else np.inf)
             cpu = jax.devices("cpu")[0]
             with jax.default_device(cpu):
                 if _f32_mode():   # forced-f32 env: no exact rerun exists

@@ -10,7 +10,6 @@ from __future__ import annotations
 
 import logging
 import os
-import sys
 import time
 from concurrent.futures import ThreadPoolExecutor
 from dataclasses import dataclass, field
@@ -289,6 +288,7 @@ def run_streaming(bam_path: str, ref_path: str, output_prefix: str,
         return BamFile(bam_path, threads=max(1, cfg.threads),
                        region=(chrom, 0, clen))
 
+    in_flight_exc = False
     try:
         with open(vcf_path, "w") as vf:
             write_vcf_header(vf, fasta.contig_lengths)
@@ -419,6 +419,9 @@ def run_streaming(bam_path: str, ref_path: str, output_prefix: str,
                 # ~2 GB/s, so the per-contig cost is tens of ms)
                 from ..utils import malloc_tune as _mt
                 _mt.trim()
+    except BaseException:
+        in_flight_exc = True
+        raise
     finally:
         ckpt.close()
         if load_pool is not None:
@@ -436,7 +439,7 @@ def run_streaming(bam_path: str, ref_path: str, output_prefix: str,
             writer.close()      # always append the BGZF EOF block
         if bam_writes:
             stage["bam_write_drain"] = time.monotonic() - _t
-        if drain_err is not None and sys.exc_info()[0] is None:
+        if drain_err is not None and not in_flight_exc:
             # surface a failed background write, but never mask an
             # exception already propagating out of the contig loop
             raise drain_err
