@@ -58,8 +58,11 @@ def main() -> int:
         retried = os.environ.get("LONGCALLR_BENCH_DEVICE_RETRY") == "1"
 
         def _watchdog():
+            # 300 s default: the axon claim handshake has been observed to
+            # take minutes on bad days (round-5: jax.devices() alone >3 min);
+            # a degraded-CPU capture costs more than a slow start.
             if not ready.wait(
-                    float(os.environ.get("LONGCALLR_DEVICE_PROBE_S", "90"))):
+                    float(os.environ.get("LONGCALLR_DEVICE_PROBE_S", "300"))):
                 if not retried:
                     print('{"note": "device init timed out; retrying in a '
                           'fresh process"}', file=sys.stderr, flush=True)
@@ -113,14 +116,6 @@ def main() -> int:
         out = run(DEMO_BAM, ref_fa, out_prefix, cfg)
         wall = min(wall, time.monotonic() - t0)
     reads_per_s = n_reads / wall
-
-    result = {
-        "metric": "demo_pipeline_reads_per_s",
-        "value": round(reads_per_s, 3),
-        "unit": "reads/s",
-        "vs_baseline": round(reads_per_s / BASELINE_READS_PER_S, 3),
-    }
-    print(json.dumps(result), flush=True)
 
     # scaled multi-region workload (demo x16) through the batched pipeline
     scaled_bam = os.path.join(data_dir, "demo_x16.bam")
@@ -187,7 +182,27 @@ def main() -> int:
     }
     if degraded_reason:
         extra["platform_degraded_reason"] = degraded_reason
-    print(json.dumps(extra), file=sys.stderr)
+    # Output order matters for the driver's tail capture (BENCH_r04.json
+    # truncated mid-extras and parsed as null): print the big diagnostic
+    # dict FIRST, then END with one compact headline line so truncation
+    # can never eat the keys the round is judged on.
+    print(json.dumps(extra), file=sys.stderr, flush=True)
+    result = {
+        "metric": "demo_pipeline_reads_per_s",
+        "value": round(reads_per_s, 3),
+        "unit": "reads/s",
+        "vs_baseline": round(reads_per_s / BASELINE_READS_PER_S, 3),
+        "headline": {k: extra[k] for k in (
+            "scaled16_reads_per_s", "deep_wall_s", "deep_reads_per_s",
+            "deep_phase_speedup_vs_cpu", "deep_speedup_vs_cpu",
+            "deep_outputs_match_cpu", "stream_reads_per_s",
+            "stream_rss_peak_mb", "stream_matches_resident",
+            "acc_precision", "acc_recall", "acc_f1",
+            "acc_switch_error_rate", "pod_scaling_vs_1p",
+            "pod_matches_single", "mfu_hbm_util_vs_819GBs",
+            "platform", "platform_degraded") if k in extra},
+    }
+    print(json.dumps(result), flush=True)
     return 0
 
 

@@ -31,11 +31,12 @@ from simulate import BASES, make_reference, plant_snps, simulate_bam
 import tempfile, shutil
 
 MULTI = "--multi" in sys.argv
+ANALYSIS = "--analysis" in sys.argv
 argv = [a for a in sys.argv[1:] if not a.startswith("--")]
 N_CASES = int(argv[0]) if argv else 150
 PRESETS = ["hifi-masseq", "hifi-isoseq", "ont-cdna", "ont-drna"]
 t_start = time.monotonic()
-if MULTI:
+if MULTI or ANALYSIS:
     N_SINGLE = 0
 else:
     N_SINGLE = N_CASES
@@ -214,5 +215,93 @@ def run_multi_campaign(n_cases: int) -> list:
     return fails
 
 
+def run_analysis_campaign(n_cases: int) -> list:
+    """Analysis-layer mode (--analysis): random annotation + phased-BAM +
+    VCF scenarios (tests/simulate_analysis.py) through the production
+    ASE/ASJ tools vs their scalar oracle transcriptions
+    (tests/oracle_{ase,asj}.py), byte-exact on every TSV. Cases cycle
+    through the five modes: ase-plain, ase-patmat, ase-filter, asj,
+    asj-filter. Seeds [4101|4202, case] match the standing suite gate
+    (tests/test_oracle_analysis.py) — a failure here can be frozen there."""
+    from longcallr_tpu.analysis import ase as A
+    from longcallr_tpu.analysis import asj as J
+    from oracle_ase import oracle_analyze_ase
+    from oracle_asj import oracle_analyze_asj
+    from simulate_analysis import make_scenario
+
+    fails = []
+    t0 = time.monotonic()
+    modes = ["ase-plain", "ase-patmat", "ase-filter", "asj", "asj-filter"]
+    for case in range(n_cases):
+        mode = modes[case % len(modes)]
+        d = tempfile.mkdtemp()
+        try:
+            if mode.startswith("ase"):
+                rng = np.random.default_rng([4101, case])
+                sc = make_scenario(rng, d)
+                min_support = int(rng.integers(1, 9))
+                od = float(rng.choice([0.001, 0.01]))
+                gt = {"protein_coding", "lncRNA"} if rng.random() < 0.8 \
+                    else {"protein_coding"}
+                kw = {}
+                if mode == "ase-patmat":
+                    kw = dict(vcf1=sc["rna_vcf"], vcf2=sc["dna_phased_vcf"])
+                elif mode == "ase-filter":
+                    kw = dict(vcf1=sc["rna_vcf"], vcf3=sc["dna_vcf"])
+                out_tsv = os.path.join(d, "o.tsv")
+                A.analyze_ase_genes(sc["anno"], sc["bam"], out_tsv, 1, gt,
+                                    min_support, od, **kw)
+                got = [open(out_tsv).read()]
+                want = [oracle_analyze_ase(sc["anno"], sc["bam"], 1, gt,
+                                           min_support, od,
+                                           vcf1=kw.get("vcf1"),
+                                           vcf2=kw.get("vcf2"),
+                                           vcf3=kw.get("vcf3"))]
+            else:
+                rng = np.random.default_rng([4202, case])
+                sc = make_scenario(rng, d)
+                min_count = int(rng.integers(1, 8))
+                min_junctions = int(rng.integers(0, 3))
+                cwe = bool(rng.random() < 0.5)
+                no_gtag = bool(rng.random() < 0.3)
+                gt = {"protein_coding", "lncRNA"}
+                dna_vcfs = rna_vcfs = dna_vcf = rna_vcf = None
+                if mode == "asj-filter":
+                    dna_vcf, rna_vcf = sc["dna_vcf"], sc["rna_vcf"]
+                    dna_vcfs = A.load_dna_vcf(dna_vcf)
+                    rna_vcfs = A.load_longcallr_phased_vcf(rna_vcf)
+                prefix = os.path.join(d, "aj")
+                J.analyze(sc["anno"], sc["bam"], sc["fa"], prefix,
+                          min_count=min_count, gene_types=gt, threads=1,
+                          no_gtag=no_gtag, min_junctions=min_junctions,
+                          cluster_with_exons=cwe, dna_vcfs=dna_vcfs,
+                          rna_vcfs=rna_vcfs)
+                got = [open(prefix + ".asj.tsv").read(),
+                       open(prefix + ".asj_gene.tsv").read(),
+                       open(prefix + ".gene_coverage.tsv").read()]
+                want = list(oracle_analyze_asj(
+                    sc["anno"], sc["bam"], sc["fa"], min_count=min_count,
+                    gene_types=gt, no_gtag=no_gtag,
+                    min_junctions=min_junctions, cluster_with_exons=cwe,
+                    dna_vcf=dna_vcf, rna_vcf=rna_vcf))
+            if got != want:
+                fails.append(case)
+                which = [i for i, (g, w) in enumerate(zip(got, want))
+                         if g != w]
+                print(json.dumps(dict(mode=mode, case=case, files=which)),
+                      flush=True)
+        finally:
+            shutil.rmtree(d, ignore_errors=True)
+        if case % 25 == 24:
+            print(f"... analysis {case+1}/{n_cases}, {len(fails)} failures, "
+                  f"{round(time.monotonic()-t0,1)}s", flush=True)
+    print(json.dumps(dict(mode="analysis", cases=n_cases, failures=fails,
+                          wall_s=round(time.monotonic() - t0, 1))),
+          flush=True)
+    return fails
+
+
 if MULTI:
     run_multi_campaign(N_CASES)
+if ANALYSIS:
+    run_analysis_campaign(N_CASES)

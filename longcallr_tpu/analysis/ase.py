@@ -163,8 +163,13 @@ def _assign_range(bam: BamFile, tree: IntervalIndex,
             continue
         segs = splice_match_segments(r)
         best_gene, best_len = None, -1
+        # overlap_length_ref replicates the reference's half-open candidate
+        # query over the closed segment (longcallR-ase.py:249-253: an exon
+        # starting exactly at a segment's last base counts 0). Ties go to
+        # the first gene in merged-exon start order (PARITY.md #10; the
+        # reference's max() over intervaltree set order is unordered).
         for gene_id in cand:
-            total = sum(exon_idx[gene_id].overlap_length(a, b + 1)
+            total = sum(exon_idx[gene_id].overlap_length_ref(a, b)
                         for a, b in segs)
             if total > best_len:
                 best_gene, best_len = gene_id, total
@@ -368,7 +373,17 @@ def get_reads_tag(bam: BamFile, chrom: str, start: int, end: int) -> Dict[str, d
     return out
 
 
+def _ps_order(ps):
+    """Deterministic sort key over heterogeneous PS ids (ints from BAM aux
+    tags; strings like "." can appear in VCF-derived keys)."""
+    return (0, ps, "") if isinstance(ps, int) else (1, 0, str(ps))
+
+
 def _dominant_ps(reads_tag, assigned: Set[str]):
+    """Phase set with the most assigned reads (longcallR-ase.py:457-472).
+    The reference resolves count ties by set/dict iteration order
+    (nondeterministic across runs under hash randomization); here ties go
+    to the smallest PS id — documented (PARITY.md deviation #10)."""
     ps_hap: Dict[object, Dict[int, int]] = defaultdict(lambda: {1: 0, 2: 0})
     for rname in assigned:
         t = reads_tag.get(rname)
@@ -376,8 +391,10 @@ def _dominant_ps(reads_tag, assigned: Set[str]):
             ps_hap[t["PS"]][t["HP"]] += 1
     if not ps_hap:
         return None, None
-    best = max(ps_hap.items(), key=lambda kv: kv[1][1] + kv[1][2])
-    return best[0], best[1]
+    best_cnt = max(c[1] + c[2] for c in ps_hap.values())
+    best = min((ps for ps, c in ps_hap.items() if c[1] + c[2] == best_cnt),
+               key=_ps_order)
+    return best, ps_hap[best]
 
 
 def calculate_ase_pvalue(bam, gene_id, gene_name, gene_region, min_count,
@@ -420,6 +437,10 @@ def calculate_ase_pvalue_pat_mat(bam, gene_id, gene_name, gene_region,
     pat_mat: Dict[str, Dict[str, int]] = defaultdict(lambda: {"pat": 0, "mat": 0})
     if pos_arr.size:
         for r in bam.fetch(chrom, gene_region["start"] - 1, gene_region["end"]):
+            # pysam pileup's default stepper drops UNMAP/SECONDARY/QCFAIL/
+            # DUP records (longcallR-ase.py:518 pileup vs this per-read walk)
+            if r.flag & 0x704:
+                continue
             if r.qname not in ps_reads:
                 continue
             covered, bases = aligned_bases_at(r, pos_arr)

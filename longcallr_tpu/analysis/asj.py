@@ -195,8 +195,9 @@ def _load_reads_range(bam: BamFile, fasta: FastaFile, merged_genes_exons,
                 continue
             segs = splice_match_segments(r)
             best_gene, best_len = None, -1
+            # quirk-faithful segment-exon overlap (see ase._assign_range)
             for gene_id in cand:
-                total = sum(exon_idx[gene_id].overlap_length(a, b + 1)
+                total = sum(exon_idx[gene_id].overlap_length_ref(a, b)
                             for a, b in segs)
                 if total > best_len:
                     best_gene, best_len = gene_id, total
@@ -268,11 +269,15 @@ def cluster_junctions(reads_junctions: Dict[str, list],
     for n in nodes:
         comps[uf.find(n)].append(n)
     clusters = []
-    for root in sorted(comps, key=lambda r: (r[0], r[1])):
-        clu = [(s, e, gt_ag[(s, e)]) for (s, e, typ) in sorted(comps[root])
+    for comp in comps.values():
+        clu = [(s, e, gt_ag[(s, e)]) for (s, e, typ) in sorted(comp)
                if typ == "junction"]
         if clu:
             clusters.append(clu)
+    # deterministic cluster order by smallest member junction (independent
+    # of union-find root identity; the reference's networkx set iteration
+    # is unordered — PARITY.md deviation #10)
+    clusters.sort(key=lambda c: (c[0][0], c[0][1]))
     return clusters, junctions
 
 
@@ -320,7 +325,12 @@ def haplotype_event_test(absent_reads, present_reads, reads_tags):
         return None
     ps_cnt = {ps: hap_absent[ps][1] + hap_absent[ps][2]
               + hap_present[ps][1] + hap_present[ps][2] for ps in all_ps}
-    ps = sorted(ps_cnt.items(), key=lambda x: x[1], reverse=True)[0][0]
+    # dominant PS; the reference breaks count ties by set-iteration order
+    # (hash-randomized for "." keys) — ties go to the smallest PS id here
+    # (PARITY.md deviation #10)
+    from .ase import _ps_order
+    best_cnt = max(ps_cnt.values())
+    ps = min((p for p, c in ps_cnt.items() if c == best_cnt), key=_ps_order)
     table = np.array([[hap_absent[ps][1], hap_absent[ps][2]],
                       [hap_present[ps][1], hap_present[ps][2]]])
     _, p_fisher = fisher_exact(table)

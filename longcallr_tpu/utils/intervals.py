@@ -61,3 +61,16 @@ class IntervalIndex:
         for i in self.overlap(qs, qe):
             total += max(0, min(qe, int(self.ends[i])) - max(qs, int(self.starts[i])))
         return total
+
+    def overlap_length_ref(self, a: int, b: int) -> int:
+        """The reference's splice-segment exon-overlap sum over a CLOSED
+        segment [a, b] (longcallR-ase.py:249-253 / longcallR-asj.py:264-268):
+        candidate intervals come from ``tree.overlap(a, b)`` — a HALF-OPEN
+        [a, b) query, so an exon starting exactly at the segment's last base
+        is (quirkily) excluded — then each contributes the closed-interval
+        overlap ``min(b, end-1) - max(a, start) + 1``."""
+        total = 0
+        for i in self.overlap(a, b):
+            total += max(0, min(b, int(self.ends[i]) - 1)
+                         - max(a, int(self.starts[i])) + 1)
+        return total

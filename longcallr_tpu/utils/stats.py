@@ -18,13 +18,20 @@ from scipy.stats import fisher_exact as _scipy_fisher
 def fdr_bh(p_values: Sequence[float], alpha: float = 0.05
            ) -> Tuple[np.ndarray, np.ndarray]:
     """Benjamini-Hochberg: returns (reject, adjusted p-values), matching
-    statsmodels.stats.multitest.multipletests(method='fdr_bh')."""
+    statsmodels.stats.multitest.multipletests(method='fdr_bh') BIT-exactly:
+    the correction divides by the ecdf factor arange(1,n+1)/n (not the
+    algebraically-equal p*n/rank, which differs in the last ulp — the
+    analysis-layer TSV byte gate compares str(float) of these values).
+    Ties are order-insensitive (the suffix-cummin assigns every member of a
+    tied run the same adjusted value), so the stable argsort is safe against
+    statsmodels' default unstable one."""
     p = np.asarray(p_values, dtype=np.float64)
     n = p.shape[0]
     if n == 0:
         return np.zeros(0, bool), p
     order = np.argsort(p, kind="stable")
-    ranked = p[order] * n / np.arange(1, n + 1)
+    ecdffactor = np.arange(1, n + 1) / float(n)
+    ranked = p[order] / ecdffactor
     adj = np.minimum.accumulate(ranked[::-1])[::-1]
     adj = np.minimum(adj, 1.0)
     out = np.empty(n)
@@ -54,18 +61,32 @@ def _betabinom_pmf(ks: np.ndarray, n, alpha: float, beta: float) -> np.ndarray:
 
 def beta_binomial_two_sided(k_obs: int, n: int, mu: float, rho: float) -> float:
     """Two-sided beta-binomial p: sum of pmf(k) over k with
-    pmf(k) <= pmf(k_obs) (longcallR-ase.py:25-61)."""
+    pmf(k) <= pmf(k_obs), transcribed exactly from longcallR-ase.py:25-61 —
+    scipy.stats.betabinom pmf values (the reference's own implementation;
+    the gammaln composition in _betabinom_pmf differs at the last ulp) and a
+    SEQUENTIAL k-ascending Python sum (the reference's genexpr sum; numpy's
+    pairwise .sum() also differs at the last ulp). This is the scalar path
+    the ASE TSV byte gate runs through."""
+    from scipy.stats import betabinom
+
     alpha, beta = convert_mu_rho_to_alpha_beta(mu, rho)
-    pmf = _betabinom_pmf(np.arange(n + 1), n, alpha, beta)
+    bb = betabinom(n, alpha, beta)
+    pmf = bb.pmf(np.arange(n + 1))
     p_obs = pmf[int(k_obs)]
-    return float(pmf[pmf <= p_obs].sum())
+    # sum np.float64 SCALARS, not .tolist() floats: CPython >= 3.12 sum()
+    # applies Neumaier compensation to Python floats but plain sequential
+    # adds to np.float64 — the reference sums np.float64 pmf values, so the
+    # compensated sum differs at the last ulp
+    return float(sum(p for p in pmf if p <= p_obs))
 
 
 def beta_binomial_two_sided_many(k_obs: np.ndarray, n: np.ndarray,
                                  mu: float, rho: float) -> np.ndarray:
     """Two-sided beta-binomial over many (k, n) observations, flattened
     into ONE vectorised pmf evaluation (total work Σ(n_i+1) gammaln calls
-    instead of a scipy distribution object per gene)."""
+    instead of a scipy distribution object per gene). Agrees with the scalar
+    reference-exact path to ~1e-14 (different pmf composition + summation
+    order); the byte-gated ASE path uses the scalar form."""
     alpha, beta = convert_mu_rho_to_alpha_beta(mu, rho)
     k_obs = np.asarray(k_obs, dtype=np.int64)
     n = np.asarray(n, dtype=np.int64)
