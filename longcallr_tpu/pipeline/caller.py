@@ -48,6 +48,182 @@ class CallerOutputs:
     n_degraded_placements: int = 0
 
 
+class _ResidentWriteOverlap:
+    """Ordered background phased-BAM writer for the batched resident path.
+
+    Byte-exact overlap of the reference's serial third pass
+    (thread.rs:307-361): the final output of that pass for a region's
+    records depends only on the first-wins merged assignment/phase-set maps
+    *restricted to that region's record qnames*. Region W (in the VCF's
+    sorted write order) can therefore be deflated as soon as
+
+      (a) every sorted region < F has its maps merged first-wins in sorted
+          order (exactly the serial pass's merge order), with W < F, and
+      (b) every record qname in W either already holds BOTH merged values
+          (final — no later region can override a first-wins entry) or
+          provably cannot receive one from any region >= F.
+
+    Condition (b) uses a per-qname upper bound on the last contributing
+    region: map keys are subsets of the region's overlap_range fetch
+    (phasing/fragments.py::get_fragments), so a read whose span ends before
+    every later region's start can never contribute again. Regions that
+    fail (b) queue until the frontier passes their bound; with unique
+    qnames (the long-read norm) nothing ever queues and each wave's records
+    deflate under the next wave's compute. LONGCALLR_RESIDENT_WRITE_OVERLAP=0
+    restores the strictly serial end-of-run write.
+    """
+
+    def __init__(self, bam: BamFile, regions: List[Region],
+                 contig_lengths, path: str, cfg: CallerConfig):
+        import threading
+        self._bam = bam
+        self._path = path
+        order = {c: i for i, (c, _) in enumerate(contig_lengths)}
+        n = len(regions)
+        # identical permutation to run()'s results_sorted (stable sort,
+        # same key) so records land in the same file order
+        self._perm = sorted(range(n), key=lambda i: (
+            order.get(regions[i].chr, 1 << 30), regions[i].start))
+        self._sorted_of_list = {li: si for si, li in enumerate(self._perm)}
+        self._regions = [regions[i] for i in self._perm]
+        self._writer = BamWriter(path, bam.references, bam.lengths,
+                                 header_text=bam.header_text,
+                                 level=cfg.bam_compression_level,
+                                 threads=max(1, cfg.threads))
+        self._pool = ThreadPoolExecutor(max_workers=1)
+        self._lock = threading.Lock()
+        self._done: Dict[int, tuple] = {}      # sorted idx → (asg, ps) maps
+        self._asg: Dict[str, int] = {}
+        self._ps: Dict[str, int] = {}
+        self._F = 0           # merge frontier: sorted[0..F) merged
+        self._W = 0           # write pointer: sorted[0..W) written
+        self._n_tagged = 0
+        self._bg_seconds = 0.0
+        self._futs = [self._pool.submit(self._prepass)]
+
+    def _prepass(self) -> None:
+        """Per-region kept record indices/qnames (the exact write filter)
+        and the per-qname last-contributing-region bound. Runs as the
+        writer thread's first job, overlapped with the first wave."""
+        t0 = time.monotonic()
+        bam = self._bam
+        from ..io.bam import (FLAG_SECONDARY, FLAG_SUPPLEMENTARY,
+                              FLAG_UNMAPPED)
+        bad = FLAG_UNMAPPED | FLAG_SECONDARY | FLAG_SUPPLEMENTARY
+        n = len(self._regions)
+        self._ridxs: List[List[int]] = [[] for _ in range(n)]
+        self._keptq: List[List[str]] = [[] for _ in range(n)]
+        cb: Dict[str, int] = {}
+        by_contig: Dict[str, List[int]] = {}
+        for si, reg in enumerate(self._regions):
+            by_contig.setdefault(reg.chr, []).append(si)
+        for chrom, sidxs in by_contig.items():
+            lo, hi = bam.contig_record_range(chrom)
+            if lo == hi:
+                continue
+            qn = bam.qnames_at(np.arange(lo, hi))
+            # contribution bound: a record can reach region si's fetch only
+            # if that region starts before the record's span end (+2 slop
+            # over the replicated off-by-one fetch quirks). Regions of one
+            # contig are contiguous in sorted order and ascending by start.
+            starts = np.array([self._regions[si].start for si in sidxs],
+                              dtype=np.int64)
+            si0 = sidxs[0]
+            wpos = np.searchsorted(starts, bam.ref_end[lo:hi] + 2,
+                                   side="left") - 1
+            for k in range(hi - lo):
+                w = int(wpos[k])
+                if w >= 0:
+                    q = qn[k]
+                    si = si0 + w
+                    if cb.get(q, -1) < si:
+                        cb[q] = si
+            for si in sidxs:
+                reg = self._regions[si]
+                l2, h2, omask = bam.overlap_range(chrom, reg.start, reg.end)
+                keep = (omask & ((bam.flag[l2:h2] & bad) == 0)
+                        & (bam.pos[l2:h2] + 1 >= reg.start)
+                        & (bam.ref_end[l2:h2] + 1 <= reg.end))
+                ridxs = (l2 + np.nonzero(keep)[0])
+                self._ridxs[si] = ridxs.tolist()
+                self._keptq[si] = [qn[int(i) - lo] for i in ridxs]
+        self._cb = cb
+        self._bg_seconds += time.monotonic() - t0
+
+    def wave_done(self, pairs) -> None:
+        """Main thread: a wave's (list_index, RegionResult) pairs are final."""
+        with self._lock:
+            for li, res in pairs:
+                self._done[self._sorted_of_list[li]] = (
+                    res.read_assignments, res.phase_sets)
+        self._futs.append(self._pool.submit(self._advance))
+
+    def _advance(self) -> None:
+        t0 = time.monotonic()
+        with self._lock:
+            done = dict(self._done)
+        n = len(self._regions)
+        while self._F < n and self._F in done:
+            asg, ps = done[self._F]
+            for k, v in asg.items():
+                self._asg.setdefault(k, v)
+            for k, v in ps.items():
+                self._ps.setdefault(k, v)
+            self._F += 1
+        while self._W < self._F and self._safe(self._W):
+            ridxs = self._ridxs[self._W]
+            if ridxs:
+                self._n_tagged += write_tagged_records(
+                    self._bam, ridxs, self._asg, self._ps, self._writer)
+            self._W += 1
+        self._bg_seconds += time.monotonic() - t0
+
+    def _safe(self, w: int) -> bool:
+        if self._F >= len(self._regions):
+            return True       # everything merged: all values final
+        asg, ps, cb, F = self._asg, self._ps, self._cb, self._F
+        for q in self._keptq[w]:
+            if cb.get(q, -1) >= F and not (q in asg and q in ps):
+                return False  # a region >= F could still contribute q
+        return True
+
+    def finish(self) -> Tuple[int, float]:
+        """Drain the queue, close the writer. Returns (n_tagged,
+        background_seconds). Must be called after every region's
+        wave_done."""
+        self._futs.append(self._pool.submit(self._advance))
+        err = None
+        for f in self._futs:
+            try:
+                f.result()
+            except BaseException as e:   # close the file either way
+                err = err or e
+        self._pool.shutdown(wait=True)
+        if err is None and self._W != len(self._regions):
+            err = RuntimeError(
+                f"resident write overlap stalled at {self._W}/"
+                f"{len(self._regions)} regions (merged {self._F})")
+        self._writer.close()
+        if err is not None:
+            raise err
+        return self._n_tagged, self._bg_seconds
+
+    def abort(self) -> None:
+        """Pipeline failed: stop, close, and remove the partial file (the
+        serial path would have produced no BAM at all)."""
+        try:
+            self._pool.shutdown(wait=True, cancel_futures=True)
+        finally:
+            try:
+                self._writer.close()
+            except BaseException:
+                pass
+            try:
+                os.unlink(self._path)
+            except OSError:
+                pass
+
+
 def build_regions(bam: BamFile, fasta: FastaFile, cfg: CallerConfig,
                   input_region: Optional[str] = None,
                   contigs: Optional[Sequence[str]] = None,
@@ -145,14 +321,28 @@ def run(bam_path: str, ref_path: str, output_prefix: str, cfg: CallerConfig,
         fasta.fetch(chrom)
     if batched is None:
         batched = len(regions) > 1
-    if batched:
-        results = _run_batched(bam, fasta, regions, cfg, input_candidates,
-                               exon_regions, ckpt, mesh)
-    elif cfg.threads > 1 and len(regions) > 1:
-        with ThreadPoolExecutor(max_workers=cfg.threads) as ex:
-            results = list(ex.map(work, regions))
-    else:
-        results = [work(r) for r in regions]
+    # overlapped phased-BAM write: each wave's records deflate on an
+    # ordered writer thread under the next wave's compute (byte-identical;
+    # see _ResidentWriteOverlap)
+    ov = None
+    if (batched and not cfg.no_bam_output and len(regions) > 0
+            and os.environ.get("LONGCALLR_RESIDENT_WRITE_OVERLAP", "1") != "0"):
+        ov = _ResidentWriteOverlap(bam, regions, fasta.contig_lengths,
+                                   output_prefix + ".phased.bam", cfg)
+    try:
+        if batched:
+            results = _run_batched(bam, fasta, regions, cfg, input_candidates,
+                                   exon_regions, ckpt, mesh,
+                                   on_wave=(ov.wave_done if ov else None))
+        elif cfg.threads > 1 and len(regions) > 1:
+            with ThreadPoolExecutor(max_workers=cfg.threads) as ex:
+                results = list(ex.map(work, regions))
+        else:
+            results = [work(r) for r in regions]
+    except BaseException:
+        if ov is not None:
+            ov.abort()
+        raise
     ckpt.close()
     stage["regions_pipeline"] = time.monotonic() - t2
 
@@ -178,7 +368,17 @@ def run(bam_path: str, ref_path: str, output_prefix: str, cfg: CallerConfig,
     # --- phased BAM (thread.rs:307-361) ---
     phased_bam_path = None
     n_tagged = 0
-    if not cfg.no_bam_output:
+    if ov is not None:
+        t4 = time.monotonic()
+        try:
+            n_tagged, bg = ov.finish()
+        except BaseException:
+            ov.abort()
+            raise
+        phased_bam_path = output_prefix + ".phased.bam"
+        stage["phased_bam"] = time.monotonic() - t4   # visible drain only
+        stage["phased_bam_bg"] = bg                   # overlapped work
+    elif not cfg.no_bam_output:
         t4 = time.monotonic()
         read_assignments: Dict[str, int] = {}
         read_phasesets: Dict[str, int] = {}
@@ -475,9 +675,13 @@ def _exon_mask_for(reg: Region, exon_regions: Dict[str, List[Tuple[int, int]]]):
 
 
 def _run_batched(bam, fasta, regions, cfg, input_candidates, exon_regions,
-                 ckpt, mesh):
+                 ckpt, mesh, on_wave=None):
     """Three-stage batched pipeline: threaded host prepare → bucketed
-    device phasing (phasing/batch_driver.py) → threaded host finalize."""
+    device phasing (phasing/batch_driver.py) → threaded host finalize.
+
+    ``on_wave``: called with a list of (region_index, RegionResult) pairs
+    as each wave finalizes (and once up front for checkpointed/skipped
+    regions) — the overlapped phased-BAM writer's feed."""
     from ..phasing.batch_driver import phase_regions_batched
 
     results: List[Optional[RegionResult]] = [None] * len(regions)
@@ -503,6 +707,10 @@ def _run_batched(bam, fasta, regions, cfg, input_candidates, exon_regions,
                 results[i] = RegionResult(reg, [], {}, {}, 0, 0)
                 continue
         todo_prep.append((i, exon_mask))
+    if on_wave is not None:
+        preset_pairs = [(i, r) for i, r in enumerate(results) if r is not None]
+        if preset_pairs:
+            on_wave(preset_pairs)
 
     # Waves bounded by the candidate kernel's column budget AND a host-work
     # budget (estimated pileup cells = columns × discovered coverage): deep
@@ -651,6 +859,8 @@ def _run_batched(bam, fasta, regions, cfg, input_candidates, exon_regions,
                     ckpt.put(res)
                     results[i] = res
                     prepared[i] = None
+            if on_wave is not None and todo:
+                on_wave([(i, results[i]) for i in todo])
     finally:
         if ahead is not None:
             ahead.shutdown(wait=True, cancel_futures=True)
