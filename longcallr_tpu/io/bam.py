@@ -131,8 +131,25 @@ class BamRead:
 
     @property
     def cigar(self) -> np.ndarray:
-        """Raw uint32 cigar words (len<<4 | op)."""
-        return np.frombuffer(self._buf[self._cigar_off:self._seq_off], dtype="<u4")
+        """uint32 cigar words (len<<4 | op).
+
+        CIGARs with more than 65,535 ops don't fit the record's 16-bit
+        n_cigar field: BAM stores a two-op ``kSmN`` placeholder (k = l_seq,
+        m = reference span) and the real cigar in a ``CG:B,I`` aux array.
+        htslib reconstructs this transparently, so the reference (via
+        rust-htslib, Cargo.toml:13) sees the real cigar — replicate that.
+        The record layout (seq/qual/aux offsets) still uses the raw
+        two-word field, and raw passthrough keeps the original bytes."""
+        raw = np.frombuffer(self._buf[self._cigar_off:self._seq_off],
+                            dtype="<u4")
+        if (self._n_cigar == 2 and raw.size == 2
+                and int(raw[0]) == ((self.l_seq << 4) | _OP_S)
+                and (int(raw[1]) & 0xF) == _OP_N):
+            cg = self.get_tag("CG")
+            if cg is not None and getattr(cg, "size", 0) > 0 \
+                    and cg.dtype == np.uint32:
+                return cg
+        return raw
 
     @property
     def cigar_ops(self) -> np.ndarray:
@@ -767,6 +784,13 @@ def make_tag_bytes(tag: str, typ: str, value) -> bytes:
         return head + b"A" + value.encode()
     if typ == "Z":
         return head + b"Z" + value.encode() + b"\x00"
+    if typ.startswith("B"):   # e.g. "B,I": numeric array (CG long cigars)
+        st = typ.split(",")[1]
+        dt = {"c": "<i1", "C": "<u1", "s": "<i2", "S": "<u2",
+              "i": "<i4", "I": "<u4", "f": "<f4"}[st]
+        arr = np.asarray(value, dtype=dt)
+        return (head + b"B" + st.encode()
+                + struct.pack("<i", arr.size) + arr.tobytes())
     raise ValueError(f"unsupported tag type {typ}")
 
 

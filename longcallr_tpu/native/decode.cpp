@@ -198,7 +198,7 @@ struct RecView {
     int32_t pos;
     uint16_t flag;
     int32_t l_seq;
-    uint16_t n_cigar;
+    int32_t n_cigar;      // real op count (CG:B,I arrays can exceed 65535)
     uint8_t l_read_name;
     const uint32_t* cigar;
     const uint8_t* seq_packed;
@@ -207,23 +207,67 @@ struct RecView {
     const uint8_t* aux_end;
 };
 
+static int aux_sizes(char typ);
+
+// >65,535-op CIGARs: the record holds a kSmN placeholder (k = l_seq) and
+// the real cigar lives in a CG:B,I aux array (SAM spec 4.2.2; htslib — the
+// reference's rust-htslib substrate — reconstructs transparently). Layout
+// offsets were already computed from the raw two-word field; only the
+// cigar view is redirected.
+static void cg_substitute(RecView& v) {
+    const uint8_t* q = v.aux;
+    while (q + 4 <= v.aux_end) {
+        char a = (char)q[0], b = (char)q[1], typ = (char)q[2];
+        q += 3;
+        if (typ == 'B') {
+            char st = (char)q[0];
+            int32_t cnt;
+            std::memcpy(&cnt, q + 1, 4);
+            int sz = aux_sizes(st);
+            if (sz < 0) return;
+            if (a == 'C' && b == 'G' && st == 'I' && cnt > 0 &&
+                q + 5 + (int64_t)cnt * 4 <= v.aux_end) {
+                v.cigar = reinterpret_cast<const uint32_t*>(q + 5);
+                v.n_cigar = cnt;
+                return;
+            }
+            q += 5 + (int64_t)cnt * sz;
+            continue;
+        }
+        int sz = aux_sizes(typ);
+        if (sz > 0) { q += sz; continue; }
+        if (typ == 'Z' || typ == 'H') {
+            while (q < v.aux_end && *q) ++q;
+            ++q;
+            continue;
+        }
+        return;  // unknown type: bail
+    }
+}
+
 static inline RecView view_record(const uint8_t* data, int64_t off, int64_t end) {
     RecView v;
     v.rec = data + off;
     std::memcpy(&v.pos, v.rec + 4, 4);
     v.l_read_name = v.rec[8];
-    std::memcpy(&v.n_cigar, v.rec + 12, 2);
+    uint16_t ncig16;
+    std::memcpy(&ncig16, v.rec + 12, 2);
+    v.n_cigar = ncig16;
     std::memcpy(&v.flag, v.rec + 14, 2);
     std::memcpy(&v.l_seq, v.rec + 16, 4);
     const uint8_t* p = v.rec + 32 + v.l_read_name;
     v.cigar = reinterpret_cast<const uint32_t*>(p);
-    p += 4 * v.n_cigar;
+    p += 4 * (int64_t)ncig16;
     v.seq_packed = p;
     p += (v.l_seq + 1) / 2;
     v.qual = p;
     p += v.l_seq;
     v.aux = p;
     v.aux_end = data + end;
+    if (ncig16 == 2 &&
+        v.cigar[0] == (((uint32_t)v.l_seq << 4) | 4) &&   // kS, k == l_seq
+        (v.cigar[1] & 0xF) == 3)                          // mN
+        cg_substitute(v);
     return v;
 }
 
