@@ -126,13 +126,22 @@ def make_deep_workload(out_bam: str, out_fasta: str, n_regions: int = 4,
 
 def make_genome_workload(out_bam: str, out_fasta: str,
                          contigs=None, gap: int = 40_000,
-                         seed: int = 20_260_818) -> Dict:
+                         seed: int = 20_260_818,
+                         err_rate: float = 0.002, read_len: int = 3_000,
+                         qual: Tuple[int, int] = (25, 31),
+                         alt_strands: bool = False) -> Dict:
     """Multi-contig whole-genome-style workload for ``--stream`` validation:
     several contigs with mixed region sizes (including a deep "giant"
     locus), BAI-indexed, cached like make_deep_workload.
 
     ``contigs``: list of (name, [(region_len, coverage, snp_spacing), ...]).
     Default: 3 contigs, 8 loci, one giant (deep) locus on the middle contig.
+
+    ``err_rate``/``read_len``/``qual``/``alt_strands`` shape the error
+    model (the ONT accuracy leg uses ~6% error, lower quals, and balanced
+    strand flags so the ont presets' strand-bias/end-trim machinery is
+    live). With the defaults the generated bytes are identical to the
+    pre-parameter version (no extra RNG draws on the default path).
     """
     from ..io.bai import build_bai
 
@@ -144,7 +153,8 @@ def make_genome_workload(out_bam: str, out_fasta: str,
         ]
     spec = [(n, list(map(list, rs))) for n, rs in contigs]
     params = dict(version=_GEN_VERSION, kind="genome", contigs=spec,
-                  gap=gap, seed=seed)
+                  gap=gap, seed=seed, err_rate=err_rate, read_len=read_len,
+                  qual=list(qual), alt_strands=alt_strands)
     side = out_bam + ".params.json"
     if (os.path.exists(out_bam) and os.path.exists(out_fasta + ".fai")
             and os.path.exists(out_bam + ".bai") and os.path.exists(side)):
@@ -158,8 +168,6 @@ def make_genome_workload(out_bam: str, out_fasta: str,
 
     rng = np.random.default_rng(np.random.SeedSequence([seed]))
     margin = 2_000
-    read_len = 3_000
-    err_rate = 0.002
     refs: Dict[str, bytes] = {}
     per_contig_reads = {}
     n_snps = 0
@@ -200,8 +208,15 @@ def make_genome_workload(out_bam: str, out_fasta: str,
                 ne = int(errs.sum())
                 if ne:
                     seq[errs] = _BASES[rng.integers(0, 4, size=ne)]
-                qual = rng.integers(25, 31, size=read_len).astype(np.uint8)
-                all_reads.append((tid, pos, f"g{tid}_{cnt:06d}", seq, qual))
+                quals = rng.integers(qual[0], qual[1],
+                                     size=read_len).astype(np.uint8)
+                # strand decorrelated from haplotype (hap follows i%2), so
+                # true het ALT support stays strand-balanced and only
+                # artifacts look biased — the SOR filter's design premise
+                flag = (16 if int(rng.integers(0, 2)) else 0) \
+                    if alt_strands else 0
+                all_reads.append((tid, pos, f"g{tid}_{cnt:06d}", flag,
+                                  seq, quals))
                 cnt += 1
         per_contig_reads[name] = cnt
         refs[name] = bytes(ref)
@@ -211,10 +226,10 @@ def make_genome_workload(out_bam: str, out_fasta: str,
     all_reads.sort(key=lambda t: (t[0], t[1]))
     tmp_bam = out_bam + ".tmp"
     with bamio.BamWriter(tmp_bam, names, lens) as w:
-        for tid, pos, qn, seq, qual in all_reads:
-            w.write_record(qname=qn, flag=0, ref_id=tid, pos=pos, mapq=60,
+        for tid, pos, qn, flag, seq, quals in all_reads:
+            w.write_record(qname=qn, flag=flag, ref_id=tid, pos=pos, mapq=60,
                            cigar=bamio.encode_cigar([(len(seq), "M")]),
-                           seq=bytes(seq), qual=qual,
+                           seq=bytes(seq), qual=quals,
                            tags=bamio.make_tag_bytes("de", "f", err_rate))
     os.replace(tmp_bam, out_bam)
     write_fasta(out_fasta, refs)
