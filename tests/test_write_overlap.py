@@ -58,6 +58,55 @@ def test_overlap_write_multi_wave_byte_identical(tmp_path):
     _run_pair(bam_path, fa_path, tmp_path, cfg, wave_cells=1)
 
 
+def test_overlap_writer_queues_until_last_contributor(tmp_path):
+    """White-box: a region whose record qname can still be tagged by a
+    LATER region must not be written until the merge frontier passes that
+    qname's last contributor — and the tag it then gets must be the later
+    region's (global first-wins, thread.rs:309-325)."""
+    from longcallr_tpu.pipeline.caller import _ResidentWriteOverlap
+    from longcallr_tpu.pipeline.engine import RegionResult
+    from longcallr_tpu.tiles.regions import Region
+
+    src = str(tmp_path / "tiny.bam")
+    seq = b"ACGT" * 25
+    qual = np.full(100, 30, np.uint8)
+    cig = np.array([(100 << 4) | 0], np.uint32)
+    with BamWriter(src, ["chrA", "chrB"], [2000, 2000]) as w:
+        for rid, qn in ((0, "aaaa"), (0, "dupq"), (1, "dupq"), (1, "bbbb")):
+            w.write_record(qname=qn, flag=0, ref_id=rid, pos=100, mapq=60,
+                           cigar=cig, seq=seq, qual=qual)
+    bam = BamFile(src)
+    regs = [Region("chrA", 1, 1999), Region("chrB", 1, 1999)]
+    cfg = preset("hifi-masseq")
+    out_path = str(tmp_path / "tagged.bam")
+    ov = _ResidentWriteOverlap(bam, regs, [("chrA", 2000), ("chrB", 2000)],
+                               out_path, cfg)
+    ov._futs[0].result()          # prepass done
+    # "dupq" has records on both contigs → its last contributor is the
+    # chrB region (sorted index 1); unique names stay bounded by their own
+    assert ov._cb["dupq"] == 1 and ov._cb["aaaa"] == 0
+    # region 0 finalizes WITHOUT a dupq entry: the writer must hold it
+    ov.wave_done([(0, RegionResult(regs[0], [], {"aaaa": 1}, {"aaaa": 7},
+                                   0, 0))])
+    ov._futs[-1].result()
+    assert ov._F == 1 and ov._W == 0     # merged but queued (hazard)
+    # region 1 provides dupq → frontier passes, both regions flush
+    ov.wave_done([(1, RegionResult(regs[1], [], {"dupq": 2}, {"dupq": 9},
+                                   0, 0))])
+    ov._futs[-1].result()
+    assert ov._W == 2
+    n_tagged, _bg = ov.finish()
+    assert n_tagged == 4
+    got = BamFile(out_path)
+    tags = {}
+    for i in range(got.n_records):
+        r = got.read(i)
+        tags.setdefault(r.qname, []).append((r.get_tag("HP"), r.get_tag("PS")))
+    # the chrA dupq record carries chrB's first-wins values
+    assert tags["dupq"] == [(2, 9), (2, 9)]
+    assert tags["aaaa"] == [(1, 7)] and tags["bbbb"] == [(None, None)]
+
+
 def test_overlap_write_duplicate_qnames_hazard(tmp_path):
     """Same qname planted in regions on two contigs: the chrA region's
     records can be tagged by chrB's first-wins map entries, so the writer
