@@ -128,14 +128,17 @@ class _ResidentWriteOverlap:
             # contig are contiguous in sorted order and ascending by start.
             starts = np.array([self._regions[si].start for si in sidxs],
                               dtype=np.int64)
-            si0 = sidxs[0]
+            # ascending within a contig (discovery order survives the
+            # stable sort even when unknown contigs share a sort key);
+            # sidxs need not be contiguous, so index through it
+            assert (np.diff(starts) >= 0).all()
             wpos = np.searchsorted(starts, bam.ref_end[lo:hi] + 2,
                                    side="left") - 1
             for k in range(hi - lo):
                 w = int(wpos[k])
                 if w >= 0:
                     q = qn[k]
-                    si = si0 + w
+                    si = sidxs[w]
                     if cb.get(q, -1) < si:
                         cb[q] = si
             for si in sidxs:
