@@ -58,6 +58,31 @@ def test_overlap_write_multi_wave_byte_identical(tmp_path):
     _run_pair(bam_path, fa_path, tmp_path, cfg, wave_cells=1)
 
 
+def test_overlap_write_resume_byte_identical(tmp_path):
+    """Checkpointed regions enter the overlap writer as up-front preset
+    pairs (no wave ever runs for them): a fully-resumed batched run must
+    still produce byte-identical VCF + phased BAM."""
+    bam_path = str(tmp_path / "g.bam")
+    fa_path = str(tmp_path / "g.fa")
+    make_genome_workload(bam_path, fa_path, contigs=[
+        ("chrA", [(10_000, 40, 150), (8_000, 50, 150)]),
+    ])
+    cfg = preset("hifi-masseq").replace(threads=2)
+    o1 = run(bam_path, fa_path, str(tmp_path / "r"), cfg, batched=True,
+             resume=True)
+    # second run: every region comes from the checkpoint
+    o2 = run(bam_path, fa_path, str(tmp_path / "r"), cfg, batched=True,
+             resume=True)
+    assert o2.n_records == o1.n_records > 0
+    assert o2.n_reads_tagged == o1.n_reads_tagged > 0
+    with open(o1.phased_bam_path, "rb") as a:
+        b1 = a.read()
+    o3 = run(bam_path, fa_path, str(tmp_path / "r"), cfg, batched=True,
+             resume=True)
+    with open(o3.phased_bam_path, "rb") as a:
+        assert a.read() == b1
+
+
 def test_overlap_writer_queues_until_last_contributor(tmp_path):
     """White-box: a region whose record qname can still be tagged by a
     LATER region must not be written until the merge frontier passes that
