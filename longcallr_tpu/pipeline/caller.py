@@ -28,6 +28,31 @@ from .engine import RegionResult, finalize_region, prepare_region, process_regio
 log = logging.getLogger("longcallr_tpu")
 
 
+def _ambient_jax_placement(fn):
+    """Re-enter the calling thread's jax.default_device override inside fn.
+
+    jax config contexts are THREAD-LOCAL: JAX work dispatched from a worker
+    thread (the wave prepare/phase pools, the pooled per-region map) would
+    otherwise silently ignore an enclosing ``jax.default_device(...)`` —
+    e.g. bench.py's CPU comparison leg — and land on the process default
+    backend. Captured once on the orchestrating thread at wrap time and
+    re-entered inside each worker task. No-op (fn unchanged) when no
+    override is active or jax isn't importable yet.
+    """
+    try:
+        import jax
+        dev = jax.config.jax_default_device
+    except Exception:
+        return fn
+    if dev is None:
+        return fn
+
+    def run_on_ambient(*a, **kw):
+        with jax.default_device(dev):
+            return fn(*a, **kw)
+    return run_on_ambient
+
+
 @dataclass
 class CallerOutputs:
     vcf_path: str
@@ -339,7 +364,7 @@ def run(bam_path: str, ref_path: str, output_prefix: str, cfg: CallerConfig,
                                    on_wave=(ov.wave_done if ov else None))
         elif cfg.threads > 1 and len(regions) > 1:
             with ThreadPoolExecutor(max_workers=cfg.threads) as ex:
-                results = list(ex.map(work, regions))
+                results = list(ex.map(_ambient_jax_placement(work), regions))
         else:
             results = [work(r) for r in regions]
     except BaseException:
@@ -555,7 +580,8 @@ def run_streaming(bam_path: str, ref_path: str, output_prefix: str,
 
                     if cfg.threads > 1 and len(regions) > 1:
                         with ThreadPoolExecutor(max_workers=cfg.threads) as ex:
-                            results = list(ex.map(work, regions))
+                            results = list(ex.map(_ambient_jax_placement(work),
+                                                  regions))
                     else:
                         results = [work(r) for r in regions]
 
@@ -809,23 +835,48 @@ def _run_batched(bam, fasta, regions, cfg, input_candidates, exon_regions,
                 phase_index.append(i)
         return todo, phase_items, phase_index
 
-    # Double-buffered waves: wave N+1's host prepare runs on a background
-    # thread while wave N's bucketed phasing occupies the device and its
-    # finalize the main thread (the device leg releases the GIL while it
-    # blocks on results, and the native decoders release it during parse).
+    # Pipelined waves: wave N+1's host prepare runs on one background
+    # thread and wave N+1's bucketed phasing is dispatched on a second
+    # BEFORE wave N's finalize runs on the main thread, so the device (or
+    # the phasing core set) never idles behind the assignment layer.
+    # Phases stay strictly serialized on a 1-worker pool and finalize +
+    # checkpoint order is unchanged, and bucketing is composition-
+    # independent — byte-invariant. Steady state holds at most THREE
+    # waves' tensors (one finalizing, one phasing, one preparing; the
+    # wave_cells budget bounds each); a crash under --resume loses at most
+    # the two unfinalized waves. LONGCALLR_WAVE_OVERLAP=0 restores the
+    # strictly serial prepare → phase → finalize loop.
     overlap = (os.environ.get("LONGCALLR_WAVE_OVERLAP", "1") != "0"
                and len(wave_spans) > 1)
     ahead = ThreadPoolExecutor(max_workers=1) if overlap else None
+    phase_pool = ThreadPoolExecutor(max_workers=1) if overlap else None
+
+    def _phase_wave(prep):
+        todo, phase_items, phase_index = prep
+        states = phase_regions_batched(phase_items, cfg, mesh=mesh)
+        return todo, phase_index, states
+
+    if overlap:
+        # worker threads must see the caller's jax.default_device override
+        _prepare_bg = _ambient_jax_placement(_prepare_wave)
+        _phase_bg = _ambient_jax_placement(_phase_wave)
+
     try:
-        next_fut = ahead.submit(_prepare_wave, wave_spans[0]) if ahead else None
+        if overlap:
+            first_prep = ahead.submit(_prepare_bg, wave_spans[0]).result()
+            next_prep = ahead.submit(_prepare_bg, wave_spans[1])
+            phase_fut = phase_pool.submit(_phase_bg, first_prep)
         for w, wave in enumerate(wave_spans):
-            if ahead is not None:
-                todo, phase_items, phase_index = next_fut.result()
+            if overlap:
+                todo, phase_index, states = phase_fut.result()
                 if w + 1 < len(wave_spans):
-                    next_fut = ahead.submit(_prepare_wave, wave_spans[w + 1])
+                    prep = next_prep.result()
+                    next_prep = (ahead.submit(_prepare_bg, wave_spans[w + 2])
+                                 if w + 2 < len(wave_spans) else None)
+                    phase_fut = phase_pool.submit(_phase_bg, prep)
             else:
                 todo, phase_items, phase_index = _prepare_wave(wave)
-            states = phase_regions_batched(phase_items, cfg, mesh=mesh)
+                states = phase_regions_batched(phase_items, cfg, mesh=mesh)
             st_by_region = {phase_index[j]: states[j]
                             for j in range(len(phase_index))}
 
@@ -867,4 +918,6 @@ def _run_batched(bam, fasta, regions, cfg, input_candidates, exon_regions,
     finally:
         if ahead is not None:
             ahead.shutdown(wait=True, cancel_futures=True)
+        if phase_pool is not None:
+            phase_pool.shutdown(wait=True, cancel_futures=True)
     return results

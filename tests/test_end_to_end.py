@@ -633,3 +633,30 @@ def test_finalize_pool_byte_identical(tmp_path, monkeypatch):
     monkeypatch.setenv("LONGCALLR_FINALIZE_MT_CELLS", "1")
     pooled = _run("fpool")             # every region "big" → thread pool
     assert pooled == serial
+
+
+def test_ambient_jax_placement_propagates_to_workers():
+    """jax.default_device contexts are thread-local; the wave prepare/phase
+    pools and the pooled per-region map must re-enter the orchestrating
+    thread's override or a CPU-placed run (e.g. bench.py's comparison leg)
+    silently dispatches phasing to the default accelerator backend
+    (caller.py::_ambient_jax_placement)."""
+    import jax
+    from concurrent.futures import ThreadPoolExecutor
+    from longcallr_tpu.pipeline.caller import _ambient_jax_placement
+
+    def seen_device():
+        return jax.config.jax_default_device
+
+    # no override active → fn returned unchanged (zero overhead)
+    assert _ambient_jax_placement(seen_device) is seen_device
+
+    cpu = jax.devices("cpu")[0]
+    with jax.default_device(cpu):
+        wrapped = _ambient_jax_placement(seen_device)
+        with ThreadPoolExecutor(max_workers=1) as ex:
+            assert ex.submit(seen_device).result() is None  # the leak
+            assert ex.submit(wrapped).result() is cpu       # the fix
+    # the wrapper captured at wrap time — still applies outside the context
+    with ThreadPoolExecutor(max_workers=1) as ex:
+        assert ex.submit(wrapped).result() is cpu
