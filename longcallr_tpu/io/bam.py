@@ -667,6 +667,24 @@ def encode_cigar(ops_lens: List[Tuple[int, str]]) -> np.ndarray:
     return out
 
 
+def tagged_record_indices(bam: "BamFile", chrom: str, start: int,
+                          end: int) -> np.ndarray:
+    """Record indices the phased-BAM third pass writes for one region:
+    primary mapped records whose span lies inside the region under the
+    replicated +1 boundary quirks (thread.rs:340-345). THE single
+    definition of the write filter — run()'s serial pass, the resident
+    write overlap's prepass, the streaming writer, and both multihost
+    writers share it, so the overlapped paths' byte-exactness cannot
+    drift from the serial oracle."""
+    bad = FLAG_UNMAPPED | FLAG_SECONDARY | FLAG_SUPPLEMENTARY
+    lo, hi, omask = bam.overlap_range(chrom, start, end)
+    keep = (omask & ((bam.flag[lo:hi] & bad) == 0)
+            # boundary-crossing reads skipped (thread.rs:340-345)
+            & (bam.pos[lo:hi] + 1 >= start)
+            & (bam.ref_end[lo:hi] + 1 <= end))
+    return lo + np.nonzero(keep)[0]
+
+
 def write_tagged_records(bam: "BamFile", ridxs, read_assignments,
                          read_phasesets, writer: "BamWriter") -> int:
     """Append records ``ridxs`` to ``writer`` with HP:i/PS:i aux tags looked

@@ -220,17 +220,21 @@ static void cg_substitute(RecView& v) {
         char a = (char)q[0], b = (char)q[1], typ = (char)q[2];
         q += 3;
         if (typ == 'B') {
+            if (q + 5 > v.aux_end) return;  // truncated B header
             char st = (char)q[0];
             int32_t cnt;
             std::memcpy(&cnt, q + 1, 4);
             int sz = aux_sizes(st);
-            if (sz < 0) return;
+            // corrupt element type or negative count: bail (a negative
+            // count would step q backwards and loop forever)
+            if (sz < 0 || cnt < 0) return;
             if (a == 'C' && b == 'G' && st == 'I' && cnt > 0 &&
                 q + 5 + (int64_t)cnt * 4 <= v.aux_end) {
                 v.cigar = reinterpret_cast<const uint32_t*>(q + 5);
                 v.n_cigar = cnt;
                 return;
             }
+            if (q + 5 + (int64_t)cnt * sz > v.aux_end) return;  // truncated
             q += 5 + (int64_t)cnt * sz;
             continue;
         }
@@ -291,7 +295,8 @@ static char aux_char_tag(const RecView& v, char t0, char t1) {
     while (q + 3 <= v.aux_end) {
         char a = (char)q[0], b = (char)q[1], typ = (char)q[2];
         q += 3;
-        if (a == t0 && b == t1 && typ == 'A') return (char)q[0];
+        if (a == t0 && b == t1 && typ == 'A')
+            return q < v.aux_end ? (char)q[0] : 0;
         int sz = aux_sizes(typ);
         if (sz > 0) { q += sz; continue; }
         if (typ == 'Z' || typ == 'H') {
@@ -300,10 +305,13 @@ static char aux_char_tag(const RecView& v, char t0, char t1) {
             continue;
         }
         if (typ == 'B') {
+            if (q + 5 > v.aux_end) return 0;  // truncated B header
             char st = (char)q[0];
             int32_t cnt;
             std::memcpy(&cnt, q + 1, 4);
-            q += 5 + (int64_t)cnt * aux_sizes(st);
+            int esz = aux_sizes(st);
+            if (esz < 0 || cnt < 0) return 0;  // corrupt: bail
+            q += 5 + (int64_t)cnt * esz;
             continue;
         }
         return 0;  // unknown type: bail
@@ -1116,7 +1124,7 @@ int64_t scan_bam_records(const uint8_t* data, int64_t n, int64_t start,
                 char a = (char)q[0], b2 = (char)q[1], typ = (char)q[2];
                 q += 3;
                 if (a == 'd' && b2 == 'e' && typ == 'f') {
-                    std::memcpy(&de, q, 4);
+                    if (q + 4 <= v.aux_end) std::memcpy(&de, q, 4);
                     break;
                 }
                 int sz = aux_sizes(typ);
@@ -1127,10 +1135,13 @@ int64_t scan_bam_records(const uint8_t* data, int64_t n, int64_t start,
                     continue;
                 }
                 if (typ == 'B') {
+                    if (q + 5 > v.aux_end) break;  // truncated B header
                     char st = (char)q[0];
                     int32_t cnt;
                     std::memcpy(&cnt, q + 1, 4);
-                    q += 5 + (int64_t)cnt * aux_sizes(st);
+                    int esz = aux_sizes(st);
+                    if (esz < 0 || cnt < 0) break;  // corrupt: bail
+                    q += 5 + (int64_t)cnt * esz;
                     continue;
                 }
                 break;

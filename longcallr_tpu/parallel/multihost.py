@@ -270,8 +270,7 @@ def serialize_outputs(bam, fasta, regions: Sequence[Region],
     # per-region assignments, raw record pass-through + appended HP/PS tags
     phased_bam_path = None
     if not cfg.no_bam_output:
-        from ..io.bam import (FLAG_SECONDARY, FLAG_SUPPLEMENTARY,
-                              FLAG_UNMAPPED, BamWriter)
+        from ..io.bam import BamWriter, tagged_record_indices
         read_assignments: Dict[str, int] = {}
         read_phasesets: Dict[str, int] = {}
         for i in idx_sorted:
@@ -280,7 +279,6 @@ def serialize_outputs(bam, fasta, regions: Sequence[Region],
                 read_assignments.setdefault(k, v)
             for k, v in res.get("phase_sets", {}).items():
                 read_phasesets.setdefault(k, v)
-        bad = FLAG_UNMAPPED | FLAG_SECONDARY | FLAG_SUPPLEMENTARY
         phased_bam_path = output_prefix + ".phased.bam"
         with BamWriter(phased_bam_path, bam.references, bam.lengths,
                        header_text=bam.header_text,
@@ -289,11 +287,8 @@ def serialize_outputs(bam, fasta, regions: Sequence[Region],
             from ..io.bam import write_tagged_records
             for i in idx_sorted:
                 reg = regions[i]
-                lo, hi, omask = bam.overlap_range(reg.chr, reg.start, reg.end)
-                keep = (omask & ((bam.flag[lo:hi] & bad) == 0)
-                        & (bam.pos[lo:hi] + 1 >= reg.start)
-                        & (bam.ref_end[lo:hi] + 1 <= reg.end))
-                ridxs = (lo + np.nonzero(keep)[0]).tolist()
+                ridxs = tagged_record_indices(bam, reg.chr, reg.start,
+                                              reg.end).tolist()
                 write_tagged_records(bam, ridxs, read_assignments,
                                      read_phasesets, w)
     return {"process": 0, "vcf_path": vcf_path,
@@ -459,8 +454,8 @@ def _serialize_outputs_streaming(bam_path: str, fasta, regions, merged,
     """Process-0 output stage of the streaming pod: retries and the phased
     BAM pass-through run against per-contig BAI windows (contig order),
     never the whole BAM."""
-    from ..io.bam import (FLAG_SECONDARY, FLAG_SUPPLEMENTARY, FLAG_UNMAPPED,
-                          BamFile, BamWriter, write_tagged_records)
+    from ..io.bam import (BamFile, BamWriter, tagged_record_indices,
+                          write_tagged_records)
     from ..io.vcf import write_vcf_header
     from ..pipeline.caller import _exon_mask_for
     from ..pipeline.engine import process_region
@@ -480,7 +475,6 @@ def _serialize_outputs_streaming(bam_path: str, fasta, regions, merged,
     phased_bam_path = (None if cfg.no_bam_output
                        else output_prefix + ".phased.bam")
     writer = None
-    bad = FLAG_UNMAPPED | FLAG_SECONDARY | FLAG_SUPPLEMENTARY
     try:
         with open(vcf_path, "w") as vf:
             write_vcf_header(vf, fasta.contig_lengths)
@@ -530,12 +524,8 @@ def _serialize_outputs_streaming(bam_path: str, fasta, regions, merged,
                             read_phasesets.setdefault(k, v)
                     for i in by_contig[chrom]:
                         reg = regions[i]
-                        lo, hi, omask = win.overlap_range(reg.chr, reg.start,
-                                                          reg.end)
-                        keep = (omask & ((win.flag[lo:hi] & bad) == 0)
-                                & (win.pos[lo:hi] + 1 >= reg.start)
-                                & (win.ref_end[lo:hi] + 1 <= reg.end))
-                        ridxs = (lo + np.nonzero(keep)[0]).tolist()
+                        ridxs = tagged_record_indices(
+                            win, reg.chr, reg.start, reg.end).tolist()
                         write_tagged_records(win, ridxs, read_assignments,
                                              read_phasesets, writer)
                 del win

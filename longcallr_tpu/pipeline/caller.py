@@ -132,9 +132,7 @@ class _ResidentWriteOverlap:
         writer thread's first job, overlapped with the first wave."""
         t0 = time.monotonic()
         bam = self._bam
-        from ..io.bam import (FLAG_SECONDARY, FLAG_SUPPLEMENTARY,
-                              FLAG_UNMAPPED)
-        bad = FLAG_UNMAPPED | FLAG_SECONDARY | FLAG_SUPPLEMENTARY
+        from ..io.bam import tagged_record_indices
         n = len(self._regions)
         self._ridxs: List[List[int]] = [[] for _ in range(n)]
         self._keptq: List[List[str]] = [[] for _ in range(n)]
@@ -168,11 +166,7 @@ class _ResidentWriteOverlap:
                         cb[q] = si
             for si in sidxs:
                 reg = self._regions[si]
-                l2, h2, omask = bam.overlap_range(chrom, reg.start, reg.end)
-                keep = (omask & ((bam.flag[l2:h2] & bad) == 0)
-                        & (bam.pos[l2:h2] + 1 >= reg.start)
-                        & (bam.ref_end[l2:h2] + 1 <= reg.end))
-                ridxs = (l2 + np.nonzero(keep)[0])
+                ridxs = tagged_record_indices(bam, chrom, reg.start, reg.end)
                 self._ridxs[si] = ridxs.tolist()
                 self._keptq[si] = [qn[int(i) - lo] for i in ridxs]
         self._cb = cb
@@ -357,6 +351,10 @@ def run(bam_path: str, ref_path: str, output_prefix: str, cfg: CallerConfig,
             and os.environ.get("LONGCALLR_RESIDENT_WRITE_OVERLAP", "1") != "0"):
         ov = _ResidentWriteOverlap(bam, regions, fasta.contig_lengths,
                                    output_prefix + ".phased.bam", cfg)
+    # everything from the region pipeline through ov.finish() aborts the
+    # background writer on failure (stops the pool, closes the fd, removes
+    # the partial .phased.bam — the serial path would have produced none);
+    # after finish() returns the file is complete and must NOT be unlinked
     try:
         if batched:
             results = _run_batched(bam, fasta, regions, cfg, input_candidates,
@@ -367,46 +365,43 @@ def run(bam_path: str, ref_path: str, output_prefix: str, cfg: CallerConfig,
                 results = list(ex.map(_ambient_jax_placement(work), regions))
         else:
             results = [work(r) for r in regions]
+        ckpt.close()
+        stage["regions_pipeline"] = time.monotonic() - t2
+
+        # --- VCF (deterministic contig order, then region order) ---
+        t3 = time.monotonic()
+        order = {c: i for i, (c, _) in enumerate(fasta.contig_lengths)}
+        results_sorted = sorted(
+            zip(regions, results),
+            key=lambda t: (order.get(t[0].chr, 1 << 30), t[0].start))
+        vcf_path = output_prefix + ".vcf"
+        n_records = 0
+        n_phased = 0
+        with open(vcf_path, "w") as vf:
+            write_vcf_header(vf, fasta.contig_lengths)
+            for _, res in results_sorted:
+                for line in res.vcf_lines:
+                    vf.write(line + "\n")
+                    n_records += 1
+                    gt = line.split("\t")[9].split(":", 1)[0]
+                    if gt in ("0|1", "1|0"):
+                        n_phased += 1
+        stage["vcf"] = time.monotonic() - t3
+
+        # --- phased BAM (thread.rs:307-361) ---
+        phased_bam_path = None
+        n_tagged = 0
+        if ov is not None:
+            t4 = time.monotonic()
+            n_tagged, bg = ov.finish()
+            phased_bam_path = output_prefix + ".phased.bam"
+            stage["phased_bam"] = time.monotonic() - t4  # visible drain only
+            stage["phased_bam_bg"] = bg                  # overlapped work
     except BaseException:
         if ov is not None:
             ov.abort()
         raise
-    ckpt.close()
-    stage["regions_pipeline"] = time.monotonic() - t2
-
-    # --- VCF (deterministic contig order, then region order) ---
-    t3 = time.monotonic()
-    order = {c: i for i, (c, _) in enumerate(fasta.contig_lengths)}
-    results_sorted = sorted(
-        zip(regions, results), key=lambda t: (order.get(t[0].chr, 1 << 30), t[0].start))
-    vcf_path = output_prefix + ".vcf"
-    n_records = 0
-    n_phased = 0
-    with open(vcf_path, "w") as vf:
-        write_vcf_header(vf, fasta.contig_lengths)
-        for _, res in results_sorted:
-            for line in res.vcf_lines:
-                vf.write(line + "\n")
-                n_records += 1
-                gt = line.split("\t")[9].split(":", 1)[0]
-                if gt in ("0|1", "1|0"):
-                    n_phased += 1
-    stage["vcf"] = time.monotonic() - t3
-
-    # --- phased BAM (thread.rs:307-361) ---
-    phased_bam_path = None
-    n_tagged = 0
-    if ov is not None:
-        t4 = time.monotonic()
-        try:
-            n_tagged, bg = ov.finish()
-        except BaseException:
-            ov.abort()
-            raise
-        phased_bam_path = output_prefix + ".phased.bam"
-        stage["phased_bam"] = time.monotonic() - t4   # visible drain only
-        stage["phased_bam_bg"] = bg                   # overlapped work
-    elif not cfg.no_bam_output:
+    if ov is None and not cfg.no_bam_output:
         t4 = time.monotonic()
         read_assignments: Dict[str, int] = {}
         read_phasesets: Dict[str, int] = {}
@@ -420,16 +415,10 @@ def run(bam_path: str, ref_path: str, output_prefix: str, cfg: CallerConfig,
                        header_text=bam.header_text,
                        level=cfg.bam_compression_level,
                        threads=max(1, cfg.threads)) as w:
-            from ..io.bam import (FLAG_SECONDARY, FLAG_SUPPLEMENTARY,
-                                  FLAG_UNMAPPED)
-            bad = FLAG_UNMAPPED | FLAG_SECONDARY | FLAG_SUPPLEMENTARY
+            from ..io.bam import tagged_record_indices
             for reg, _ in results_sorted:
-                lo, hi, omask = bam.overlap_range(reg.chr, reg.start, reg.end)
-                keep = (omask & ((bam.flag[lo:hi] & bad) == 0)
-                        # boundary-crossing reads skipped (thread.rs:340-345)
-                        & (bam.pos[lo:hi] + 1 >= reg.start)
-                        & (bam.ref_end[lo:hi] + 1 <= reg.end))
-                ridxs = (lo + np.nonzero(keep)[0]).tolist()
+                ridxs = tagged_record_indices(bam, reg.chr, reg.start,
+                                              reg.end).tolist()
                 n_tagged += write_tagged_records(
                     bam, ridxs, read_assignments, read_phasesets, w)
         stage["phased_bam"] = time.monotonic() - t4
@@ -493,9 +482,7 @@ def run_streaming(bam_path: str, ref_path: str, output_prefix: str,
     writer = None
     n_regions_total = n_records = n_phased = n_tagged = 0
     n_assigned = n_frag_total = n_cand_total = 0
-    from ..io.bam import (FLAG_SECONDARY, FLAG_SUPPLEMENTARY, FLAG_UNMAPPED,
-                          collect_tagged_bytes)
-    bad = FLAG_UNMAPPED | FLAG_SECONDARY | FLAG_SUPPLEMENTARY
+    from ..io.bam import collect_tagged_bytes, tagged_record_indices
     # one-ahead window prefetch: contig N+1's BAI-windowed load (IO +
     # native inflate, GIL-released) runs under contig N's compute. The
     # loop's steady state is [prefetch N+1] ∥ [compute N] ∥ [deflate N-1];
@@ -615,12 +602,8 @@ def run_streaming(bam_path: str, ref_path: str, output_prefix: str,
                             f.result()
                         bam_writes.clear()
                     for reg in regions:
-                        lo, hi, omask = win.overlap_range(
-                            reg.chr, reg.start, reg.end)
-                        keep = (omask & ((win.flag[lo:hi] & bad) == 0)
-                                & (win.pos[lo:hi] + 1 >= reg.start)
-                                & (win.ref_end[lo:hi] + 1 <= reg.end))
-                        ridxs = (lo + np.nonzero(keep)[0]).tolist()
+                        ridxs = tagged_record_indices(
+                            win, reg.chr, reg.start, reg.end).tolist()
                         # assemble synchronously (cheap, owns its bytes),
                         # deflate+write on the single ordered writer thread
                         # so the BGZF compression of contig N overlaps

@@ -53,14 +53,11 @@ class IntervalIndex:
     def overlap_data(self, qs: int, qe: int) -> List:
         return [self.data[i] for i in self.overlap(qs, qe)]
 
-    def overlap_length(self, qs: int, qe: int) -> int:
-        """Total overlap of [qs, qe) with the (possibly overlapping)
-        intervals, summed per interval (not a union length — matches the
-        reference's per-interval sum, longcallR-ase.py:249-253)."""
-        total = 0
-        for i in self.overlap(qs, qe):
-            total += max(0, min(qe, int(self.ends[i])) - max(qs, int(self.starts[i])))
-        return total
+    # NOTE: no half-open overlap_length variant on purpose — production
+    # exon-overlap sums must use overlap_length_ref below, which replicates
+    # the reference's closed-segment quirk (an exon starting exactly at a
+    # segment's last base counts 0); a clean half-open sum diverges from
+    # longcallR-ase.py:249-253 (caught by the analysis fuzz gate).
 
     def overlap_length_ref(self, a: int, b: int) -> int:
         """The reference's splice-segment exon-overlap sum over a CLOSED

@@ -170,3 +170,25 @@ def test_overlap_write_duplicate_qnames_hazard(tmp_path):
 
     cfg = preset("hifi-masseq").replace(threads=2)
     _run_pair(hacked, fa_path, tmp_path, cfg, wave_cells=1)
+
+
+def test_overlap_writer_aborts_on_vcf_write_failure(tmp_path):
+    """Any failure between the region pipeline and ov.finish() — here the
+    VCF write — must abort the background writer: pool stopped, fd closed,
+    and the partial .phased.bam removed (the serial path would have
+    produced no BAM at all)."""
+    bam_path = str(tmp_path / "ab.bam")
+    fa_path = str(tmp_path / "ab.fa")
+    make_genome_workload(bam_path, fa_path, [("chrA", [(10_000, 40, 120)])])
+
+    cfg = preset("hifi-masseq").replace(threads=2)
+    boom = RuntimeError("disk full (simulated)")
+    with mock.patch.dict(os.environ,
+                         {"LONGCALLR_RESIDENT_WRITE_OVERLAP": "1"}):
+        with mock.patch("longcallr_tpu.pipeline.caller.write_vcf_header",
+                        side_effect=boom):
+            import pytest
+            with pytest.raises(RuntimeError, match="disk full"):
+                run(bam_path, fa_path, str(tmp_path / "ab"), cfg,
+                    batched=True)
+    assert not os.path.exists(str(tmp_path / "ab.phased.bam"))
