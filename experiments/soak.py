@@ -139,10 +139,12 @@ def main() -> int:
     cfg = preset("hifi-masseq").replace(threads=os.cpu_count() or 4)
     out = None
     rec_counts = []
+    from longcallr_tpu.pipeline.engine import STAGE_TOTALS
     for r in range(args.runs):
         import gc
         gc.collect()
         malloc_tune.trim()
+        st0 = dict(STAGE_TOTALS)
         with _RssPeak() as rss:
             t0 = time.monotonic()
             out = run_streaming(bam_path, fa_path, "data/soak/out", cfg)
@@ -157,6 +159,12 @@ def main() -> int:
             "platform": jax.devices()[0].platform,
             "stage_seconds": {k: round(v, 1)
                               for k, v in out.stage_seconds.items()},
+            # engine-stage attribution for THIS run (pileup/candidates/
+            # fragments/assign are pool-thread sums and can exceed wall;
+            # phase_* run on the wave pipeline's phase worker)
+            "engine_stages": {k: round(v - st0.get(k, 0.0), 1)
+                              for k, v in STAGE_TOTALS.items()
+                              if v - st0.get(k, 0.0) > 0.05},
         }), flush=True)
     print(json.dumps({
         "records_consistent": len(set(rec_counts)) == 1,
