@@ -353,6 +353,55 @@ static inline int trailing_softclips(const RecView& v) {
 // pileup_fill
 // ---------------------------------------------------------------------------
 
+// Uniform-window lookup for the near-read-end poly-A/homopolymer scan.
+// The scalar predicate (util.rs:690-720 form) counts, per window start t0,
+// how many of the polya_len bases equal 'A'/'T'/'C'/'G' at positions where
+// that base differs from ref_base; a count can only reach polya_len when
+// EVERY base in the window is that one base. The scan therefore reduces
+// exactly to "the window starting at t0 is in-bounds and uniform in X" —
+// computed once per read end into a tiny table instead of re-decoding the
+// packed sequence 7×5 times per near base (~60% of HiFi pileup time).
+struct UniZone {
+    int64_t a = 0, b = 0;   // t0 range [a, b); entries 0 = not uniform
+    std::vector<char> u;
+    std::vector<char> buf;
+    void build(const RecView& v, int64_t a_, int64_t b_,
+               int64_t polya_len) {
+        a = a_;
+        b = b_ < a_ ? a_ : b_;
+        u.assign(b - a, 0);
+        const int64_t seq_len = v.l_seq;
+        const int64_t lo = a < 0 ? 0 : a;
+        int64_t hi = b + polya_len - 1;
+        if (hi > seq_len) hi = seq_len;
+        if (hi <= lo) return;
+        buf.resize(hi - lo);
+        for (int64_t i = lo; i < hi; ++i) buf[i - lo] = seq_base(v, i);
+        for (int64_t t0 = lo; t0 < b; ++t0) {
+            if (t0 + polya_len - 1 >= seq_len) break;
+            const char c = buf[t0 - lo];
+            bool uni = true;
+            for (int64_t t1 = 1; t1 < polya_len; ++t1)
+                if (buf[t0 + t1 - lo] != c) { uni = false; break; }
+            if (uni) u[t0 - a] = c;
+        }
+    }
+    inline bool contains(int64_t t0) const { return t0 >= a && t0 < b; }
+    inline char get(int64_t t0) const { return u[t0 - a]; }
+};
+
+// exact single-window form of the same predicate (fallback for a t0
+// outside both precomputed zones — cannot happen for well-formed CIGARs,
+// kept so correctness never depends on the zone-bound derivation)
+static inline char slow_uniform_window(const RecView& v, int64_t t0,
+                                       int64_t polya_len) {
+    if (t0 < 0 || t0 + polya_len - 1 >= v.l_seq) return 0;
+    const char c = seq_base(v, t0);
+    for (int64_t t1 = 1; t1 < polya_len; ++t1)
+        if (seq_base(v, t0 + t1) != c) return 0;
+    return c;
+}
+
 struct PileupOut {
     int32_t* cnt;        // [P*4]
     int32_t* n_intron;   // [P]
@@ -379,9 +428,11 @@ static int pileup_fill_range(
         int32_t* n_ins, int32_t* fwd, int32_t* bwd, int32_t* strands,
         int32_t* ts_out, double* s_err, double* s_1merr,
         int32_t* bq_pass) {
+    UniZone uz_head, uz_tail;   // reused across reads (allocation-warm)
     for (int64_t r = r0; r < r1; ++r) {
         RecView v = view_record(data, rec_off[r], rec_end[r]);
         int strand = (v.flag & 0x10) ? 1 : 0;
+        bool uni_ready = false;  // zones built on first near-segment base
         char tsc = aux_char_tag(v, 't', 's');
         int ts_col = -1;
         if (tsc == '+') ts_col = (strand == 0) ? 0 : 1;
@@ -430,6 +481,25 @@ static int pileup_fill_range(
                 // near segments [j_lo, jm_lo) and [jm_hi, j_hi): ONT trims
                 // them outright; HiFi runs the poly-A/homopolymer scan
                 auto near_seg = [&](int64_t s_lo, int64_t s_hi) {
+                    // A near base is skipped iff some in-bounds window
+                    // starting in [cpr-polya_len, cpr+1] is uniform in a
+                    // base X with ref_base != X (the counters in the
+                    // scalar form only reach polya_len for an all-X
+                    // window; the else-if chain contributes each base to
+                    // at most one counter, so mixed windows never fire).
+                    // Decision-identical to the per-window rescan, via
+                    // the per-read UniZone tables.
+                    if (polya_len <= 0) return;  // degenerate config: the
+                    // scalar counters trivially reach the threshold on the
+                    // first in-bounds window, so every near base is skipped
+                    if (s_lo < s_hi && !uni_ready) {
+                        uz_head.build(v, lead_sc - polya_len,
+                                      lead_sc + dist_end + 1, polya_len);
+                        uz_tail.build(v,
+                                      boundary_end - dist_end - polya_len + 1,
+                                      boundary_end + 1, polya_len);
+                        uni_ready = true;
+                    }
                     for (int64_t j = s_lo; j < s_hi; ++j) {
                         const int64_t cpv = pv0 + j, cpr = pr0 + j;
                         int bq = v.qual[cpr];
@@ -437,17 +507,15 @@ static int pileup_fill_range(
                         uint8_t ref_base = ref_window[cpv];
                         bool polya = false, homop = false;
                         for (int64_t t0 = cpr - polya_len; t0 <= cpr + 1; ++t0) {
-                            if (t0 < 0 || t0 + polya_len - 1 >= seq_len) continue;
-                            int ca = 0, ct_ = 0, cc = 0, cg = 0;
-                            for (int64_t t1 = 0; t1 < polya_len; ++t1) {
-                                char b2 = seq_base(v, t0 + t1);
-                                if (b2 == 'A' && ref_base != 'A') ++ca;
-                                else if (b2 == 'T' && ref_base != 'T') ++ct_;
-                                else if (b2 == 'C' && ref_base != 'C') ++cc;
-                                else if (b2 == 'G' && ref_base != 'G') ++cg;
-                            }
-                            if (ca >= polya_len || ct_ >= polya_len) polya = true;
-                            if (cc >= polya_len || cg >= polya_len) homop = true;
+                            char c;
+                            if (uz_head.contains(t0)) c = uz_head.get(t0);
+                            else if (uz_tail.contains(t0)) c = uz_tail.get(t0);
+                            else c = slow_uniform_window(v, t0, polya_len);
+                            if (!c) continue;
+                            if ((c == 'A' && ref_base != 'A') ||
+                                (c == 'T' && ref_base != 'T')) polya = true;
+                            else if ((c == 'C' && ref_base != 'C') ||
+                                     (c == 'G' && ref_base != 'G')) homop = true;
                         }
                         if (polya || homop) continue;
                         if (ts_col >= 0) ++ts_out[cpv * 2 + ts_col];

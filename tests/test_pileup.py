@@ -180,3 +180,73 @@ def test_region_discovery_truncation(tmp_path, rng):
         cfg.replace(truncation=True, truncation_coverage=3))
     # deep columns [400,1200) dropped: only the shallow prefix survives
     assert [(r.start, r.end) for r in tr] == [(101, 401)]
+
+
+@pytest.mark.parametrize("preset_name", ["hifi-masseq", "ont-cdna"])
+def test_pileup_run_dense_near_ends_matches_oracle(tmp_path, rng, preset_name):
+    """Adversarial workload for the near-read-end poly-A/homopolymer scan
+    (native UniZone tables + numpy _homopoly_near vs the scalar rescan):
+    a two-letter alphabet makes uniform windows dense near read ends, and
+    soft clips + introns shift the near zones through lead_sc/boundary_end.
+    Native and numpy must match the scalar oracle bit-exactly."""
+    from longcallr_tpu.io import bam as bamio
+
+    cfg = preset(preset_name).replace(min_read_length=50,
+                                      distance_to_read_end=40)
+    n = 2600
+    # reference drawn from {A, C} with long runs: ~every uniform window
+    # class (all-A matching ref, all-A mismatching, all-C) occurs
+    runs = []
+    while sum(len(r) for r in runs) < n:
+        runs.append(bytes([int(rng.choice([65, 67]))]) *
+                    int(rng.integers(1, 12)))
+    ref = np.frombuffer(b"".join(runs)[:n], dtype=np.uint8).copy()
+    path = str(tmp_path / "rd.bam")
+    with bamio.BamWriter(path, ["chrS"], [n]) as w:
+        for i in range(40):
+            pos = int(rng.integers(0, n - 800))
+            sc = int(rng.integers(0, 3)) * 5
+            mid = 700
+            seq = bytearray(rng.integers(0, 2, size=sc).astype(np.uint8) * 2 + 65)
+            ops = [(sc, "S")] if sc else []
+            # body with occasional D/I/N breaking the M ops
+            left = mid
+            p = pos
+            while left > 0:
+                ln = min(left, int(rng.integers(60, 200)))
+                body = ref[p:p + ln].copy()
+                # sprinkle errors biased toward runs (A<->C flips)
+                errs = rng.random(ln) < 0.08
+                body[errs] = 65 + 67 - body[errs]
+                seq += bytes(body)
+                ops.append((ln, "M"))
+                p += ln
+                left -= ln
+                if left > 0:
+                    kind = int(rng.integers(0, 3))
+                    if kind == 0:
+                        dl = int(rng.integers(1, 4))
+                        ops.append((dl, "D")); p += dl
+                    elif kind == 1:
+                        il = int(rng.integers(1, 4))
+                        seq += bytes([65] * il)   # poly-A insertion
+                        ops.append((il, "I"))
+                    else:
+                        nl = int(rng.integers(5, 30))
+                        ops.append((nl, "N")); p += nl
+            if sc:
+                seq += bytes([65] * sc)           # poly-A tail clip
+                ops.append((sc, "S"))
+            quals = rng.integers(10, 31, size=len(seq)).astype(np.uint8)
+            w.write_record(qname=f"r{i}", flag=0 if i % 2 else 16, ref_id=0,
+                           pos=pos, mapq=60,
+                           cigar=bamio.encode_cigar(ops), seq=bytes(seq),
+                           qual=quals, tags=bamio.make_tag_bytes("de", "f", 0.01))
+    bam = BamFile(path)
+    region = Region(chr="chrS", start=1, end=n + 1)
+    nat = build_pileup(bam, region, ref, cfg, use_native=True)
+    npy = build_pileup(bam, region, ref, cfg, use_native=False)
+    want = scalar_pileup(bam, region, ref, cfg)
+    _assert_tensors_equal(nat, want)
+    _assert_tensors_equal(npy, want)
+    assert nat.cnt.sum() > 0
