@@ -489,10 +489,15 @@ static int pileup_fill_range(
                     // at most one counter, so mixed windows never fire).
                     // Decision-identical to the per-window rescan, via
                     // the per-read UniZone tables.
-                    if (polya_len <= 0) return;  // degenerate config: the
-                    // scalar counters trivially reach the threshold on the
-                    // first in-bounds window, so every near base is skipped
-                    if (s_lo < s_hi && !uni_ready) {
+                    // degenerate configs, exactly as the scalar loop
+                    // behaves: for polya_len in {0, -1} the t0 loop runs
+                    // and the counters trivially reach the threshold on
+                    // the first in-bounds window (every near base
+                    // skipped); for polya_len < -1 the t0 loop below is
+                    // empty (cpr - polya_len > cpr + 1), so no base is
+                    // ever masked and no table is needed
+                    if (polya_len == 0 || polya_len == -1) return;
+                    if (polya_len >= 1 && s_lo < s_hi && !uni_ready) {
                         uz_head.build(v, lead_sc - polya_len,
                                       lead_sc + dist_end + 1, polya_len);
                         uz_tail.build(v,

@@ -213,7 +213,9 @@ def test_pileup_run_dense_near_ends_matches_oracle(tmp_path, rng, preset_name):
             left = mid
             p = pos
             while left > 0:
-                ln = min(left, int(rng.integers(60, 200)))
+                ln = min(left, int(rng.integers(60, 200)), n - p)
+                if ln <= 0:
+                    break
                 body = ref[p:p + ln].copy()
                 # sprinkle errors biased toward runs (A<->C flips)
                 errs = rng.random(ln) < 0.08
@@ -250,3 +252,32 @@ def test_pileup_run_dense_near_ends_matches_oracle(tmp_path, rng, preset_name):
     _assert_tensors_equal(nat, want)
     _assert_tensors_equal(npy, want)
     assert nat.cnt.sum() > 0
+
+
+@pytest.mark.parametrize("L", [0, -1, -2])
+def test_pileup_degenerate_polya_len_matches_oracle(tmp_path, rng, L):
+    """--polya-tail-length accepts any int: for L in {0, -1} the scalar t0
+    loop trivially reaches the threshold (every near base masked); for
+    L < -1 the loop is empty (no base ever masked). The native path must
+    keep both degenerate semantics bit-exactly (the vectorised numpy form
+    rejects L <= 0 and is not exercised here)."""
+    cfg = preset("hifi-masseq").replace(min_read_length=10,
+                                        distance_to_read_end=40,
+                                        polya_tail_length=L)
+    ref = np.frombuffer(b"C" * 200, dtype=np.uint8).copy()
+    from longcallr_tpu.io import bam as bamio
+    path = str(tmp_path / f"dg{L}.bam")
+    seq = b"C" * 150 + b"A" * 20 + b"C" * 30
+    with bamio.BamWriter(path, ["chrS"], [200]) as w:
+        w.write_record(qname="r", flag=0, ref_id=0, pos=0, mapq=60,
+                       cigar=bamio.encode_cigar([(200, "M")]), seq=seq,
+                       qual=np.full(200, 30), tags=b"")
+    bam = BamFile(path)
+    region = Region(chr="chrS", start=1, end=201)
+    got = build_pileup(bam, region, ref, cfg, use_native=True)
+    want = scalar_pileup(bam, region, ref, cfg)
+    _assert_tensors_equal(got, want)
+    if L >= -1:
+        assert got.cnt[:40].sum() == 0      # near-head bases all masked
+    else:
+        assert got.cnt[:40].sum() > 0       # empty scan: nothing masked
