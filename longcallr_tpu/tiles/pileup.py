@@ -124,6 +124,13 @@ def _homopoly_near(seq: np.ndarray, L: int) -> np.ndarray:
     entirely inside the read (util.rs:758-787)."""
     n = seq.shape[0]
     out = np.zeros((4, n), dtype=bool)
+    if L <= 0:
+        # degenerate --polya-tail-length: the scalar window loop trivially
+        # fires for L in {0, -1} on any in-bounds start (counters 0 >= L)
+        # and never runs for L < -1 (empty t0 range) — native UniZone
+        # keeps the same split (decode.cpp)
+        out[:] = L >= -1
+        return out
     if n < L:
         return out
     for ai, ch in enumerate(b"ATCG"):

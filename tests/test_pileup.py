@@ -258,9 +258,9 @@ def test_pileup_run_dense_near_ends_matches_oracle(tmp_path, rng, preset_name):
 def test_pileup_degenerate_polya_len_matches_oracle(tmp_path, rng, L):
     """--polya-tail-length accepts any int: for L in {0, -1} the scalar t0
     loop trivially reaches the threshold (every near base masked); for
-    L < -1 the loop is empty (no base ever masked). The native path must
-    keep both degenerate semantics bit-exactly (the vectorised numpy form
-    rejects L <= 0 and is not exercised here)."""
+    L < -1 the loop is empty (no base ever masked). Both the native path
+    (UniZone guard) and the vectorised numpy form (_homopoly_near) must
+    keep both degenerate semantics bit-exactly."""
     cfg = preset("hifi-masseq").replace(min_read_length=10,
                                         distance_to_read_end=40,
                                         polya_tail_length=L)
@@ -274,10 +274,11 @@ def test_pileup_degenerate_polya_len_matches_oracle(tmp_path, rng, L):
                        qual=np.full(200, 30), tags=b"")
     bam = BamFile(path)
     region = Region(chr="chrS", start=1, end=201)
-    got = build_pileup(bam, region, ref, cfg, use_native=True)
     want = scalar_pileup(bam, region, ref, cfg)
-    _assert_tensors_equal(got, want)
-    if L >= -1:
-        assert got.cnt[:40].sum() == 0      # near-head bases all masked
-    else:
-        assert got.cnt[:40].sum() > 0       # empty scan: nothing masked
+    for use_native in (True, False):
+        got = build_pileup(bam, region, ref, cfg, use_native=use_native)
+        _assert_tensors_equal(got, want)
+        if L >= -1:
+            assert got.cnt[:40].sum() == 0   # near-head bases all masked
+        else:
+            assert got.cnt[:40].sum() > 0    # empty scan: nothing masked
