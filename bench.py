@@ -82,6 +82,39 @@ def main() -> int:
         jax.devices()  # may block on a wedged remote claim
         ready.set()
 
+        # The FIRST DISPATCH pays a separate axon handshake that has been
+        # observed to stall far longer than init on bad days (round-5: a
+        # soak's first execution sat >28 min with jax.devices() long done).
+        # Guard it with the same retry → degraded-CPU ladder so a wedged
+        # handshake can never run the whole bench process into the
+        # driver's outer timeout with nothing recorded.
+        ready2 = threading.Event()
+
+        def _watchdog_dispatch():
+            if not ready2.wait(
+                    float(os.environ.get("LONGCALLR_FIRST_DISPATCH_S",
+                                         "600"))):
+                if not retried:
+                    print('{"note": "first device dispatch timed out; '
+                          'retrying in a fresh process"}',
+                          file=sys.stderr, flush=True)
+                    env = dict(os.environ, LONGCALLR_BENCH_DEVICE_RETRY="1")
+                else:
+                    print('{"note": "first device dispatch timed out '
+                          'twice; falling back to cpu (platform_degraded)"}',
+                          file=sys.stderr, flush=True)
+                    env = dict(os.environ, LONGCALLR_BENCH_CPU="1",
+                               LONGCALLR_BENCH_DEGRADED=(
+                                   "first device dispatch timed out twice "
+                                   "(axon handshake stall)"))
+                os.execve(sys.executable,
+                          [sys.executable, os.path.abspath(__file__)], env)
+
+        threading.Thread(target=_watchdog_dispatch, daemon=True).start()
+        import jax.numpy as _jnp
+        float(_jnp.ones((8,), _jnp.float32).sum())  # forces the handshake
+        ready2.set()
+
     from longcallr_tpu.config import preset
     from longcallr_tpu.io.bam import BamFile
     from longcallr_tpu.pipeline.caller import run
