@@ -443,8 +443,12 @@ def batched_phase_fused(batch: BatchedRegions, sigma0, delta0, eta0,
                                                   sm, bid)
 
     # keep-best (reference scores the flip without re-optimizing,
-    # phase.rs:1139-1144) — same comparison the staged driver does on host
-    better = prob2 > prob1
+    # phase.rs:1139-1144) — tie-quantized like the staged driver's host
+    # comparison (batch_driver: prob2 > prob1 + TIE_TOL; PARITY #8): when
+    # no block flips, prob2 re-scores the SAME state through a different
+    # program, so an unquantized > would resolve by summation-order
+    # rounding
+    better = prob2 > prob1 + TIE_TOL
     best_sg = jnp.where(better[:, None], sg2, sg1)
     best_dl = jnp.where(better[:, None], dl2, dl1)
     best_pr = jnp.where(better, prob2, prob1)
@@ -472,7 +476,17 @@ def batched_enum_cross_optimize(batch: BatchedRegions, sigma0, configs, eta0,
         return st.sigma, st.delta, st.eta, prob
 
     def one_region(p, q, rb, sm, et, sg0):
-        ct = expand_cells(CompactCells(p, q))
+        # pass the COMPACT cells through (like batched_cross_optimize
+        # above): the loop's table dispatch then takes the same fused f32
+        # builder the per-region enum path uses
+        # (optimize._fast_tables_for / fast_tables32_from_compact), so an
+        # enum region's sums — and therefore its mid-ascent decisions —
+        # are identical whether it phases alone or in a bucket. The old
+        # expand-to-f64-CellTables form routed f32 mode through
+        # make_fast_tables32 instead (~1e-4 different sums →
+        # bucket-composition-dependent outputs on accelerator sessions),
+        # and paid the emulated-f64 expand on device.
+        ct = CompactCells(p, q)
         return jax.vmap(one_cfg,
                         in_axes=(None,) * 4 + (0, 0)
                         )(ct, rb, sm, et, sg0, configs)

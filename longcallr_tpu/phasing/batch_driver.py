@@ -26,7 +26,7 @@ from ..config import CallerConfig
 from ..ops.candidates import CandidateSet
 from ..utils.device import phase_problem_device
 from .fragments import FragmentMatrix
-from .kernels import TIE_TOL, f64, make_cell_tables_np
+from .kernels import TIE_TOL, make_cell_tables_np
 from .optimize import (PhaseState, _bucket, block_flip_pass, compute_ld_blocks,
                        init_genotype, init_haplotypes_ld, phase_region)
 
@@ -106,9 +106,12 @@ def _phase_enum_bucket(group: List[_Prepared], cfg: CallerConfig, K: int,
 
     B = len(group)
     I_pad = _bucket(max(1, I0))
+    dev = None   # past the router below, the bucket runs on the default
     if mesh is None:
         C_est = enumeration_order(I0).shape[0]
-        if phase_problem_device(B * C_est * K * I_pad) is not None:
+        # one router call per bucket (degraded-placement counter accuracy)
+        dev = phase_problem_device(B * C_est * K * I_pad)
+        if dev is not None:
             # sub-threshold on an accelerator session → per-region host path
             # (same rationale as _phase_bucket's early exit)
             _phase_group_host(group, cfg, out)
@@ -137,7 +140,8 @@ def _phase_enum_bucket(group: List[_Prepared], cfg: CallerConfig, K: int,
         s = np.where(rngs[b].random((C, K)) < 0.5, -1.0, 1.0)
         sig0[b] = np.where(read_base[b][None, :], s, 0.0)
 
-    dev = phase_problem_device(B * C * K * I_pad) if mesh is None else None
+    # dev resolved once by the router at the top (None here: mesh path, or
+    # the work-based router chose the default device; C == C_est)
 
     def dp(a):
         a = jnp.asarray(a)
@@ -272,9 +276,13 @@ def _phase_bucket(group: List[_Prepared], cfg: CallerConfig, K: int,
             return
 
     B = len(group)
+    dev = None   # past the router below, the bucket runs on the default
     if mesh is None:
         max_rounds = max(it.frags.p.shape[1] // 4 + 1 for it in group)
-        if phase_problem_device(B * K * I_pad * max_rounds) is not None:
+        # one router call per bucket: it also counts degraded placements
+        # (utils/device.py), so calling it again later double-counts
+        dev = phase_problem_device(B * K * I_pad * max_rounds)
+        if dev is not None:
             # Sub-threshold bucket on an accelerator session: the work-based
             # router picked the host CPU, but the batched XLA program costs
             # ~0.3 s per dispatch on the CPU backend — phase_region (the
@@ -320,7 +328,8 @@ def _phase_bucket(group: List[_Prepared], cfg: CallerConfig, K: int,
 
     from ..pipeline.engine import stage_add
     _t = time.monotonic()
-    dev = phase_problem_device(B * K * I_pad * int(n_rounds.max())) if mesh is None else None
+    # dev resolved once by the router at the top (None here: either the
+    # mesh path, or the work-based router chose the default device)
 
     def dp(a):
         a = jnp.asarray(a)
@@ -385,6 +394,10 @@ def _phase_bucket(group: List[_Prepared], cfg: CallerConfig, K: int,
             _t = time.monotonic()
         else:
             stage_add("phase_fused_refused", 1)
+            # the discarded attempt was still fused work — don't let its
+            # wall leak into the staged rerun's phase_ascent1 slice
+            stage_add("phase_fused", time.monotonic() - _t)
+            _t = time.monotonic()
 
     if sgf is None:
         # 1) first ascent (keep_conserved=True, phase.rs:1132)
@@ -429,7 +442,11 @@ def _phase_bucket(group: List[_Prepared], cfg: CallerConfig, K: int,
             sg2 = np.array(sg2_d)
             dl2 = np.array(dl2_d)
             prob2_np = np.array(prob2_d)
-            bad = np.flatnonzero(np.asarray(margins) < F32_BF_TOL)
+            # ~(>=) not (<): NaN margins (e.g. a baseq-0 cell puts NaN in
+            # the f32-split lo table) must be treated as UNSAFE and take
+            # the exact host pass — the same polarity the fused-path gate
+            # uses ((margins >= F32_BF_TOL).all())
+            bad = np.flatnonzero(~(np.asarray(margins) >= F32_BF_TOL))
             for b in bad:
                 stage_add("phase_blockflip_exact", 1)
                 _flip_one(int(b))
@@ -488,6 +505,7 @@ def _phase_bucket(group: List[_Prepared], cfg: CallerConfig, K: int,
         cpu = jax.devices("cpu")[0]
         with jax.default_device(cpu):
             if _f32_mode():        # forced-f32 env: no exact rerun exists
+                stage_add("phase_safety", time.monotonic() - _t)
                 return
             # whole-bucket margins in one host program (matvec-form f64)
             margins = np.asarray(f64_decision_margin_batched(
@@ -495,7 +513,9 @@ def _phase_bucket(group: List[_Prepared], cfg: CallerConfig, K: int,
                 jnp.asarray(dlf), jnp.asarray(etf), jnp.asarray(read_base),
                 jnp.asarray(site_mask)))
             for b, it in enumerate(group):
-                if margins[b] < F32_SAFETY_TOL:
+                # not (>=): a NaN margin means the f64 re-evaluation itself
+                # degenerated — recompute, same polarity as the flip gates
+                if not margins[b] >= F32_SAFETY_TOL:
                     stage_add("phase_safety_recompute", 1)
                     out[it.index] = phase_region(it.frags, it.cands, cfg,
                                                  it.seed, it.apply_ds)

@@ -34,7 +34,8 @@ from .. import _jaxcfg  # noqa: F401  (x64 before any trace)
 import jax
 import jax.numpy as jnp
 
-from .kernels import TIE_TOL, CellTables, f64, prior_het_log, snp_qs
+from .kernels import (TIE_TOL, CellTables, PRIOR_HOMREF_LOG,
+                      PRIOR_HOMVAR_LOG, _LOG10_HALF, _PRIOR_HET_BASE, f64)
 
 
 class FastTables(NamedTuple):
@@ -367,16 +368,18 @@ def fast_overall_probability32(ft: FastTables32, sigma, delta, eta):
 # LONGCALLR_BF_SAFETY overrides the per-site tolerance (default 1e-3; the
 # split-sum error propagated through the q surrogate is ≲2e-5 per site).
 
-import math as _math
 import os as _os
 
 _BF_ENV = _os.environ.get("LONGCALLR_BF_SAFETY", "")
 F32_BF_TOL: float = (float(_BF_ENV) if _BF_ENV else 1e-3)
 
-_LOG_P_HET = _math.log10(0.001)
-_LOG10_2 = _math.log10(2.0)
-_LOG_P_HOMREF = _math.log10(1.0 - 1.5 * 0.001)
-_LOG_P_HOMVAR = _math.log10(0.5 * 0.001)
+# genotype-prior constants (phase.rs:136-144): THE copies live in
+# kernels.py — import, never re-derive, so a prior change cannot leave the
+# device block-flip q computation out of sync with the host kernels
+_LOG_P_HET = _PRIOR_HET_BASE
+_LOG10_2 = _LOG10_HALF
+_LOG_P_HOMREF = PRIOR_HOMREF_LOG
+_LOG_P_HOMVAR = PRIOR_HOMVAR_LOG
 
 
 def fast_block_flip32(ft: FastTables32, p8, sigma, delta, eta, site_mask,

@@ -23,7 +23,6 @@ that improves flips its own fully-contained reads.
 
 from __future__ import annotations
 
-import math
 import os
 from dataclasses import dataclass
 from functools import partial
@@ -712,10 +711,14 @@ def block_flip_pass(ct_np: CellTables, st: PhaseState, read_base: np.ndarray,
     x_new = sigma[:, None] * flip_factor * (-delta[None, :])
     s_match_new = np.where(m, np.where(pj == x_new, l1m, lerr), 0.0).sum(axis=0)
     s_flip_new = np.where(m, np.where(pj == -x_new, l1m, lerr), 0.0).sum(axis=0)
-    ph = np.where(cov == 0, math.log10(0.001),
-                  math.log10(0.001) - cov * math.log10(2.0))
-    p_homref = math.log10(1.0 - 1.5 * 0.001)
-    p_homvar = math.log10(0.5 * 0.001)
+    # genotype-prior constants: THE copies live in kernels.py (phase.rs:
+    # 136-144) — import, never re-derive (same rule as kernels_fast)
+    from .kernels import (PRIOR_HOMREF_LOG, PRIOR_HOMVAR_LOG, _LOG10_HALF,
+                          _PRIOR_HET_BASE)
+    ph = np.where(cov == 0, _PRIOR_HET_BASE,
+                  _PRIOR_HET_BASE - cov * _LOG10_HALF)
+    p_homref = PRIOR_HOMREF_LOG
+    p_homvar = PRIOR_HOMVAR_LOG
 
     def q_of(sm, sf, e):
         n1 = np.where(e == 0, sm + ph, np.where(e == 1, s_refe + p_homref,
