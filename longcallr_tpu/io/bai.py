@@ -26,6 +26,12 @@ _LINEAR_SHIFT = 14          # 16 kb linear-index windows
 _BIN_LEVELS = ((26, 1), (23, 9), (20, 73), (17, 585), (14, 4681))
 
 
+# BAI can only represent coordinates below 2^29 (SAM spec §5.2: 5-level
+# binning; larger references need CSI, which the reference's rust-htslib
+# would also need a .csi for)
+_MAX_COORD = 1 << 29
+
+
 def reg2bin(beg: int, end: int) -> int:
     """Smallest bin fully containing [beg, end) (SAM spec §5.3)."""
     end -= 1
@@ -33,6 +39,18 @@ def reg2bin(beg: int, end: int) -> int:
         if beg >> shift == end >> shift:
             return off + (beg >> shift)
     return 0
+
+
+def _reg2bin_vec(beg: np.ndarray, end: np.ndarray) -> np.ndarray:
+    """Vectorized reg2bin over int64 arrays (identical results)."""
+    e = end - 1
+    out = np.zeros(beg.shape[0], np.int64)
+    done = np.zeros(beg.shape[0], bool)
+    for shift, off in reversed(_BIN_LEVELS):
+        hit = ~done & ((beg >> shift) == (e >> shift))
+        out[hit] = off + (beg[hit] >> shift)
+        done |= hit
+    return out
 
 
 def reg2bins(beg: int, end: int) -> List[int]:
@@ -58,27 +76,34 @@ class BaiIndex:
             data = f.read()
         if data[:4] != BAI_MAGIC:
             raise ValueError(f"{path}: not a BAI index")
-        p = 4
-        (n_ref,) = struct.unpack_from("<i", data, p)
-        p += 4
-        bins: List[Dict[int, np.ndarray]] = []
-        intervals: List[np.ndarray] = []
-        for _ in range(n_ref):
-            (n_bin,) = struct.unpack_from("<i", data, p)
+        try:
+            p = 4
+            (n_ref,) = struct.unpack_from("<i", data, p)
             p += 4
-            bm: Dict[int, np.ndarray] = {}
-            for _ in range(n_bin):
-                b, n_chunk = struct.unpack_from("<Ii", data, p)
-                p += 8
-                chunks = np.frombuffer(data, "<u8", n_chunk * 2, p)
-                p += 16 * n_chunk
-                bm[int(b)] = chunks.reshape(-1, 2)
-            (n_intv,) = struct.unpack_from("<i", data, p)
-            p += 4
-            ioff = np.frombuffer(data, "<u8", n_intv, p)
-            p += 8 * n_intv
-            bins.append(bm)
-            intervals.append(ioff)
+            bins: List[Dict[int, np.ndarray]] = []
+            intervals: List[np.ndarray] = []
+            for _ in range(n_ref):
+                (n_bin,) = struct.unpack_from("<i", data, p)
+                p += 4
+                bm: Dict[int, np.ndarray] = {}
+                for _ in range(n_bin):
+                    b, n_chunk = struct.unpack_from("<Ii", data, p)
+                    p += 8
+                    chunks = np.frombuffer(data, "<u8", n_chunk * 2, p)
+                    p += 16 * n_chunk
+                    bm[int(b)] = chunks.reshape(-1, 2)
+                (n_intv,) = struct.unpack_from("<i", data, p)
+                p += 4
+                ioff = np.frombuffer(data, "<u8", n_intv, p)
+                p += 8 * n_intv
+                bins.append(bm)
+                intervals.append(ioff)
+        except (struct.error, IndexError) as e:
+            # a truncated/partially-written .bai must surface as the
+            # ValueError the windowed loader's fallback contract documents
+            # (io/bam.py::_load_window catches ValueError → full load), not
+            # as a position-dependent struct.error/IndexError
+            raise ValueError(f"{path}: truncated or malformed BAI") from e
         return cls(bins, intervals)
 
     def chunk_span(self, ref_id: int, beg: int, end: int
@@ -92,12 +117,19 @@ class BaiIndex:
         downstream block-decompression a single bulk operation."""
         if ref_id < 0 or ref_id >= len(self.bins):
             return None
+        # BAI cannot address coordinates >= 2^29: clamp the query (htslib
+        # does the same) — also keeps reg2bins inside the real bin range,
+        # so an htslib-written index's metadata pseudo-bin 37450 (whose
+        # "chunks" are record COUNTS, not voffs) can never enter the merge
+        beg = max(0, min(beg, _MAX_COORD - 1))
+        end = min(end, _MAX_COORD)
+        if beg >= end:
+            return None
         bm = self.bins[ref_id]
         ivs = self.intervals[ref_id]
         w = beg >> _LINEAR_SHIFT
         min_voff = int(ivs[min(w, len(ivs) - 1)]) if len(ivs) else 0
         lo, hi = None, None
-        # pseudo-bin 37450 (htslib metadata) must be skipped if present
         for b in reg2bins(beg, end):
             for cbeg, cend in bm.get(b, ()):
                 if int(cend) <= min_voff:
@@ -128,11 +160,6 @@ def bgzf_block_table(raw: bytes) -> Tuple[np.ndarray, np.ndarray]:
     return (np.asarray(coffs, np.int64), np.asarray(ustarts, np.int64))
 
 
-def _voff_of(u: int, coffs: np.ndarray, ustarts: np.ndarray) -> int:
-    j = int(np.searchsorted(ustarts, u, side="right")) - 1
-    return (int(coffs[j]) << 16) | (u - int(ustarts[j]))
-
-
 def build_bai(bam_path: str, out_path: Optional[str] = None) -> str:
     """Index a coordinate-sorted BAM; returns the .bai path written.
 
@@ -148,37 +175,63 @@ def build_bai(bam_path: str, out_path: Optional[str] = None) -> str:
     bam = BamFile(bam_path)
     n_ref = len(bam.references)
 
-    order = bam.pos[bam.ref_id >= 0]
-    rids = bam.ref_id[bam.ref_id >= 0]
+    # placed-unmapped records (RNAME set, POS missing → pos = -1) cannot be
+    # reached by a coordinate query: exclude them from the bins and the
+    # linear index (a -1 pos would negative-index the linear windows;
+    # htslib files such records under its metadata pseudo-bin)
+    vidx = np.flatnonzero((bam.ref_id >= 0) & (bam.pos >= 0))
+    rids_v = bam.ref_id[vidx]
+    ordv = np.argsort(rids_v, kind="stable")       # file order within a ref
+    sidx = vidx[ordv]
+    bounds = np.searchsorted(rids_v[ordv], np.arange(n_ref + 1))
     for t in range(n_ref):
-        sel = order[rids == t]
+        sel = bam.pos[sidx[bounds[t]:bounds[t + 1]]]
         if np.any(np.diff(sel) < 0):
             raise ValueError(f"{bam_path}: not coordinate-sorted; cannot index")
+
+    # vectorized record virtual offsets (one searchsorted pass for all
+    # records instead of two scalar calls each; record start includes its
+    # 4-byte block_size prefix)
+    r0 = bam.rec_off[sidx].astype(np.int64) - 4
+    r1 = bam.rec_end[sidx].astype(np.int64)
+    j0 = np.searchsorted(ustarts, r0, side="right") - 1
+    j1 = np.searchsorted(ustarts, r1, side="right") - 1
+    v0_all = (coffs[j0] << 16) | (r0 - ustarts[j0])
+    v1_all = (coffs[j1] << 16) | (r1 - ustarts[j1])
 
     buf = bytearray()
     buf += BAI_MAGIC + struct.pack("<i", n_ref)
     for t in range(n_ref):
-        idx = np.flatnonzero(bam.ref_id == t)
+        lo_t, hi_t = int(bounds[t]), int(bounds[t + 1])
+        begs = bam.pos[sidx[lo_t:hi_t]].astype(np.int64)
+        ends = np.maximum(bam.ref_end[sidx[lo_t:hi_t]].astype(np.int64),
+                          begs + 1)
         bin_chunks: Dict[int, List[List[int]]] = {}
         n_intv = 0
-        if idx.size:
-            ends = np.maximum(bam.ref_end[idx], bam.pos[idx] + 1)
+        if begs.size:
+            if int(ends.max()) > _MAX_COORD:
+                # BAI cannot represent coordinates >= 2^29 (samtools
+                # refuses likewise and requires CSI); writing out-of-range
+                # bins would produce an index htslib misreads
+                raise ValueError(
+                    f"{bam_path}: reference '{bam.references[t]}' has "
+                    f"alignments past the BAI 2^29 coordinate limit "
+                    f"(CSI would be required; not supported)")
             n_intv = int((ends.max() - 1) >> _LINEAR_SHIFT) + 1
-        ioff = np.zeros(n_intv, np.uint64)
+        ioff = np.zeros(n_intv, "<u8")             # explicit little-endian
         filled = np.zeros(n_intv, bool)
-        for i in idx:
-            beg = int(bam.pos[i])
-            end = max(int(bam.ref_end[i]), beg + 1)
-            # record start includes its 4-byte block_size prefix
-            v0 = _voff_of(int(bam.rec_off[i]) - 4, coffs, ustarts)
-            v1 = _voff_of(int(bam.rec_end[i]), coffs, ustarts)
-            b = reg2bin(beg, end)
+        bins_of = _reg2bin_vec(begs, ends)
+        for k in range(begs.size):
+            v0 = int(v0_all[lo_t + k])
+            v1 = int(v1_all[lo_t + k])
+            b = int(bins_of[k])
             ch = bin_chunks.setdefault(b, [])
             if ch and ch[-1][1] == v0:       # file-adjacent → merge
                 ch[-1][1] = v1
             else:
                 ch.append([v0, v1])
-            w0, w1 = beg >> _LINEAR_SHIFT, (end - 1) >> _LINEAR_SHIFT
+            w0 = int(begs[k]) >> _LINEAR_SHIFT
+            w1 = int(ends[k] - 1) >> _LINEAR_SHIFT
             for w in range(w0, w1 + 1):
                 if not filled[w] or np.uint64(v0) < ioff[w]:
                     ioff[w] = v0

@@ -320,8 +320,8 @@ class BamFile:
         """BAI-guided windowed load; returns False to fall back to a full
         load (e.g. unparsable index)."""
         from .bai import BaiIndex
-        from .bgzf import (MAX_BLOCK_SIZE, BgzfError, _block_size_at,
-                           decompress_blocks)
+        from .bgzf import (MAX_BLOCK_SIZE, BgzfError, BgzfTruncated,
+                           _block_size_at, decompress_blocks)
 
         try:
             bai = BaiIndex.load(bai_path)
@@ -343,6 +343,9 @@ class BamFile:
                             break
                         spans.append((off, b))
                         off += b
+                except BgzfTruncated:
+                    pass       # prefix cut mid-header: the grow loop below
+                               # fetches more; not a malformed file
                 except BgzfError:
                     return False
                 head = decompress_blocks(raw, spans, threads=threads)
@@ -369,7 +372,10 @@ class BamFile:
         ustarts = []
         off, total = 0, 0
         while off <= c1 - c0 and off < len(raw):
-            b = _block_size_at(raw, off)
+            try:
+                b = _block_size_at(raw, off)
+            except BgzfTruncated:
+                break          # window read ends mid-header (file tail)
             if off + b > len(raw):
                 break
             spans.append((off, b))
@@ -645,18 +651,11 @@ class BamWriter:
 
 
 def _reg2bin(beg: int, end: int) -> int:
-    end -= 1
-    if beg >> 14 == end >> 14:
-        return ((1 << 15) - 1) // 7 + (beg >> 14)
-    if beg >> 17 == end >> 17:
-        return ((1 << 12) - 1) // 7 + (beg >> 17)
-    if beg >> 20 == end >> 20:
-        return ((1 << 9) - 1) // 7 + (beg >> 20)
-    if beg >> 23 == end >> 23:
-        return ((1 << 6) - 1) // 7 + (beg >> 23)
-    if beg >> 26 == end >> 26:
-        return ((1 << 3) - 1) // 7 + (beg >> 26)
-    return 0
+    # single transcription of the SAM 5.3 binning formula lives in bai.py
+    # (a second copy here once risked BamWriter bins diverging from
+    # build_bai/chunk_span bins)
+    from .bai import reg2bin
+    return reg2bin(beg, end)
 
 
 def encode_cigar(ops_lens: List[Tuple[int, str]]) -> np.ndarray:

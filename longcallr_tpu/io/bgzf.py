@@ -28,17 +28,33 @@ class BgzfError(ValueError):
     pass
 
 
+class BgzfTruncated(BgzfError):
+    """The buffer ends mid-block-header: more bytes are needed, the data
+    seen so far is not structurally invalid. Callers streaming a prefix
+    (io/bam.py::_load_window) treat this as "incomplete tail block";
+    whole-file readers surface it as the BgzfError it is."""
+
+
 def _block_size_at(data: bytes, off: int) -> int:
-    """Parse the BSIZE extra subfield of the BGZF block starting at ``off``."""
+    """Parse the BSIZE extra subfield of the BGZF block starting at ``off``.
+    Raises BgzfTruncated when the buffer ends inside the header, BgzfError
+    when the bytes are structurally not a BGZF block."""
+    if off + 12 > len(data):
+        raise BgzfTruncated(f"buffer ends inside BGZF header at offset {off}")
     if data[off:off + 4] != _BGZF_HEADER:
         raise BgzfError(f"not a BGZF block at offset {off}")
     xlen = struct.unpack_from("<H", data, off + 10)[0]
     i = off + 12
     end = i + xlen
-    while i < end:
+    if end > len(data):
+        raise BgzfTruncated(
+            f"buffer ends inside BGZF extra field at offset {off}")
+    while i + 4 <= end:
         si1, si2 = data[i], data[i + 1]
         slen = struct.unpack_from("<H", data, i + 2)[0]
         if si1 == 66 and si2 == 67:  # 'B','C'
+            if i + 6 > end:
+                raise BgzfError(f"BGZF block at {off}: malformed BSIZE")
             return struct.unpack_from("<H", data, i + 4)[0] + 1
         i += 4 + slen
     raise BgzfError(f"BGZF block at {off} missing BSIZE subfield")
@@ -229,10 +245,17 @@ def _scratch_buf(name: str, size: int):
 def _compress_chunks_native(chunks: List[bytes], level: int,
                             threads: int) -> Optional[List[bytes]]:
     """Deflate payload chunks into BGZF blocks via the C++ multi-threaded
-    deflater (byte-identical to :func:`compress_block` — same zlib settings
-    and framing). Returns None when the native library is unavailable;
-    chunks that deflate to >64KiB (incompressible) fall back to the Python
-    shrink loop individually."""
+    deflater. Framing is identical to :func:`compress_block`; the DEFLATE
+    bytes are identical only in the zlib build of decode.cpp — the
+    libdeflate build (preferred when present) emits different but
+    spec-valid streams, and single-chunk flushes (len<2 below) always use
+    Python zlib, so a file may mix codecs across blocks. Within one
+    host/build the output is deterministic (all byte-equality tests and
+    the resume gate run same-build), but compressed bytes are NOT
+    comparable across hosts with different native builds — compare
+    decompressed records instead (io/bam.py readers do). Returns None
+    when the native library is unavailable; chunks that deflate to >64KiB
+    (incompressible) fall back to the Python shrink loop individually."""
     if len(chunks) < 2:
         return None
     try:
@@ -288,8 +311,11 @@ class BgzfWriter:
         self._buf = bytearray()
         self._threads = threads
         self._pending: List[bytes] = []
+        self._closed = False
 
     def write(self, data) -> None:
+        if self._closed:
+            raise BgzfError("write to a closed BgzfWriter")
         # slice fixed 64KiB chunks straight off the input (memoryview, no
         # O(n²) buffer shifting for multi-MB writes); identical chunking —
         # and therefore identical output bytes — to the simple loop form
@@ -335,6 +361,12 @@ class BgzfWriter:
         self._pending.clear()
 
     def close(self) -> None:
+        # idempotent: an explicit close followed by the with-block __exit__
+        # must not write a second EOF block (raw fileobj) or raise on the
+        # already-closed file (BamWriter closes the underlying file)
+        if self._closed:
+            return
+        self._closed = True
         if self._buf:
             self._pending.append(bytes(self._buf))
             self._buf.clear()

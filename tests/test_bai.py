@@ -281,3 +281,124 @@ def test_run_streaming_resume(tmp_path, rng):
     assert v1 == v2 and out2.n_records == out1.n_records
     # checkpoint not regrown: completed regions were skipped, not re-put
     assert len(ckpt.read_text().splitlines()) == n_lines
+
+
+def test_truncated_bai_falls_back_to_full_load(tmp_path, rng):
+    """A truncated/partially-written .bai must raise ValueError from
+    BaiIndex.load (not position-dependent struct.error/IndexError), so the
+    windowed loader's documented fallback — a full load — engages."""
+    ref = make_reference(rng, 40000)
+    truth = plant_snps(rng, ref, n_het=3, n_hom=0, min_gap=9000)
+    path = str(tmp_path / "tr.bam")
+    simulate_bam(path, rng, ref, truth, n_reads=300, read_len=3000,
+                 err_rate=0.01)
+    bai_path = build_bai(path)
+    good = open(bai_path, "rb").read()
+    for cut in range(5, len(good), max(1, len(good) // 23)):
+        with open(bai_path, "wb") as f:
+            f.write(good[:cut])
+        with pytest.raises(ValueError):
+            BaiIndex.load(bai_path)
+        win = BamFile(path, region=("chrS", 1000, 9000))  # full-load fallback
+        assert win.n_records == BamFile(path).n_records
+
+
+def test_bgzf_truncated_headers_raise_bgzf_error():
+    """_block_size_at on a buffer cut inside a block header must raise the
+    BgzfTruncated subclass (grow/stop signal), never struct.error or
+    IndexError — every prefix length of a real stream parses or raises a
+    BgzfError."""
+    import zlib
+
+    from longcallr_tpu.io.bgzf import (BgzfError, BgzfTruncated,
+                                       _block_size_at, compress_block)
+    block = compress_block(b"x" * 1000, 6)
+    for cut in range(0, len(block)):
+        try:
+            _block_size_at(block[:cut], 0)
+        except BgzfTruncated:
+            assert cut < 12 + 6  # header+xlen region only
+        except BgzfError:
+            pass                 # structurally invalid (short magic)
+        # anything else (struct.error, IndexError) fails the test
+    assert _block_size_at(block, 0) == len(block)
+
+
+def test_bam_writer_double_close(tmp_path):
+    """Explicit close + with-block __exit__ must be a no-op second close:
+    no duplicate EOF block, no write to a closed file."""
+    from longcallr_tpu.io.bam import BamWriter
+    from longcallr_tpu.io.bgzf import BGZF_EOF
+
+    path = str(tmp_path / "dc.bam")
+    with BamWriter(path, ["c"], [100]) as w:
+        w.write_record(qname="r", flag=0, ref_id=0, pos=1, mapq=60,
+                       cigar=np.array([(5 << 4)], np.uint32), seq=b"ACGTA",
+                       qual=np.full(5, 30))
+        w.close()                       # first close inside the with-block
+    data = open(path, "rb").read()
+    assert data.endswith(BGZF_EOF)
+    assert not data[:-len(BGZF_EOF)].endswith(BGZF_EOF)  # exactly one EOF
+    assert BamFile(path).n_records == 1
+
+
+def test_build_bai_placed_unmapped_record(tmp_path, rng):
+    """A placed-unmapped record (RNAME set, POS=-1) must not corrupt the
+    linear index (it used to negative-index the last window)."""
+    from longcallr_tpu.io.bam import BamWriter
+
+    ref = make_reference(rng, 50000)
+    path = str(tmp_path / "pu.bam")
+    with BamWriter(path, ["chrS"], [len(ref)]) as w:
+        # placed-unmapped first (pos -1 sorts before every mapped record)
+        w.write_record(qname="u", flag=4, ref_id=0, pos=-1, mapq=0,
+                       cigar=np.zeros(0, np.uint32), seq=b"ACGT",
+                       qual=np.full(4, 30))
+        for i, pos in enumerate(range(1000, 41000, 200)):
+            w.write_record(qname=f"r{i}", flag=0, ref_id=0, pos=pos, mapq=60,
+                           cigar=np.array([(3000 << 4)], np.uint32),
+                           seq=bytes(ref[pos:pos + 3000]),
+                           qual=np.full(3000, 30))
+    build_bai(path)
+    full = BamFile(path)
+    win = BamFile(path, region=("chrS", 30000, 40000))
+    fsel = np.flatnonzero((full.ref_end > 30000) & (full.pos < 40000)
+                          & (full.pos >= 0) & (full.ref_id == 0))
+    wsel = np.flatnonzero((win.ref_end > 30000) & (win.pos < 40000)
+                          & (win.pos >= 0) & (win.ref_id == 0))
+    assert len(fsel) == len(wsel) > 0
+
+
+def test_bai_2pow29_limits():
+    """build_bai refuses coordinates past the BAI 2^29 limit (samtools
+    requires CSI there); chunk_span clamps oversized queries so an
+    htslib metadata pseudo-bin (37450) can never enter the chunk merge."""
+    from longcallr_tpu.io.bai import _MAX_COORD, _reg2bin_vec
+
+    # chunk_span with a synthetic index carrying the htslib pseudo-bin:
+    # the count payloads (huge voffs) must not leak into the span
+    bins = [{4681: np.array([[100 << 16, 200 << 16]], np.uint64),
+             37450: np.array([[(1 << 60), (1 << 62)]], np.uint64)}]
+    idx = BaiIndex(bins, [np.zeros(1, np.uint64)])
+    span = idx.chunk_span(0, 0, 10 ** 10)      # query far past 2^29
+    assert span == (100 << 16, 200 << 16)
+    # vectorized binning is exactly the scalar formula
+    rng2 = np.random.default_rng(7)
+    begs = rng2.integers(0, _MAX_COORD - 2, 2000)
+    ends = begs + rng2.integers(1, 100000, 2000)
+    np.clip(ends, None, _MAX_COORD, out=ends)
+    want = np.array([reg2bin(int(b), int(e)) for b, e in zip(begs, ends)])
+    got = _reg2bin_vec(begs.astype(np.int64), ends.astype(np.int64))
+    assert np.array_equal(got, want)
+
+
+def test_build_bai_refuses_past_2pow29(tmp_path):
+    from longcallr_tpu.io.bam import BamWriter
+
+    path = str(tmp_path / "huge.bam")
+    with BamWriter(path, ["big"], [(1 << 29) + 10_000]) as w:
+        w.write_record(qname="r", flag=0, ref_id=0, pos=(1 << 29) - 100,
+                       mapq=60, cigar=np.array([(3000 << 4)], np.uint32),
+                       seq=b"A" * 3000, qual=np.full(3000, 30))
+    with pytest.raises(ValueError, match="2\\^29"):
+        build_bai(path)
