@@ -204,6 +204,14 @@ def main(argv: Optional[List[str]] = None) -> int:
         if isinstance(res, dict):   # pod summary (process 0 or shard)
             import json
             print(json.dumps(res))
+            from .parallel.multihost import gather_degraded
+            if gather_degraded():
+                # degraded survivor (peer died mid-gather): the distributed
+                # client's teardown barrier would block on the dead peer
+                # and LOG(FATAL); outputs are written — leave immediately
+                sys.stdout.flush()
+                sys.stderr.flush()
+                os._exit(0)
             return 0
         out = res                   # 1-process degenerate: CallerOutputs
         print(f"wrote {out.n_records} records to {out.vcf_path}")

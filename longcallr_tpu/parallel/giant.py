@@ -43,11 +43,28 @@ f64 = jnp.float64
 GIANT_CELLS = int(os.environ.get("LONGCALLR_GIANT_CELLS", str(1 << 26)))
 
 
+@lru_cache(maxsize=None)
+def _sharded_ascent_cached(mesh, with_genotype: bool, keep_conserved: bool):
+    """One jitted shard_map ascent per (mesh, flags): without this every
+    giant region rebuilt two fresh closures whose jit wrappers never hit
+    JAX's in-memory cache — each region re-traced both programs (and on
+    axon re-queried the remote compile service)."""
+    from .mesh import sharded_cross_optimize
+    return sharded_cross_optimize(mesh, with_genotype=with_genotype,
+                                  keep_conserved=keep_conserved)
+
+
 @lru_cache(maxsize=1)
 def reads_mesh() -> Optional[jax.sharding.Mesh]:
-    """1-D mesh ("reads",) over the largest power-of-two prefix of the
-    default backend's devices; None when only one device is available."""
-    devs = jax.devices()
+    """1-D mesh ("reads",) over the largest power-of-two prefix of THIS
+    PROCESS's devices; None when only one is available.
+
+    local_devices, not devices: in a multi-process pod each process phases
+    its own region shard independently, so a giant region's shard_map must
+    run on devices this process can address — a global mesh would dispatch
+    onto peers' chips (raising, or desyncing since each process routes
+    different regions at different times)."""
+    devs = jax.local_devices()
     n = 1 << (len(devs).bit_length() - 1)
     if n < 2:
         return None
@@ -80,8 +97,6 @@ def phase_region_sharded(frags: FragmentMatrix, cands: CandidateSet,
     from ..phasing.optimize import (PhaseState, _bucket, block_flip_pass,
                                     compute_ld_blocks, init_genotype,
                                     init_haplotypes_ld)
-    from .mesh import sharded_cross_optimize
-
     mesh = mesh or reads_mesh()
     assert mesh is not None, "phase_region_sharded needs a multi-device mesh"
     n_shards = mesh.devices.size
@@ -122,10 +137,8 @@ def phase_region_sharded(frags: FragmentMatrix, cands: CandidateSet,
     rb_d = jnp.asarray(read_base_np)
     sm_d = jnp.asarray(site_mask_np)
     cons_d = jnp.asarray(conserved_np)
-    fn_keep = sharded_cross_optimize(mesh, with_genotype=False,
-                                     keep_conserved=True)
-    fn_free = sharded_cross_optimize(mesh, with_genotype=False,
-                                     keep_conserved=False)
+    fn_keep = _sharded_ascent_cached(mesh, False, True)
+    fn_free = _sharded_ascent_cached(mesh, False, False)
 
     def ascend(fn, sigma, delta, eta) -> Tuple[PhaseState, float]:
         sg, dl, et, prob = fn(p8_d, q8_d, jnp.asarray(sigma, f64),

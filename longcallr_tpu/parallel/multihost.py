@@ -122,19 +122,26 @@ def gather_results(local: Dict[int, dict],
         timeout_s = t if t > 0 else None
     if timeout_s is None:
         return _gather_collective(local)
-    box: Dict[str, Dict[int, dict]] = {}
+    box: dict = {}
 
     def run():
         try:
             box["merged"] = _gather_collective(local)
-        except Exception:
-            pass
+        except BaseException as e:     # noqa: BLE001 — re-raised below
+            box["exc"] = e
 
     th = threading.Thread(target=run, daemon=True)
     th.start()
     th.join(timeout_s)
     if "merged" in box:
         return box["merged"]
+    if "exc" in box:
+        # the gather FAILED rather than timed out: surface the real error
+        # (the no-timeout path raises the same way) instead of misreporting
+        # a timeout and silently re-running every peer's regions. Peers may
+        # be parked mid-collective, so still poison later collectives.
+        _gather_poisoned = True
+        raise box["exc"]
     _gather_poisoned = True
     import logging
     logging.getLogger(__name__).warning(
@@ -142,6 +149,16 @@ def gather_results(local: Dict[int, dict],
         "results only (missing regions will be retried on process 0)",
         timeout_s)
     return dict(local)
+
+
+def gather_degraded() -> bool:
+    """True when a gather timed out this process (a peer died mid-
+    collective). A degraded survivor must NOT run the normal interpreter
+    teardown: the distributed client's shutdown barrier blocks on the dead
+    peer and ends in an uncatchable LOG(FATAL) (see
+    tests/test_parallel.py's harness). Callers that own the process exit
+    (the CLI) should flush outputs and ``os._exit`` instead."""
+    return _gather_poisoned
 
 
 def _payload(res) -> dict:
@@ -204,7 +221,24 @@ def run_local_shard(bam, fasta, regions: Sequence[Region],
         if cands.n > 0 and frags.n_frags > 0:
             items.append((frags, cands, reg.start, apply_ds))
             item_idx.append(i)
-    states = phase_regions_batched(items, cfg)
+    try:
+        states = phase_regions_batched(items, cfg)
+    except Exception:
+        # one region's device-side failure must not kill the shard (the
+        # per-region isolation this function promises): fall back to
+        # per-region phasing; a region that still fails drops out of
+        # `local` and is retried stateless on process 0
+        from ..phasing.optimize import phase_region
+        states = []
+        for j, (frags, cands, start, apply_ds) in enumerate(items):
+            try:
+                states.append(phase_region(frags, cands, cfg, seed=start,
+                                           apply_downsampling=apply_ds))
+            except Exception:
+                states.append(None)
+                i = item_idx[j]
+                prepared.pop(i, None)
+                failed.append(i)
     st_by = {item_idx[j]: states[j] for j in range(len(item_idx))}
     for i in mine:
         if i not in prepared:
@@ -316,16 +350,26 @@ def run_multihost(bam_path: str, ref_path: str, output_prefix: str,
 
     pid = jax.process_index()
     n_proc = jax.process_count()
-    if n_proc == 1:
-        # same default as the CLI: batched AUTO (on for >1 region)
-        run_kwargs.setdefault("batched", None)
-        return run(bam_path, ref_path, output_prefix, cfg, **run_kwargs)
-
     if stream is None:
         auto_mb = float(os.environ.get("LONGCALLR_STREAM_AUTO_MB", "1024"))
         stream = (os.path.exists(bam_path + ".bai")
                   and os.path.getsize(bam_path) > auto_mb * 1e6
                   and not run_kwargs.get("input_region"))
+    if n_proc == 1:
+        # degenerate 1-process pod: behave exactly like the non-pod CLI —
+        # including the --stream request / AUTO above (a 1-process launch
+        # over a 100 GB indexed BAM must not go whole-resident)
+        if stream:
+            from ..pipeline.caller import run_streaming
+            return run_streaming(
+                bam_path, ref_path, output_prefix, cfg,
+                contigs=run_kwargs.get("contigs"),
+                input_vcf=run_kwargs.get("input_vcf"),
+                anno_path=run_kwargs.get("anno_path"),
+                resume=run_kwargs.get("resume", False))
+        # same default as the CLI: batched AUTO (on for >1 region)
+        run_kwargs.setdefault("batched", None)
+        return run(bam_path, ref_path, output_prefix, cfg, **run_kwargs)
     if stream:
         if run_kwargs.get("input_region"):
             raise ValueError("streaming multihost does not take an input "
@@ -533,6 +577,10 @@ def _serialize_outputs_streaming(bam_path: str, fasta, regions, merged,
     finally:
         if writer is not None:
             writer.close()
+    if writer is None:
+        # no records anywhere → no BAM was written (same contract as the
+        # single-process path, caller.py): don't report a nonexistent file
+        phased_bam_path = None
     return {"process": 0, "vcf_path": vcf_path,
             "phased_bam_path": phased_bam_path, "n_regions": len(regions),
             "n_retried": n_retried, "stream": True}
